@@ -1,0 +1,195 @@
+"""Command-line application — the win32_main `main`/ParseArgs role.
+
+Mirrors the reference CLI exactly (PrintHelp win32_main.cpp:2076-2104,
+ParseArgs :2110-2195): single-dash concatenated flags, same letters, same
+clamps (p <= 1000 = RAYS_PER_PIXEL_MAX, w in [1,5]); `-t` (thread count) is
+accepted for compatibility and reported as the device count actually used —
+the TPU scheduler is the XLA SPMD partitioner, not a thread pool.
+
+Extensions beyond the reference (all default-off):
+  --size WxH         image size (reference hardcodes 1280x720, :218-219)
+  --out PATH         output path (reference hardcodes test.bmp, :984)
+  --png PATH         also write a PNG
+  --debug MODE       runtime debug render kinds (the reference compiles them
+                     in, :22-28): regular | primary_ray_normals |
+                     bounce_count | termination_condition | variance
+  --seed N           RNG seed (the reference seeds from the OS)
+  --checkpoint PATH  save/resume the progressive accumulator
+  --chunk N          samples per device dispatch (progress cadence)
+  --profile DIR      capture a JAX profiler trace
+  --single-chip      disable pixel sharding over the device mesh
+
+Run: python -m pathtracer_tpu [options]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def _parse_reference_flags(argv):
+    """Parse the reference's concatenated single-dash flags (-t16 -p16 -nmr)
+    into (known dict, remaining argv for argparse)."""
+    out = {"t": None, "p": None, "w": None, "d": False,
+           "n": False, "m": False, "r": False, "h": False}
+    rest = []
+    for arg in argv:
+        if arg.startswith("--") or not arg.startswith("-") or arg == "-":
+            rest.append(arg)
+            continue
+        body = arg[1:]
+        i = 0
+        while i < len(body):
+            c = body[i]
+            if c in "tpw":
+                j = i + 1
+                while j < len(body) and (body[j].isdigit() or body[j] == "-"):
+                    j += 1
+                val = body[i + 1: j]
+                out[c] = int(val) if val else 0
+                i = j
+            elif c in "dnmrh":
+                out[c] = True
+                i += 1
+            else:
+                print(f"Warning: invalid program arugment -{c}")  # sic, :2188
+                i += 1
+    return out, rest
+
+
+def print_help():
+    """PrintHelp (win32_main.cpp:2076-2104) plus TPU extensions."""
+    print("usage: python -m pathtracer_tpu [options]\n")
+    print("Physically-based path tracer capable of rendering various "
+          "geometrical shapes, including triangles.")
+    print("TPU-native (JAX/XLA) rebuild of BluBloos/Pathtracer.\n")
+    print("optional arguments:")
+    print("\tt<int>  - Set the number of threads to use. (compat: reported as devices)")
+    print("\tp<int>  - Set the rays to shoot per pixel (sqrt; total = p*p).")
+    print("\tw<int>  - Set the world number to load. Possible options:")
+    print("\t\t1:\tDefault scene.\n\t\t2:\tMetal-roughness test.\n"
+          "\t\t3:\tCornell box.\n\t\t4:\tRay Tracing in One Weekend book cover.\n"
+          "\t\t5:\tMario N64 model.")
+    print("\td       - Enable depth of field via thin-lens approximation.")
+    print("\tn       - Disable loading normal map textures.")
+    print("\tm       - Disable loading metalness material textures.")
+    print("\tr       - Disable loading roughness material textures.")
+    print("\th       - Print this help menu.")
+    print("\nTPU extensions: --size WxH --out PATH --png PATH --debug MODE "
+          "--seed N --checkpoint PATH --chunk N --profile DIR --single-chip")
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    ref, rest = _parse_reference_flags(argv)
+    if ref["h"]:
+        print_help()
+        return 0
+
+    ap = argparse.ArgumentParser(add_help=False)
+    ap.add_argument("--size", default="1280x720")
+    ap.add_argument("--out", default="test.bmp")
+    ap.add_argument("--png", default=None)
+    ap.add_argument("--debug", default="regular")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--chunk", type=int, default=None)
+    ap.add_argument("--profile", default=None)
+    ap.add_argument("--single-chip", action="store_true")
+    args = ap.parse_args(rest)
+
+    import jax
+    from .render.renderer import RenderConfig, render_image
+    from .parallel.shard import make_mesh, render_image_sharded
+    from .scene.worlds import finalize_world
+    from .scene.schema import WORLD_KIND_COUNT
+    from .io.bmp import packed_to_rgb, write_bmp
+    from .utils.profiling import PhaseTimer, RenderMetrics, profiler_trace
+
+    w, h = (int(x) for x in args.size.split("x"))
+    pp = max(0, min(1000, ref["p"])) if ref["p"] is not None else 4  # :2171, RAYS_PER_PIXEL_MAX
+    world = max(0, min(WORLD_KIND_COUNT - 1, (ref["w"] or 1) - 1))   # :2181
+    use_pinhole = not ref["d"]                                        # :2183
+
+    devices = jax.devices()
+    n_dev = len(devices)
+    if ref["t"] is not None:
+        n_dev = max(1, min(ref["t"], n_dev))
+        devices = devices[:n_dev]
+    print(f"System has {len(jax.devices())} device(s).")   # cf. :2193
+    print(f"Using {n_dev} device(s).\n")                   # cf. :2194
+
+    timer = PhaseTimer()
+    with timer.phase("scene"):
+        scene, camera = finalize_world(
+            world, w, h,
+            use_pinhole=use_pinhole,
+            use_normal_maps=not ref["n"],
+            use_metalness_maps=not ref["m"],
+            use_roughness_maps=not ref["r"],
+        )
+
+    # camera diagnostics block (win32_main.cpp:2234-2248)
+    print("DefineCamera():\n===")
+    print(f"camera located at c->pos = ({camera.pos[0]:f},{camera.pos[1]:f},{camera.pos[2]:f})")
+    print(f"Distance between the lens and the film plane: {camera.focal_length:f}")
+    for name in ("axis_x", "axis_y", "axis_z"):
+        v = getattr(camera, name)
+        print(f"c->{name.replace('_', '')}: ({v[0]:f},{v[1]:f},{v[2]:f})")
+    print()
+
+    cfg = RenderConfig(width=w, height=h, pp=pp, seed=args.seed,
+                       debug_kind=args.debug)
+
+    state = None
+    if args.checkpoint:
+        from .render.progressive import load_checkpoint
+        state, done = load_checkpoint(args.checkpoint, w * h)
+        if done:
+            print(f"Resuming from {args.checkpoint}: "
+                  f"{float(np.asarray(state.count).max()):.0f} samples done.")
+
+    def progress(s_done, s_total, st):
+        print(f"  {s_done}/{s_total} samples "
+              f"({float(np.asarray(st.rays_cast)) / 1e6:.1f} Mrays)")
+        if args.checkpoint:
+            from .render.progressive import save_checkpoint
+            save_checkpoint(args.checkpoint, st)
+
+    with timer.phase("render"), profiler_trace(args.profile):
+        t0 = time.perf_counter()
+        if args.single_chip or n_dev == 1:
+            img, packed, state = render_image(scene, camera, cfg,
+                                              chunk_samples=args.chunk,
+                                              state=state,
+                                              progress_cb=progress if args.chunk else None)
+        else:
+            mesh = make_mesh(devices)
+            img, packed, state = render_image_sharded(
+                scene, camera, cfg, mesh=mesh, chunk_samples=args.chunk,
+                progress_cb=progress if args.chunk else None)
+        packed = np.asarray(jax.block_until_ready(packed))
+        wall = time.perf_counter() - t0
+
+    with timer.phase("write"):
+        write_bmp(args.out, packed)
+        if args.png:
+            from PIL import Image
+            Image.fromarray(packed_to_rgb(packed)[::-1]).save(args.png)
+
+    m = RenderMetrics(rays_cast=float(np.asarray(state.rays_cast)),
+                      wall_seconds=wall, width=w, height=h, spp=pp * pp,
+                      nan_samples=float(np.asarray(state.nan_count)))
+    print(f"Done. Image written to {args.out}.")  # cf. :985
+    print(f"[perf] {m.mrays_per_sec:.1f} Mrays/s  "
+          f"({m.rays_cast / 1e6:.1f} Mrays in {wall:.2f}s; "
+          f"{m.nan_samples:.0f} NaN samples masked)  {timer.report()}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

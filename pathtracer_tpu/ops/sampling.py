@@ -1,0 +1,162 @@
+"""Direction samplers, PDF evaluators and the orthonormal-basis builder.
+
+Batched (SoA, lane-parallel) equivalents of the reference's scalar samplers:
+- RandomCosineDirectionHemisphere (win32_main.cpp:2258-2268)
+- RandomHalfVectorGGX             (win32_main.cpp:2271-2285)
+- RandomToSphere                  (win32_main.cpp:2332-2353)
+- BuildOrthonormalBasisFromW      (win32_main.cpp:2288-2305)
+- PdfValue<COSINE_PDF>            (win32_main.cpp:290-299)
+- PdfValue<TO_SPHERE_PDF>         (win32_main.cpp:324-340)
+- PdfValueQuad                    (win32_main.cpp:301-322, defined but unused
+                                   in the reference; provided for parity)
+- BurleyParameterization          (win32_main.cpp:2252-2254)
+
+All functions take uniforms explicitly (counter-based PRNG, utils/prng.py)
+instead of pulling from a global generator.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+from ..utils.vec import (
+    Vec3, cross, dot, magnitude, magnitude_squared, normalize, vec3, where,
+)
+
+PI = 3.14159265358979323846264338327
+
+
+def burley_alpha2(roughness: jnp.ndarray) -> jnp.ndarray:
+    """Disney/Burley remap: a2 = roughness^4 (win32_main.cpp:2252-2254)."""
+    r2 = roughness * roughness
+    return r2 * r2
+
+
+def cosine_hemisphere(u1: jnp.ndarray, u2: jnp.ndarray) -> Vec3:
+    """Cosine-weighted hemisphere sample in tangent space, p(dir)=cos(theta)/pi
+    (win32_main.cpp:2258-2268). Returns a unit vector with z >= 0."""
+    phi = 2.0 * PI * u1
+    sq = jnp.sqrt(u2)
+    return Vec3(jnp.cos(phi) * sq, jnp.sin(phi) * sq, jnp.sqrt(1.0 - u2))
+
+
+def ggx_half_vector(u1: jnp.ndarray, u2: jnp.ndarray, roughness: jnp.ndarray) -> Vec3:
+    """GGX-distributed half vector in tangent space (win32_main.cpp:2271-2285).
+
+    theta = acos(sqrt((1-z2)/(1+z2*(a2-1)))); the GGX D term later cancels
+    against this sampling PDF (the 1/p(x) is baked into BrdfSpecular,
+    win32_main.cpp:767-770).
+    """
+    a2 = burley_alpha2(roughness)
+    phi = 2.0 * PI * u1
+    cos_theta = jnp.sqrt((1.0 - u2) / (1.0 + u2 * (a2 - 1.0)))
+    sin_theta = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_theta * cos_theta))
+    return Vec3(jnp.cos(phi) * sin_theta, jnp.sin(phi) * sin_theta, cos_theta)
+
+
+def to_sphere(
+    u1: jnp.ndarray,
+    u2: jnp.ndarray,
+    sphere_center: Vec3,
+    sphere_radius: jnp.ndarray,
+    origin: Vec3,
+) -> Tuple[Vec3, jnp.ndarray]:
+    """Solid-angle sample toward a sphere, in the frame whose +z axis points
+    at the sphere center (win32_main.cpp:2332-2353).
+
+    Returns ``(dir, valid)``. The reference returns V3(0,0,0) when ``origin``
+    is inside the sphere (term1 < 0); we return ``valid=False`` for those
+    lanes (the integrator kills them — the reference instead retries the
+    whole estimator draw, win32_main.cpp:700).
+    """
+    dist2 = magnitude_squared(origin - sphere_center)
+    term1 = 1.0 - sphere_radius * sphere_radius / dist2
+    valid = term1 >= 0.0
+    term1c = jnp.maximum(term1, 0.0)
+    z = 1.0 + u2 * (jnp.sqrt(term1c) - 1.0)
+    term2 = jnp.maximum(0.0, 1.0 - z * z)
+    phi = 2.0 * PI * u1
+    s = jnp.sqrt(term2)
+    return Vec3(jnp.cos(phi) * s, jnp.sin(phi) * s, z), valid
+
+
+def orthonormal_basis(w: Vec3) -> Tuple[Vec3, Vec3, Vec3]:
+    """Build (tangentX, tangentY, tangentZ=unit w) from a direction
+    (win32_main.cpp:2288-2305, after RTRoYL).
+
+    a = (0,1,0) if |unit_w.x| > 0.9 else (1,0,0);
+    v = normalize(cross(unit_w, a)); u = cross(unit_w, v).
+    Returned as (u, v, unit_w) to mirror the reference's (a=x, b=y, c=z).
+    """
+    unit_w = normalize(w)
+    w_is_x = jnp.abs(unit_w.x) > 0.9
+    shape = jnp.shape(unit_w.x)
+    a = where(
+        w_is_x,
+        Vec3(jnp.zeros(shape), jnp.ones(shape), jnp.zeros(shape)),
+        Vec3(jnp.ones(shape), jnp.zeros(shape), jnp.zeros(shape)),
+    )
+    v = normalize(cross(unit_w, a))
+    u = cross(unit_w, v)
+    return u, v, unit_w
+
+
+def from_tangent(t: Vec3, tx: Vec3, ty: Vec3, tz: Vec3) -> Vec3:
+    """Express a tangent-space vector in world space: t.x*tx + t.y*ty + t.z*tz."""
+    return Vec3(
+        t.x * tx.x + t.y * ty.x + t.z * tz.x,
+        t.x * tx.y + t.y * ty.y + t.z * tz.y,
+        t.x * tx.z + t.y * ty.z + t.z * tz.z,
+    )
+
+
+def pdf_cosine(d: Vec3) -> jnp.ndarray:
+    """Cosine-hemisphere PDF of a *tangent-space* direction:
+    max(0, dot(+z, d)) / pi (win32_main.cpp:290-299)."""
+    return jnp.maximum(0.0, d.z) / PI
+
+
+def pdf_to_sphere(
+    hit: jnp.ndarray,
+    sphere_center: Vec3,
+    sphere_radius: jnp.ndarray,
+    origin: Vec3,
+) -> jnp.ndarray:
+    """Solid-angle PDF of a direction toward a sphere (win32_main.cpp:324-340).
+
+    ``hit`` is a boolean: whether the ray (origin, dir) actually intersects the
+    sphere at t > MIN_HIT_DISTANCE (computed by the caller with the shared
+    sphere intersector so semantics match RaySphereIntersect exactly).
+    Returns 0 where it does not.
+    """
+    dist2 = magnitude_squared(origin - sphere_center)
+    inner = jnp.maximum(0.0, 1.0 - sphere_radius * sphere_radius / dist2)
+    cos_theta_max = jnp.sqrt(inner)
+    solid_angle = 2.0 * PI * (1.0 - cos_theta_max)
+    pdf = jnp.where(solid_angle > 0.0, 1.0 / jnp.maximum(solid_angle, 1e-30), 0.0)
+    return jnp.where(hit, pdf, 0.0)
+
+
+def pdf_quad(
+    t: jnp.ndarray,
+    hit: jnp.ndarray,
+    d: Vec3,
+    qu: Vec3,
+    qv: Vec3,
+) -> jnp.ndarray:
+    """Area->solid-angle PDF for a quad light (win32_main.cpp:301-322).
+
+    distance^2 / (cos * area) with distance = t*|d|, cos = |dot(d, N)|/|d|,
+    area = |cross(u,v)|. The reference defines but never calls this (quad
+    lights unfinished, SURVEY.md:67); provided for API parity and tested.
+    """
+    n = cross(qu, qv)
+    area = magnitude(n)
+    mag = magnitude(d)
+    dist2 = t * t * mag * mag
+    cosine = jnp.abs(dot(d, n) / jnp.maximum(mag, 1e-30))
+    denom = cosine * area
+    pdf = jnp.where(denom > 0.0, dist2 / jnp.maximum(denom, 1e-30), 0.0)
+    return jnp.where(hit, pdf, 0.0)

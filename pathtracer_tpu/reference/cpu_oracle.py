@@ -1,0 +1,447 @@
+"""Scalar CPU oracle: an independent, loop-based implementation of the
+reference algorithm used as the correctness anchor for the TPU renderer.
+
+This is the role BASELINE.md assigns to "a scalar NumPy/CPU reference": a
+straightforward per-pixel, per-sample, per-bounce port of the reference
+semantics (RayCast win32_main.cpp:558-823, RayCastIntersect :406-556,
+RenderTexel :990-1186) sharing NO code with the TPU integrator except the
+counter-based PRNG (utils/prng.py) — both consume identical threefry
+streams keyed on (pixel, sample, bounce, slot), so a TPU render and an
+oracle render of the same configuration agree to float32 rounding, not just
+in distribution. That is what makes the RMSE < 1e-3 golden gate meaningful.
+
+Deliberately slow (python loops); use tiny images in tests.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import numpy as np
+
+from ..scene.camera import Camera
+from ..scene.schema import (
+    HostMaterial, MAX_BOUNCE_COUNT, MIN_HIT_DISTANCE, MIN_ROUGHNESS, N_AIR,
+    QUAD_MIN_HIT_DISTANCE, TOLERANCE, WorldBuilder,
+    WORLD_RAYTRACING_ONE_WEEKEND, FIXED_FOCAL_LENGTH,
+)
+from ..render.raygen import POISSON_DISK, NUM_POISSON
+from ..utils import prng
+
+F32 = np.float32
+PI = F32(math.pi)
+
+
+def v3(x, y, z):
+    return np.array([x, y, z], F32)
+
+
+def dot(a, b):
+    return F32(a[0] * b[0] + a[1] * b[1] + a[2] * b[2])
+
+
+def cross(a, b):
+    return v3(a[1] * b[2] - b[1] * a[2],
+              a[2] * b[0] - b[2] * a[0],
+              a[0] * b[1] - b[0] * a[1])
+
+
+def normalize(a):
+    # multiply-by-reciprocal, matching the device op order (utils/vec.py)
+    m = np.sqrt(dot(a, a))
+    return a * (F32(1.0) / m)
+
+
+# --- intersectors (scalar) --------------------------------------------------
+
+def ray_sphere(o, d, center, r, min_hit):
+    rel = o - center
+    a = dot(d, d)
+    b = F32(2.0) * dot(rel, d)
+    c = dot(rel, rel) - F32(r) * F32(r)
+    disc = b * b - F32(4.0) * a * c
+    if disc < 0:
+        return None
+    root = np.sqrt(disc)
+    if root <= TOLERANCE:
+        return None
+    t = (-b - root) / (F32(2.0) * a)
+    if t <= min_hit:
+        return None
+    n = normalize(d * t + rel)
+    return F32(t), n
+
+
+def ray_plane(o, d, n, d_coef, min_hit):
+    denom = dot(n, d)
+    if -TOLERANCE <= denom <= TOLERANCE:
+        return None
+    return F32((F32(d_coef) - dot(n, o)) / denom)
+
+
+def ray_planar(o, d, A, u, v, min_hit, quad):
+    n = cross(u, v)
+    n_unit = normalize(n)
+    d_coef = dot(A, n_unit)
+    t = ray_plane(o, d, n_unit, d_coef, min_hit)
+    if t is None:
+        return None
+    p = o + d * t - A
+    w = n / dot(n, n)
+    alpha = dot(w, cross(p, v))
+    beta = dot(w, cross(u, p))
+    if quad:
+        ok = 0.0 <= alpha <= 1.0 and 0.0 <= beta <= 1.0
+    else:
+        ok = alpha >= 0.0 and beta >= 0.0 and (alpha + beta) <= 1.0
+    if not ok or t <= min_hit:
+        return None
+    return t
+
+
+class HostWorld:
+    """Scene accessor over the WorldBuilder lists."""
+
+    def __init__(self, b: WorldBuilder):
+        self.materials = b.materials
+        self.spheres = [(v3(*c), F32(r), m) for (c, r, m) in b.spheres]
+        self.quads = [(v3(*p), v3(*u), v3(*v), m) for (p, u, v, m) in b.quads]
+        self.planes = [(v3(*n), F32(d), m) for (n, d, m) in b.planes]
+        if b.triangles is not None:
+            self.tris = [
+                (b.triangles[i, 0].astype(F32),
+                 (b.triangles[i, 1] - b.triangles[i, 0]).astype(F32),
+                 (b.triangles[i, 2] - b.triangles[i, 0]).astype(F32),
+                 int(b.tri_mats[i]))
+                for i in range(len(b.triangles))
+            ]
+        else:
+            self.tris = []
+        self.textures = b.textures
+
+    def intersect(self, o, d):
+        """RayCastIntersect order: spheres, quads, planes, triangles."""
+        best_t, best_mat, best_n = np.float32(np.finfo(np.float32).max), 0, v3(0, 0, 0)
+        for (c, r, m) in self.spheres:
+            res = ray_sphere(o, d, c, r, MIN_HIT_DISTANCE)
+            if res is not None and res[0] < best_t:
+                best_t, best_mat, best_n = res[0], m, res[1]
+        for (p, u, v, m) in self.quads:
+            n = normalize(cross(u, v))
+            t = ray_planar(o, d, p, u, v, QUAD_MIN_HIT_DISTANCE, quad=True)
+            if t is not None and t < best_t:
+                best_t, best_mat, best_n = t, m, n
+        for (n, dc, m) in self.planes:
+            t = ray_plane(o, d, n, dc, MIN_HIT_DISTANCE)
+            if t is not None and t > MIN_HIT_DISTANCE and t < best_t:
+                best_t, best_mat, best_n = t, m, n
+        for (A, u, v, m) in self.tris:
+            t = ray_planar(o, d, A, u, v, MIN_HIT_DISTANCE, quad=False)
+            if t is not None and t < best_t:
+                best_t, best_mat, best_n = t, m, normalize(cross(u, v))
+        return best_t, best_mat, best_n
+
+
+# --- samplers (scalar, consuming explicit uniforms) --------------------------
+
+def cosine_hemisphere(u1, u2):
+    phi = F32(2.0) * PI * F32(u1)
+    sq = np.sqrt(F32(u2))
+    return v3(np.cos(phi) * sq, np.sin(phi) * sq, np.sqrt(F32(1.0) - F32(u2)))
+
+
+def ggx_half_vector(u1, u2, roughness):
+    a2 = F32(roughness) ** 4
+    phi = F32(2.0) * PI * F32(u1)
+    ct = np.sqrt((F32(1.0) - F32(u2)) / (F32(1.0) + F32(u2) * (a2 - F32(1.0))))
+    st = np.sqrt(max(F32(0.0), F32(1.0) - ct * ct))
+    return v3(np.cos(phi) * st, np.sin(phi) * st, ct)
+
+
+def to_sphere(u1, u2, center, radius, origin):
+    dist2 = dot(origin - center, origin - center)
+    term1 = F32(1.0) - F32(radius) * F32(radius) / dist2
+    if term1 < 0.0:
+        return None
+    z = F32(1.0) + F32(u2) * (np.sqrt(term1) - F32(1.0))
+    term2 = max(F32(0.0), F32(1.0) - z * z)
+    phi = F32(2.0) * PI * F32(u1)
+    s = np.sqrt(term2)
+    return v3(np.cos(phi) * s, np.sin(phi) * s, z)
+
+
+def orthonormal_basis(w):
+    unit_w = normalize(w)
+    a = v3(0, 1, 0) if abs(unit_w[0]) > 0.9 else v3(1, 0, 0)
+    vv = normalize(cross(unit_w, a))
+    uu = cross(unit_w, vv)
+    return uu, vv, unit_w
+
+
+def pdf_cosine(d):
+    return max(F32(0.0), d[2]) / PI
+
+
+def pdf_to_sphere(world, o, d, center, radius):
+    if ray_sphere(o, d, center, radius, MIN_HIT_DISTANCE) is None:
+        return F32(0.0)
+    dist2 = dot(o - center, o - center)
+    ctm = np.sqrt(max(F32(0.0), F32(1.0) - F32(radius) ** 2 / dist2))
+    sa = F32(2.0) * PI * (F32(1.0) - ctm)
+    return F32(1.0) / sa if sa > 0 else F32(0.0)
+
+
+def schlick_metal(F0, cos_theta, metalness, surface_color):
+    vF0 = np.full(3, F0, F32)
+    vF0 = vF0 * (F32(1.0) - F32(metalness)) + np.asarray(surface_color, F32) * F32(metalness)
+    return vF0 + F32((1.0 - cos_theta) ** 5) * (np.ones(3, F32) - vF0)
+
+
+def hammon(N, L, V, roughness):
+    a2 = F32(roughness) ** 4
+    nv, nl = dot(N, V), dot(N, L)
+    num = F32(2.0) * nl * nv
+    den = nv * np.sqrt(a2 + (F32(1.0) - a2) * nl * nl) + \
+        nl * np.sqrt(a2 + (F32(1.0) - a2) * nv * nv)
+    return num / den
+
+
+def sample_texture_host(tex, u, v):
+    """Float32-exact bilinear-wrap sampling, op-order identical to the device
+    kernel (ops/texture.py) so texel selection never diverges."""
+    h, w = tex.shape[:2]
+    u, v = abs(F32(u)), abs(F32(v))
+    x1, y1 = int(u), int(v)
+    s = min(F32(1.0), max(u - F32(x1), F32(0.0)))
+    t = min(F32(1.0), max(v - F32(y1), F32(0.0)))
+    x1, y1 = x1 % w, y1 % h
+    x2, y2 = (x1 + 1) % w, (y1 + 1) % h
+    top = (F32(1.0) - s) * tex[y1, x1] + s * tex[y1, x2]
+    bot = (F32(1.0) - s) * tex[y2, x1] + s * tex[y2, x2]
+    return ((F32(1.0) - t) * top + t * bot).astype(F32)
+
+
+def bespoke_sample_host(tex, u, v):
+    h, w = tex.shape[:2]
+    return sample_texture_host(tex, F32(u) * F32(w) * F32(0.5),
+                               F32(v) * F32(h) * F32(0.5))
+
+
+# --- the integrator ----------------------------------------------------------
+
+def trace_path(world: HostWorld, o, d, u_bounce, just_cosine,
+               use_metalness_maps=True, use_roughness_maps=True,
+               use_normal_maps=True, just_importance=False):
+    """Iterative equivalent of RayCast(world, o, d, 0) consuming
+    u_bounce[(bounce, slot)] uniforms. Kills zero-pdf / degenerate draws
+    instead of retrying (same policy as the TPU integrator)."""
+    radiance = np.zeros(3, F32)
+    throughput = np.ones(3, F32)
+    light = world.spheres[0] if world.spheres else None
+
+    for b in range(MAX_BOUNCE_COUNT):
+        t, mat_i, N = world.intersect(o, d)
+        mat: HostMaterial = world.materials[mat_i]
+        emit = np.asarray(mat.emit, F32)
+        radiance = radiance + throughput * emit
+        if mat_i == 0 or np.any(emit != 0.0):
+            return radiance
+        if b == MAX_BOUNCE_COUNT - 1:
+            return radiance
+
+        cos_theta = dot(N, d)
+        if cos_theta > 0:
+            cos_theta = dot(-N, d)
+        hitpoint = o + d * t
+        pure_bounce = d - N * (F32(2.0) * cos_theta)
+        V = -d
+
+        metalness = F32(mat.metalness)
+        roughness = F32(mat.roughness)
+        if world.textures:
+            if use_metalness_maps and mat.metalness_idx != 0:
+                metalness = bespoke_sample_host(
+                    world.textures[mat.metalness_idx - 1], hitpoint[0], hitpoint[1])[0]
+            if use_roughness_maps and mat.roughness_idx != 0:
+                roughness = bespoke_sample_host(
+                    world.textures[mat.roughness_idx - 1], hitpoint[0], hitpoint[1])[0]
+            if use_normal_maps and mat.normal_idx != 0:
+                nt = bespoke_sample_host(
+                    world.textures[mat.normal_idx - 1], hitpoint[0], hitpoint[1])
+                N = normalize(F32(2.0) * nt - np.ones(3, F32))
+
+        ndotv = dot(N, V)
+        if ndotv <= 0.0:
+            return radiance
+
+        tx, ty, tz = orthonormal_basis(N)
+        u = u_bounce[b]
+        b_specular = u[0] > 0.5
+        b_sample_cosine = u[1] > 0.5
+        smooth = roughness < MIN_ROUGHNESS
+
+        H = None
+        if b_specular and smooth:
+            L = pure_bounce
+            px = F32(1.0)
+        elif not b_specular:
+            use_cos = just_cosine or (b_sample_cosine and not just_importance)
+            if use_cos:
+                r_dir = cosine_hemisphere(u[2], u[3])
+                frame = (tx, ty, tz)
+            else:
+                direction = light[0] - hitpoint
+                r_dir = to_sphere(u[2], u[3], light[0], light[1], hitpoint)
+                if r_dir is None:
+                    return radiance  # kill (reference retries)
+                frame = orthonormal_basis(direction)
+            L = normalize(r_dir[0] * frame[0] + r_dir[1] * frame[1] + r_dir[2] * frame[2])
+            H = normalize(L + V)
+            if just_cosine:
+                px = pdf_cosine(r_dir)
+            elif just_importance:
+                px = pdf_to_sphere(world, hitpoint, L, light[0], light[1])
+            else:
+                px = F32(0.5) * pdf_cosine(r_dir) + \
+                    F32(0.5) * pdf_to_sphere(world, hitpoint, L, light[0], light[1])
+            if px == 0.0:
+                return radiance  # kill (reference retries)
+        else:
+            r_dir = ggx_half_vector(u[2], u[3], roughness)
+            H = normalize(r_dir[0] * tx + r_dir[1] * ty + r_dir[2] * tz)
+            L = H * (F32(2.0) * dot(V, H)) - V
+            px = F32(1.0)
+
+        ndotl = dot(N, L)
+        if ndotl <= 0.0:
+            return radiance
+
+        F0 = F32(((N_AIR - mat.ior) / (N_AIR + mat.ior)) ** 2)
+        if smooth:
+            ks = schlick_metal(F0, ndotl, metalness, mat.metal_color)
+        else:
+            if not (dot(H, V) > 0.0 and dot(H, L) > 0.0):
+                return radiance
+            ks = schlick_metal(F0, dot(H, L), metalness, mat.metal_color)
+        kd = (np.ones(3, F32) - ks) * (F32(1.0) - metalness)
+
+        if b_specular and smooth:
+            brdf = ks
+        elif b_specular:
+            spec = hammon(N, L, V, roughness) * abs(dot(H, L)) / abs(dot(N, L)) / abs(dot(H, N))
+            brdf = ks * spec
+        else:
+            albedo = np.asarray(mat.albedo, F32)
+            if world.textures and mat.albedo_idx != 0:
+                albedo = bespoke_sample_host(
+                    world.textures[mat.albedo_idx - 1], hitpoint[0], hitpoint[1])
+            brdf = ndotl * kd * albedo / PI
+
+        throughput = throughput * (F32(2.0) / px) * brdf
+        o, d = hitpoint, L
+
+    return radiance
+
+
+def render_oracle(
+    builder: WorldBuilder,
+    camera: Camera,
+    width: int,
+    height: int,
+    pp: int,
+    seed: int = 0,
+    world_kind: int = 0,
+    use_normal_maps: bool = True,
+    use_metalness_maps: bool = True,
+    use_roughness_maps: bool = True,
+) -> np.ndarray:
+    """Full oracle render -> (H, W, 3) float32 mean radiance (pre-tonemap)."""
+    import jax
+
+    world = HostWorld(builder)
+    just_cosine = world_kind == WORLD_RAYTRACING_ONE_WEEKEND
+    n_pix = width * height
+    spp = pp * pp
+    key = prng.base_key(seed)
+
+    # Precompute the shared uniform streams exactly as the TPU renderer does.
+    pixel_idx = np.arange(n_pix, dtype=np.int32)
+    jit_u = np.zeros((n_pix, spp, 2), np.float32)
+    bnc_u = np.zeros((n_pix, spp, MAX_BOUNCE_COUNT, prng.BOUNCE_SLOTS), np.float32)
+    lens_u = np.zeros((n_pix, pp, 2), np.float32)
+    for s in range(spp):
+        pkeys = prng.path_keys(key, jax.numpy.asarray(pixel_idx), jax.numpy.asarray(s))
+        jit_u[:, s] = np.asarray(prng.jitter_uniforms_v(pkeys))
+        for b in range(MAX_BOUNCE_COUNT - 1):
+            bnc_u[:, s, b] = np.asarray(prng.bounce_uniforms_v(pkeys, b))
+    for ri in range(pp):
+        pkeys = prng.path_keys(key, jax.numpy.asarray(pixel_idx), jax.numpy.asarray(ri))
+        lens_u[:, ri] = np.asarray(prng.lens_uniforms_v(pkeys))
+
+    cam = camera
+    img = np.zeros((height, width, 3), np.float32)
+    pos = v3(*cam.pos)
+    fc = v3(*cam.frustum_center)
+    ax, ay = v3(*cam.axis_x), v3(*cam.axis_y)
+
+    for y in range(height):
+        fy = F32(-1.0 + 2.0 * y / height)
+        for x in range(width):
+            fx = F32(-1.0 + 2.0 * x / width)
+            p = y * width + x
+            color = np.zeros(3, F32)
+            valid = 0
+            if cam.use_pinhole:
+                hpw, hph = F32(cam.half_film_pixel_w), F32(cam.half_film_pixel_h)
+                step_x = F32(1.0 / pp) * hpw * F32(2.0)
+                step_y = F32(1.0 / pp) * hph * F32(2.0)
+                for i in range(pp):
+                    for j in range(pp):
+                        s = i * pp + j
+                        ux, uy = jit_u[p, s]
+                        x_step = (fx - hpw) + F32(i / pp) * hpw + F32(0.5) * step_x \
+                            + (F32(ux) - F32(0.5)) * step_x
+                        y_step = (fy - hph) + F32(j / pp) * hph + F32(0.5) * step_y \
+                            + (F32(uy) - F32(0.5)) * step_y
+                        fp = fc + (x_step * F32(cam.half_film_width)) * ax \
+                            + (y_step * F32(cam.half_film_height)) * ay
+                        d = normalize(fp - pos)
+                        rad = trace_path(world, pos, d, bnc_u[p, s], just_cosine,
+                                         use_metalness_maps, use_roughness_maps,
+                                         use_normal_maps)
+                        if np.any(np.isnan(rad)):
+                            continue
+                        color += rad
+                        valid += 1
+            else:
+                focal_plane_dist = F32(1.0 / (1.0 / FIXED_FOCAL_LENGTH
+                                              - 1.0 / cam.focal_length))
+                azv = v3(*cam.axis_z)
+                nrm = -azv
+                plane_point = pos + ax + focal_plane_dist * nrm
+                d_coef = dot(nrm, plane_point)
+                for ri in range(pp):
+                    ux, uy = lens_u[p, ri]
+                    off_x = fx + (F32(2.0) * F32(ux) - F32(1.0)) * F32(cam.half_film_pixel_w)
+                    off_y = fy + (F32(2.0) * F32(uy) - F32(1.0)) * F32(cam.half_film_pixel_h)
+                    fp = fc + (off_x * F32(cam.half_film_width)) * ax \
+                        + (off_y * F32(cam.half_film_height)) * ay
+                    rd = normalize(fp - pos)
+                    t = (d_coef - dot(nrm, pos)) / dot(nrm, rd)
+                    focal_point = pos + rd * t
+                    for rj in range(pp):
+                        s = ri * pp + rj
+                        dsk = POISSON_DISK[(rj * ri) % NUM_POISSON]
+                        od = pos + F32(dsk[0] * cam.aperture_radius) * ax \
+                            + F32(dsk[1] * cam.aperture_radius) * ay
+                        dd = normalize(focal_point - od)
+                        rad = trace_path(world, od, dd, bnc_u[p, s], just_cosine,
+                                         use_metalness_maps, use_roughness_maps,
+                                         use_normal_maps)
+                        if np.any(np.isnan(rad)):
+                            continue
+                        color += rad
+                        valid += 1
+            img[y, x] = color / max(valid, 1)
+    return img

@@ -1,0 +1,313 @@
+"""Wavefront path integrator: lax-style bounce loop over SoA ray batches.
+
+The reference integrator is a recursive megakernel (`RayCast`,
+win32_main.cpp:558-823) with divergent control flow. Recursion and
+divergence don't map to XLA, so the TPU build restructures it as an
+*iterative throughput accumulation*: unrolled over MAX_BOUNCE_COUNT=4
+bounces, carrying per-lane (origin, direction, throughput, radiance, alive).
+Unrolling the observation
+
+    RayCast(depth) = emit(depth) + w(depth) * RayCast(depth+1),
+    w = 2 * (1/px) * brdfTerm                      (win32_main.cpp:780-782)
+
+gives   radiance = sum_b [ prod_{k<b} w(k) ] * emit(b),
+
+which this module evaluates with masked lanes instead of branches. All
+estimator semantics are preserved exactly:
+
+- 50/50 estimator split with the x2 correction weight (win32_main.cpp:661-670);
+- mirror path for EffectivelySmooth surfaces, px=1 (:672-675);
+- diffuse estimator = 50/50 mixture of cosine-hemisphere and
+  emissive-sphere solid-angle sampling with mixture PDF
+  px = 0.5*PdfCos + 0.5*PdfSphere (:676-722), the important light being
+  spheres[0] (:683), and the reference quirk that PdfCos is evaluated on the
+  raw sample in *whichever* tangent frame produced it (:709);
+- GGX half-vector sampling with the D/pdf cancellation, px=1 (:724-731);
+- SchlickMetal Fresnel; kd = (1-ks)(1-metalness) (:738-759);
+- world 4 forces cosine-only sampling (:654-655).
+
+Divergences from the reference (documented, intentional):
+- the reference *retries* an estimator draw whose pdf is 0 or whose
+  to-sphere sample degenerates (`continue`, :700,:722); such lanes are
+  measure-zero — we kill them (weight 0) instead of looping;
+- NaN radiance is masked out by the accumulator (renderer.py) rather than
+  resampled (:1068), keeping the estimator deterministic per (pixel,sample).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.intersect import Hit, intersect_scene, ray_sphere
+from ..ops.sampling import (
+    cosine_hemisphere, from_tangent, ggx_half_vector, orthonormal_basis,
+    pdf_cosine, pdf_to_sphere, to_sphere, PI,
+)
+from ..ops.shade import (
+    brdf_specular_scalar, effectively_smooth, schlick_metal,
+)
+from ..ops.texture import bespoke_sample
+from ..scene.schema import (
+    MAX_BOUNCE_COUNT, MIN_HIT_DISTANCE, N_AIR, Scene,
+)
+from ..utils import prng
+from ..utils.vec import (
+    Vec3, dot, gather, hadamard, normalize, splat, where as vwhere,
+)
+
+# Debug render kinds (debug_render_kind_t, win32_main.cpp:22-28).
+REGULAR = "regular"
+PRIMARY_RAY_NORMALS = "primary_ray_normals"
+BOUNCE_COUNT = "bounce_count"
+TERMINATION_CONDITION = "termination_condition"
+VARIANCE = "variance"  # handled by the accumulator; integrator == REGULAR
+DEBUG_KINDS = (REGULAR, PRIMARY_RAY_NORMALS, BOUNCE_COUNT,
+               TERMINATION_CONDITION, VARIANCE)
+
+
+class TraceStats(NamedTuple):
+    """Per-batch instrumentation for the Mrays/sec metric."""
+    rays_cast: jnp.ndarray  # scalar: total intersect invocations over live lanes
+
+
+def _material_lookup(scene: Scene, mat: jnp.ndarray):
+    """Gather the per-lane material record (material_t, ray.hpp:36-79)."""
+    return dict(
+        albedo=gather(scene.mat_albedo, mat),
+        emit=gather(scene.mat_emit, mat),
+        metal_color=gather(scene.mat_metal_color, mat),
+        metalness=scene.mat_metalness[mat],
+        roughness=scene.mat_roughness[mat],
+        ior=scene.mat_ior[mat],
+        albedo_idx=scene.mat_albedo_idx[mat],
+        metalness_idx=scene.mat_metalness_idx[mat],
+        roughness_idx=scene.mat_roughness_idx[mat],
+        normal_idx=scene.mat_normal_idx[mat],
+    )
+
+
+def trace(
+    scene: Scene,
+    o: Vec3,
+    d: Vec3,
+    pkeys: jax.Array,
+    debug_kind: str = REGULAR,
+    just_importance: bool = False,
+) -> Tuple[Vec3, TraceStats]:
+    """Trace a batch of primary rays to radiance (RayCast, win32_main.cpp:558-823).
+
+    ``pkeys`` are per-path threefry keys (utils/prng.py); all randomness is
+    a pure function of them, so results are independent of batch shape and
+    sharding.
+    """
+    assert debug_kind in DEBUG_KINDS
+    just_cosine = scene.just_cosine
+    assert not (just_cosine and just_importance), "they can't both be true"
+
+    shape = jnp.shape(o.x)
+    zeros = lambda: jnp.zeros(shape)
+    zvec = lambda: Vec3(zeros(), zeros(), zeros())
+    ones_vec = splat((1.0, 1.0, 1.0), shape)
+
+    radiance = zvec()
+    throughput = ones_vec
+    alive = jnp.ones(shape, bool)
+    rays_cast = jnp.zeros((), jnp.float32)
+
+    # debug-mode carries
+    primary_n = zvec()
+    cond_color = zvec()
+    cond_done = jnp.zeros(shape, bool)
+
+    light_center = Vec3(scene.sph_center.x[0], scene.sph_center.y[0], scene.sph_center.z[0])
+    light_radius = scene.sph_radius[0]
+
+    accumulate_regular = debug_kind in (REGULAR, VARIANCE)
+
+    for b in range(MAX_BOUNCE_COUNT):
+        rays_cast = rays_cast + jnp.sum(alive.astype(jnp.float32))
+        hit = intersect_scene(scene, o, d)
+        mat = _material_lookup(scene, hit.mat)
+        emit = mat["emit"]
+
+        if accumulate_regular:
+            # radiance += emitColor at every level (win32_main.cpp:799),
+            # scaled by the path throughput.
+            contrib = hadamard(throughput, emit)
+            radiance = Vec3(
+                jnp.where(alive, radiance.x + contrib.x, radiance.x),
+                jnp.where(alive, radiance.y + contrib.y, radiance.y),
+                jnp.where(alive, radiance.z + contrib.z, radiance.z),
+            )
+        if debug_kind == BOUNCE_COUNT:
+            # += 1/MAX_BOUNCE_COUNT per level reached (win32_main.cpp:801-804)
+            c = 1.0 / MAX_BOUNCE_COUNT
+            radiance = Vec3(
+                jnp.where(alive, radiance.x + c, radiance.x),
+                jnp.where(alive, radiance.y + c, radiance.y),
+                jnp.where(alive, radiance.z + c, radiance.z),
+            )
+
+        hit_sky = hit.mat == 0
+        hit_light = (emit.x != 0.0) | (emit.y != 0.0) | (emit.z != 0.0)
+        is_terminal_depth = b == MAX_BOUNCE_COUNT - 1
+
+        surface = alive & ~hit_sky & ~hit_light
+
+        # --- geometric terms (win32_main.cpp:592-651) ---------------------
+        N_geom = hit.normal
+        cos_theta_in = dot(N_geom, d)
+        cos_theta_in = jnp.where(cos_theta_in > 0.0, -cos_theta_in, cos_theta_in)
+        hitpoint = o + d * hit.t
+        pure_bounce = d - N_geom * (2.0 * cos_theta_in)
+        V = -d
+
+        # texture-driven material parameters (win32_main.cpp:613-644)
+        metalness = mat["metalness"]
+        roughness = mat["roughness"]
+        N = N_geom
+        if scene.n_textures:
+            uvx, uvy = hitpoint.x, hitpoint.y
+            if scene.use_metalness_maps:
+                mtl_tex = bespoke_sample(scene, jnp.maximum(mat["metalness_idx"] - 1, 0), uvx, uvy)
+                metalness = jnp.where(mat["metalness_idx"] != 0, mtl_tex.x, metalness)
+            if scene.use_roughness_maps:
+                rgh_tex = bespoke_sample(scene, jnp.maximum(mat["roughness_idx"] - 1, 0), uvx, uvy)
+                roughness = jnp.where(mat["roughness_idx"] != 0, rgh_tex.x, roughness)
+            if scene.use_normal_maps:
+                n_tex = bespoke_sample(scene, jnp.maximum(mat["normal_idx"] - 1, 0), uvx, uvy)
+                n_mapped = normalize(
+                    Vec3(2.0 * n_tex.x - 1.0, 2.0 * n_tex.y - 1.0, 2.0 * n_tex.z - 1.0),
+                    eps=1e-30,
+                )
+                use_nm = mat["normal_idx"] != 0
+                N = vwhere(use_nm, n_mapped, N)
+
+        if b == 0:
+            # primary-ray normals debug: N after optional normal mapping for
+            # surfaces, geometric N (0 for sky) otherwise (win32_main.cpp:806-807)
+            primary_n = vwhere(surface, N, N_geom)
+
+        ndotv = dot(N, V)
+        front_facing = ndotv > 0.0
+
+        if debug_kind == TERMINATION_CONDITION:
+            # color-coded first termination cause (win32_main.cpp:809-820)
+            def set_cond(mask, rgb, color, done):
+                take = mask & alive & ~done
+                return vwhere(take, splat(rgb, shape), color), done | take
+            cond_color, cond_done = set_cond(hit_sky, (0, 0, 1), cond_color, cond_done)
+            cond_color, cond_done = set_cond(hit_light, (0, 1, 0), cond_color, cond_done)
+            cond_color, cond_done = set_cond(
+                jnp.full(shape, is_terminal_depth), (1, 0, 0), cond_color, cond_done)
+            cond_color, cond_done = set_cond(~front_facing, (1, 1, 0), cond_color, cond_done)
+
+        if is_terminal_depth:
+            alive = jnp.zeros(shape, bool)
+            break
+
+        # --- estimator (win32_main.cpp:660-792) ----------------------------
+        u = prng.bounce_uniforms_v(pkeys, b)
+        u = [u[..., i] for i in range(u.shape[-1])]
+        b_specular = u[0] > 0.5
+        b_sample_cosine = u[1] > 0.5
+
+        smooth = effectively_smooth(roughness)
+        tx, ty, tz = orthonormal_basis(N)
+
+        # case B: rough specular — GGX half vector in the N-frame (:724-731)
+        h_t = ggx_half_vector(u[2], u[3], roughness)
+        H_spec = normalize(from_tangent(h_t, tx, ty, tz), eps=1e-30)
+        L_spec = H_spec * (2.0 * dot(V, H_spec)) - V
+
+        # case C: diffuse — cosine or to-sphere sample (:676-722)
+        cos_dir = cosine_hemisphere(u[2], u[3])
+        light_dir = light_center - hitpoint
+        sph_dir, ts_valid = to_sphere(u[2], u[3], light_center, light_radius, hitpoint)
+        lx, ly, lz = orthonormal_basis(light_dir)
+        if just_importance:
+            use_cosine = jnp.zeros(shape, bool)
+        elif just_cosine:
+            use_cosine = jnp.ones(shape, bool)
+        else:
+            use_cosine = b_sample_cosine
+        r_dir = vwhere(use_cosine, cos_dir, sph_dir)
+        fx, fy, fz = (
+            vwhere(use_cosine, tx, lx),
+            vwhere(use_cosine, ty, ly),
+            vwhere(use_cosine, tz, lz),
+        )
+        L_diff = normalize(from_tangent(r_dir, fx, fy, fz), eps=1e-30)
+        # mixture pdf: cosine pdf of the raw sample in its own frame (the
+        # reference quirk) + solid-angle pdf of the world-space direction
+        pcos = pdf_cosine(r_dir)
+        _, sph_hit, _ = ray_sphere(hitpoint, L_diff, light_center, light_radius,
+                                   MIN_HIT_DISTANCE)
+        psph = pdf_to_sphere(sph_hit, light_center, light_radius, hitpoint)
+        if just_cosine:
+            px_diff = pcos
+        elif just_importance:
+            px_diff = psph
+        else:
+            px_diff = 0.5 * pcos + 0.5 * psph
+        diff_valid = (px_diff > 0.0) & (use_cosine | ts_valid)
+
+        # select estimator results per lane
+        case_a = b_specular & smooth
+        case_b = b_specular & ~smooth
+        L = vwhere(case_a, pure_bounce, vwhere(case_b, L_spec, L_diff))
+        H = vwhere(case_b, H_spec, normalize(L_diff + V, eps=1e-30))
+        px = jnp.where(b_specular, 1.0, px_diff)
+        est_valid = jnp.where(b_specular, True, diff_valid)
+
+        ndotl = dot(N, L)
+        in_hemisphere = ndotl > 0.0
+
+        # Fresnel (win32_main.cpp:738-749)
+        ior = mat["ior"]
+        F0 = ((N_AIR - ior) / (N_AIR + ior)) ** 2
+        hdotl = dot(H, L)
+        hdotv = dot(H, V)
+        ks_cos = jnp.where(smooth, ndotl, hdotl)
+        ks = schlick_metal(F0, ks_cos, metalness, mat["metal_color"])
+        hv_ok = smooth | ((hdotv > 0.0) & (hdotl > 0.0))
+
+        # kd with metal kill (win32_main.cpp:751-759)
+        one = ones_vec
+        kd = Vec3(
+            (one.x - ks.x) * (1.0 - metalness),
+            (one.y - ks.y) * (1.0 - metalness),
+            (one.z - ks.z) * (1.0 - metalness),
+        )
+
+        # brdfTerm (win32_main.cpp:761-773)
+        albedo = mat["albedo"]
+        if scene.n_textures:
+            alb_tex = bespoke_sample(scene, jnp.maximum(mat["albedo_idx"] - 1, 0),
+                                     hitpoint.x, hitpoint.y)
+            albedo = vwhere(mat["albedo_idx"] != 0, alb_tex, albedo)
+        brdf_diff = hadamard(kd, albedo) * (ndotl / PI)
+        spec_scalar = brdf_specular_scalar(N, L, V, H, roughness)
+        brdf_spec = ks * spec_scalar
+        brdf = vwhere(case_a, ks, vwhere(case_b, brdf_spec, brdf_diff))
+
+        cont = (surface & front_facing & in_hemisphere & hv_ok & est_valid)
+
+        if debug_kind in (REGULAR, VARIANCE):
+            inv_px = jnp.where(px > 0.0, 1.0 / jnp.where(px > 0.0, px, 1.0), 0.0)
+            w = brdf * (2.0 * inv_px)
+            throughput = vwhere(cont, hadamard(throughput, w), throughput)
+
+        o = vwhere(cont, hitpoint, o)
+        d = vwhere(cont, L, d)
+        alive = cont
+
+    if debug_kind == PRIMARY_RAY_NORMALS:
+        radiance = primary_n * 0.5 + splat((0.5, 0.5, 0.5), shape)
+    elif debug_kind == TERMINATION_CONDITION:
+        radiance = cond_color
+
+    return radiance, TraceStats(rays_cast=rays_cast)

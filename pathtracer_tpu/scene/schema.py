@@ -1,0 +1,308 @@
+"""Device-resident scene representation (flat SoA tables).
+
+The reference stores the world as stretchy buffers of structs wired into a
+global ``world_t`` (reference include/ray.hpp:36-162, win32_main.cpp:97-108,
+2039-2045). The TPU build compiles a scene once on host into padded,
+static-shape structure-of-arrays tables that live in HBM; the integrator
+scans them with masked lanes instead of pointer-chasing.
+
+Conventions preserved from the reference:
+- material 0 is the sky (AddSky pushes it first, win32_main.cpp:2048-2051);
+  a ray miss reports hitMatIndex 0 (win32_main.cpp:411-412);
+- spheres[0] is the hardcoded important light for NEE
+  (win32_main.cpp:683);
+- material scalar defaults: alpha=1, ior=1, metalness=0, roughness=1,
+  albedo=(0,0,0), emit=(0,0,0), texture indices 0 = "no texture"
+  (include/ray.hpp:63-78 default member initializers);
+- the ``aabbs`` table exists but is never populated by LoadWorld
+  (win32_main.cpp:2039-2045) — kept for parity, always empty.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+from flax import struct
+
+from ..utils.vec import Vec3
+
+# Reference constants (win32_main.cpp:86-95).
+MAX_BOUNCE_COUNT = 4
+MIN_HIT_DISTANCE = 1e-4
+QUAD_MIN_HIT_DISTANCE = 0.02  # Cornell-box hack, win32_main.cpp:446
+TOLERANCE = 1e-9
+WORLD_SIZE = 5.0
+LEVELS = 6
+N_AIR = 1.003
+FIXED_FOCAL_LENGTH = 0.098
+MIN_ROUGHNESS = 0.01
+F32_MAX = float(np.finfo(np.float32).max)
+
+WORLD_DEFAULT = 0
+WORLD_BRDF_TEST = 1
+WORLD_CORNELL_BOX = 2
+WORLD_RAYTRACING_ONE_WEEKEND = 3
+WORLD_MARIO = 4
+WORLD_KIND_COUNT = 5
+
+
+def _pad(n: int, multiple: int = 8) -> int:
+    """Pad table sizes to a multiple for friendlier TPU layouts."""
+    return max(multiple, ((n + multiple - 1) // multiple) * multiple)
+
+
+@struct.dataclass
+class Scene:
+    """All scene data as padded SoA device arrays. A JAX pytree: passing it
+    through jit/shard_map/scan is free of host sync."""
+
+    # --- materials (index 0 = sky) --------------------------------------
+    mat_albedo: Vec3        # (M,) per component
+    mat_emit: Vec3
+    mat_metal_color: Vec3
+    mat_metalness: jnp.ndarray
+    mat_roughness: jnp.ndarray
+    mat_ior: jnp.ndarray
+    mat_albedo_idx: jnp.ndarray     # int32, 0 = none else 1-based texture id
+    mat_metalness_idx: jnp.ndarray
+    mat_roughness_idx: jnp.ndarray
+    mat_normal_idx: jnp.ndarray
+
+    # --- spheres (index 0 = NEE important light) -------------------------
+    sph_center: Vec3
+    sph_radius: jnp.ndarray
+    sph_mat: jnp.ndarray
+    sph_mask: jnp.ndarray   # bool: valid (non-padding) entries
+
+    # --- quads ------------------------------------------------------------
+    quad_point: Vec3
+    quad_u: Vec3
+    quad_v: Vec3
+    quad_mat: jnp.ndarray
+    quad_mask: jnp.ndarray
+
+    # --- planes -----------------------------------------------------------
+    pln_n: Vec3
+    pln_d: jnp.ndarray
+    pln_mat: jnp.ndarray
+    pln_mask: jnp.ndarray
+
+    # --- triangles (flat; traversed via the accel grid when present) ------
+    tri_a: Vec3             # vertex A
+    tri_u: Vec3             # B - A
+    tri_v: Vec3             # C - A
+    tri_mat: jnp.ndarray
+    tri_mask: jnp.ndarray
+
+    # --- axis-aligned boxes (parity with world_t.aabbs; always empty) -----
+    box_min: Vec3
+    box_max: Vec3
+    box_mat: jnp.ndarray
+    box_mask: jnp.ndarray
+
+    # --- acceleration structure (uniform grid over triangles) -------------
+    # CSR layout: cell c owns grid_tris[grid_cell_start[c] : +grid_cell_count[c]].
+    grid_cell_start: jnp.ndarray   # (ncells,) int32
+    grid_cell_count: jnp.ndarray   # (ncells,) int32
+    grid_tris: jnp.ndarray         # (total_refs,) int32 triangle indices
+
+    # --- textures (mip level 0 only; the reference samples mips[0]
+    #     everywhere, win32_main.cpp:619-640,1601-1605) -------------------
+    tex_data: Vec3                 # (K, Hmax, Wmax) per component
+    tex_w: jnp.ndarray             # (K,) int32 actual widths
+    tex_h: jnp.ndarray             # (K,) int32 actual heights
+
+    # --- static (compile-time) metadata -----------------------------------
+    world_kind: int = struct.field(pytree_node=False, default=WORLD_DEFAULT)
+    # World 4 forces cosine-only sampling (win32_main.cpp:654-655).
+    just_cosine: bool = struct.field(pytree_node=False, default=False)
+    n_spheres: int = struct.field(pytree_node=False, default=0)
+    n_quads: int = struct.field(pytree_node=False, default=0)
+    n_planes: int = struct.field(pytree_node=False, default=0)
+    n_tris: int = struct.field(pytree_node=False, default=0)
+    n_boxes: int = struct.field(pytree_node=False, default=0)
+    n_materials: int = struct.field(pytree_node=False, default=0)
+    n_textures: int = struct.field(pytree_node=False, default=0)
+    grid_res: int = struct.field(pytree_node=False, default=0)
+    # texture enablement flags (-n -m -r CLI flags, win32_main.cpp:2173-2178)
+    use_normal_maps: bool = struct.field(pytree_node=False, default=True)
+    use_metalness_maps: bool = struct.field(pytree_node=False, default=True)
+    use_roughness_maps: bool = struct.field(pytree_node=False, default=True)
+
+    @property
+    def has_light_sphere(self) -> bool:
+        return self.n_spheres > 0
+
+
+@dataclasses.dataclass
+class HostMaterial:
+    """Host-side material mirroring material_t defaults (ray.hpp:63-78)."""
+    albedo: tuple = (0.0, 0.0, 0.0)
+    emit: tuple = (0.0, 0.0, 0.0)
+    metal_color: tuple = (0.0, 0.0, 0.0)
+    metalness: float = 0.0
+    roughness: float = 1.0
+    ior: float = 1.0
+    albedo_idx: int = 0
+    metalness_idx: int = 0
+    roughness_idx: int = 0
+    normal_idx: int = 0
+
+
+class WorldBuilder:
+    """Host-side scene assembly (the nc_sbpush role, include/nc_ds.h:12-35)."""
+
+    def __init__(self):
+        self.materials: list[HostMaterial] = []
+        self.spheres: list[tuple] = []      # (center, radius, mat)
+        self.quads: list[tuple] = []        # (point, u, v, mat)
+        self.planes: list[tuple] = []       # (n, d, mat)
+        self.triangles: Optional[np.ndarray] = None  # (T, 3, 3) float32
+        self.tri_mats: Optional[np.ndarray] = None   # (T,) int32
+        self.textures: list[np.ndarray] = []         # (H, W, 3) float32 each
+
+    def add_material(self, **kw) -> int:
+        self.materials.append(HostMaterial(**kw))
+        return len(self.materials) - 1
+
+    def add_sphere(self, center, radius, mat) -> int:
+        self.spheres.append((tuple(center), float(radius), int(mat)))
+        return len(self.spheres) - 1
+
+    def add_quad(self, point, u, v, mat) -> int:
+        self.quads.append((tuple(point), tuple(u), tuple(v), int(mat)))
+        return len(self.quads) - 1
+
+    def add_plane(self, n, d, mat) -> int:
+        self.planes.append((tuple(n), float(d), int(mat)))
+        return len(self.planes) - 1
+
+    def set_mesh(self, points: np.ndarray, mat_indices: np.ndarray):
+        """points: (T*3, 3) flat vertex array, 3 consecutive verts per tri
+        (mesh_t SoA convention, ray.hpp:102-106)."""
+        pts = np.asarray(points, np.float32).reshape(-1, 3, 3)
+        self.triangles = pts
+        self.tri_mats = np.asarray(mat_indices, np.int32).reshape(-1, 3)[:, 0]
+
+    def add_texture(self, data: np.ndarray) -> int:
+        """Returns the 1-based texture index used by material *_idx fields."""
+        self.textures.append(np.asarray(data, np.float32))
+        return len(self.textures)
+
+    # ------------------------------------------------------------------
+    def finalize(self, world_kind: int = WORLD_DEFAULT,
+                 use_normal_maps: bool = True,
+                 use_metalness_maps: bool = True,
+                 use_roughness_maps: bool = True,
+                 grid=None) -> Scene:
+        """Compile host lists into a padded device Scene."""
+        f32, i32 = np.float32, np.int32
+
+        def vec_table(rows, pad_to):
+            a = np.zeros((pad_to, 3), f32)
+            if rows:
+                a[: len(rows)] = np.asarray(rows, f32)
+            return Vec3(jnp.asarray(a[:, 0]), jnp.asarray(a[:, 1]), jnp.asarray(a[:, 2]))
+
+        def scalar_table(rows, pad_to, dtype=f32, fill=0):
+            a = np.full((pad_to,), fill, dtype)
+            if len(rows):
+                a[: len(rows)] = np.asarray(rows, dtype)
+            return jnp.asarray(a)
+
+        def mask_table(n, pad_to):
+            m = np.zeros((pad_to,), bool)
+            m[:n] = True
+            return jnp.asarray(m)
+
+        M = _pad(len(self.materials))
+        mats = self.materials
+        S, Q, P = _pad(len(self.spheres)), _pad(len(self.quads)), _pad(len(self.planes))
+        ntri = 0 if self.triangles is None else len(self.triangles)
+        T = _pad(ntri)
+
+        tri_a = np.zeros((T, 3), f32)
+        tri_u = np.zeros((T, 3), f32)
+        tri_v = np.zeros((T, 3), f32)
+        tri_m = np.zeros((T,), i32)
+        if ntri:
+            tri_a[:ntri] = self.triangles[:, 0]
+            tri_u[:ntri] = self.triangles[:, 1] - self.triangles[:, 0]
+            tri_v[:ntri] = self.triangles[:, 2] - self.triangles[:, 0]
+            tri_m[:ntri] = self.tri_mats
+
+        # textures: pad to common max extent (mip 0 only on device)
+        K = max(1, len(self.textures))
+        hmax = max([t.shape[0] for t in self.textures], default=1)
+        wmax = max([t.shape[1] for t in self.textures], default=1)
+        tex = np.zeros((K, hmax, wmax, 3), f32)
+        tw = np.ones((K,), i32)
+        th = np.ones((K,), i32)
+        for k, t in enumerate(self.textures):
+            tex[k, : t.shape[0], : t.shape[1]] = t
+            th[k], tw[k] = t.shape[0], t.shape[1]
+
+        if grid is None:
+            grid_start = jnp.zeros((1,), i32)
+            grid_count = jnp.zeros((1,), i32)
+            grid_tris = jnp.zeros((1,), i32)
+            grid_res = 0
+        else:
+            grid_start, grid_count, grid_tris, grid_res = grid
+
+        return Scene(
+            mat_albedo=vec_table([m.albedo for m in mats], M),
+            mat_emit=vec_table([m.emit for m in mats], M),
+            mat_metal_color=vec_table([m.metal_color for m in mats], M),
+            mat_metalness=scalar_table([m.metalness for m in mats], M),
+            mat_roughness=scalar_table([m.roughness for m in mats], M, fill=1),
+            mat_ior=scalar_table([m.ior for m in mats], M, fill=1),
+            mat_albedo_idx=scalar_table([m.albedo_idx for m in mats], M, i32),
+            mat_metalness_idx=scalar_table([m.metalness_idx for m in mats], M, i32),
+            mat_roughness_idx=scalar_table([m.roughness_idx for m in mats], M, i32),
+            mat_normal_idx=scalar_table([m.normal_idx for m in mats], M, i32),
+            sph_center=vec_table([s[0] for s in self.spheres], S),
+            sph_radius=scalar_table([s[1] for s in self.spheres], S),
+            sph_mat=scalar_table([s[2] for s in self.spheres], S, i32),
+            sph_mask=mask_table(len(self.spheres), S),
+            quad_point=vec_table([q[0] for q in self.quads], Q),
+            quad_u=vec_table([q[1] for q in self.quads], Q),
+            quad_v=vec_table([q[2] for q in self.quads], Q),
+            quad_mat=scalar_table([q[3] for q in self.quads], Q, i32),
+            quad_mask=mask_table(len(self.quads), Q),
+            pln_n=vec_table([p[0] for p in self.planes], P),
+            pln_d=scalar_table([p[1] for p in self.planes], P),
+            pln_mat=scalar_table([p[2] for p in self.planes], P, i32),
+            pln_mask=mask_table(len(self.planes), P),
+            tri_a=Vec3(jnp.asarray(tri_a[:, 0]), jnp.asarray(tri_a[:, 1]), jnp.asarray(tri_a[:, 2])),
+            tri_u=Vec3(jnp.asarray(tri_u[:, 0]), jnp.asarray(tri_u[:, 1]), jnp.asarray(tri_u[:, 2])),
+            tri_v=Vec3(jnp.asarray(tri_v[:, 0]), jnp.asarray(tri_v[:, 1]), jnp.asarray(tri_v[:, 2])),
+            tri_mat=jnp.asarray(tri_m),
+            tri_mask=mask_table(ntri, T),
+            box_min=vec_table([], 8),
+            box_max=vec_table([], 8),
+            box_mat=scalar_table([], 8, i32),
+            box_mask=mask_table(0, 8),
+            grid_cell_start=grid_start,
+            grid_cell_count=grid_count,
+            grid_tris=grid_tris,
+            tex_data=Vec3(jnp.asarray(tex[..., 0]), jnp.asarray(tex[..., 1]), jnp.asarray(tex[..., 2])),
+            tex_w=jnp.asarray(tw),
+            tex_h=jnp.asarray(th),
+            world_kind=world_kind,
+            just_cosine=(world_kind == WORLD_RAYTRACING_ONE_WEEKEND),
+            n_spheres=len(self.spheres),
+            n_quads=len(self.quads),
+            n_planes=len(self.planes),
+            n_tris=ntri,
+            n_boxes=0,
+            n_materials=len(mats),
+            n_textures=len(self.textures),
+            grid_res=grid_res,
+            use_normal_maps=use_normal_maps,
+            use_metalness_maps=use_metalness_maps,
+            use_roughness_maps=use_roughness_maps,
+        )

@@ -1,0 +1,124 @@
+"""Unit tests: vector math, color pipeline, PRNG discipline."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pathtracer_tpu.utils import vec
+from pathtracer_tpu.utils.color import bgra_pack, linear_to_srgb, tonemap_aces
+from pathtracer_tpu.utils import prng
+
+
+def _rand_vec(rng, n=64):
+    a = rng.randn(n, 3).astype(np.float32)
+    return vec.from_stacked(jnp.asarray(a)), a
+
+
+class TestVec:
+    def test_ops_match_numpy(self, rng):
+        va, a = _rand_vec(rng)
+        vb, b = _rand_vec(rng)
+        np.testing.assert_allclose(vec.to_stacked(va + vb), a + b, rtol=1e-6)
+        np.testing.assert_allclose(vec.to_stacked(va - vb), a - b, rtol=1e-6)
+        np.testing.assert_allclose(vec.to_stacked(-va), -a, rtol=1e-6)
+        np.testing.assert_allclose(vec.to_stacked(va * 2.5), a * 2.5, rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(vec.dot(va, vb)),
+                                   (a * b).sum(-1), rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(vec.to_stacked(vec.cross(va, vb)),
+                                   np.cross(a, b), rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(vec.to_stacked(vec.hadamard(va, vb)),
+                                   a * b, rtol=1e-6)
+
+    def test_normalize(self, rng):
+        va, a = _rand_vec(rng)
+        n = vec.normalize(va)
+        np.testing.assert_allclose(np.asarray(vec.magnitude(n)), 1.0, atol=1e-5)
+
+    def test_cross_handedness(self):
+        x = vec.vec3(1.0, 0.0, 0.0)
+        y = vec.vec3(0.0, 1.0, 0.0)
+        z = vec.cross(x, y)
+        np.testing.assert_allclose(vec.to_stacked(z), [0, 0, 1], atol=1e-7)
+
+    def test_lerp_clamp(self, rng):
+        va, a = _rand_vec(rng)
+        vb, b = _rand_vec(rng)
+        np.testing.assert_allclose(vec.to_stacked(vec.lerp(va, vb, 0.25)),
+                                   0.75 * a + 0.25 * b, rtol=1e-5, atol=1e-6)
+        lo = vec.splat((0.0, 0.0, 0.0), (64,))
+        hi = vec.splat((1.0, 1.0, 1.0), (64,))
+        c = vec.to_stacked(vec.clamp(va, lo, hi))
+        assert (np.asarray(c) >= 0).all() and (np.asarray(c) <= 1).all()
+
+    def test_is_nan(self):
+        v = vec.Vec3(jnp.asarray([0.0, np.nan]), jnp.asarray([0.0, 0.0]),
+                     jnp.asarray([0.0, 0.0]))
+        np.testing.assert_array_equal(np.asarray(vec.is_nan(v)), [False, True])
+
+
+class TestColor:
+    def test_linear_to_srgb_exact(self):
+        # piecewise transfer, exact reference constants (ray_math.hpp:320-332)
+        vals = np.array([0.0, 0.001, 0.0031308, 0.01, 0.5, 1.0, 2.0, -1.0], np.float32)
+        got = np.asarray(linear_to_srgb(jnp.asarray(vals)))
+        for v, g in zip(vals, got):
+            L = min(max(float(v), 0.0), 1.0)
+            expect = L * 12.92
+            if L > 0.0031308:
+                expect = 1.055 * L ** (1 / 2.4) - 0.055
+            # float32 pow vs float64: a few ulps of slack
+            assert abs(g - expect) < 1e-5, (v, g, expect)
+
+    def test_tonemap_aces_reference_values(self):
+        # ACES Narkowicz: x*(2.51x+0.03)/(0.4+x*(2.43x+0.59)), clamped
+        for x in [0.0, 0.18, 1.0, 4.0]:
+            c = vec.vec3(x, x, x)
+            out = np.asarray(vec.to_stacked(tonemap_aces(c)))
+            expect = min(max(x * (2.51 * x + 0.03) / (0.4 + x * (2.43 * x + 0.59)), 0.0), 1.0)
+            np.testing.assert_allclose(out, expect, rtol=1e-5, atol=1e-6)
+
+    def test_bgra_pack(self):
+        # In float32, sRGB(1.0) = 1.055f*1.0f - 0.055f = 0.99999994 < 1, so
+        # truncation packs pure white as 254 — exactly what the reference's
+        # powf + C-cast pipeline produces (ray_math.hpp:329, win32_main.cpp:1175).
+        c = vec.vec3(1.0, 0.0, 1.0)
+        p = int(np.asarray(bgra_pack(c)))
+        assert p == (255 << 24) | (254 << 16) | (0 << 8) | 254
+
+    def test_bgra_truncates_not_rounds(self):
+        # C cast truncates: value 254.9 -> 254
+        val = (254.9 / 255.0) ** 2.4  # picks a linear value whose sRGB*255 ~ 254.9
+        c = vec.vec3(val, val, val)
+        p = int(np.asarray(bgra_pack(c)))
+        r = (p >> 16) & 0xFF
+        assert r in (253, 254)  # never 255
+
+
+class TestPrng:
+    def test_deterministic_and_batch_invariant(self):
+        key = prng.base_key(0)
+        idx = jnp.arange(100, dtype=jnp.int32)
+        k_all = prng.path_keys(key, idx, jnp.zeros(100, jnp.int32))
+        u_all = prng.bounce_uniforms_v(k_all, 2)
+        # same values regardless of batch decomposition
+        k_half = prng.path_keys(key, idx[50:], jnp.zeros(50, jnp.int32))
+        u_half = prng.bounce_uniforms_v(k_half, 2)
+        np.testing.assert_array_equal(np.asarray(u_all[50:]), np.asarray(u_half))
+
+    def test_scalar_matches_vector(self):
+        key = prng.base_key(7)
+        pk = prng.path_key(key, jnp.asarray(13), jnp.asarray(5))
+        u_scalar = np.asarray(prng.bounce_uniforms(pk, 1))
+        ks = prng.path_keys(key, jnp.asarray([13], jnp.int32), jnp.asarray([5], jnp.int32))
+        u_vec = np.asarray(prng.bounce_uniforms_v(ks, 1))[0]
+        np.testing.assert_array_equal(u_scalar, u_vec)
+
+    def test_streams_distinct(self):
+        key = prng.base_key(0)
+        pk = prng.path_key(key, jnp.asarray(0), jnp.asarray(0))
+        a = np.asarray(prng.jitter_uniforms(pk))
+        b = np.asarray(prng.lens_uniforms(pk))
+        c = np.asarray(prng.bounce_uniforms(pk, 0))
+        assert not np.allclose(a, b)
+        assert not np.allclose(a, c[:2])

@@ -1,0 +1,148 @@
+"""Unit tests: samplers, PDFs, basis construction, BSDF terms."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from pathtracer_tpu.ops import sampling as S
+from pathtracer_tpu.ops import shade as B
+from pathtracer_tpu.utils.vec import Vec3, dot, magnitude, to_stacked, vec3
+
+
+def _uniforms(rng, n):
+    return (jnp.asarray(rng.rand(n).astype(np.float32)),
+            jnp.asarray(rng.rand(n).astype(np.float32)))
+
+
+class TestSamplers:
+    def test_cosine_hemisphere_unit_upper(self, rng):
+        u1, u2 = _uniforms(rng, 1000)
+        d = S.cosine_hemisphere(u1, u2)
+        m = np.asarray(magnitude(d))
+        np.testing.assert_allclose(m, 1.0, atol=1e-5)
+        assert (np.asarray(d.z) >= 0).all()
+
+    def test_cosine_distribution(self, rng):
+        # E[cos theta] under p=cos/pi is 2/3
+        u1, u2 = _uniforms(rng, 200_000)
+        d = S.cosine_hemisphere(u1, u2)
+        assert abs(float(np.asarray(d.z).mean()) - 2.0 / 3.0) < 5e-3
+
+    def test_ggx_half_vector_smooth_is_normal(self, rng):
+        u1, u2 = _uniforms(rng, 100)
+        h = S.ggx_half_vector(u1, u2, jnp.zeros(100))
+        # roughness 0 => a2=0 => cos(theta)=1 => +z exactly
+        np.testing.assert_allclose(np.asarray(h.z), 1.0, atol=1e-6)
+
+    def test_ggx_rough_spreads(self, rng):
+        u1, u2 = _uniforms(rng, 10_000)
+        h = S.ggx_half_vector(u1, u2, jnp.full(10_000, 1.0))
+        assert float(np.asarray(h.z).mean()) < 0.95
+        np.testing.assert_allclose(np.asarray(magnitude(h)), 1.0, atol=1e-5)
+
+    def test_to_sphere_hits_sphere(self, rng):
+        u1, u2 = _uniforms(rng, 1000)
+        center = vec3(0.0, 0.0, 10.0)
+        origin = vec3(0.0, 0.0, 0.0)
+        d, valid = S.to_sphere(u1, u2, center, 2.0, origin)
+        assert bool(np.asarray(valid).all())
+        # all dirs inside cone: z >= cos_theta_max
+        ctm = np.sqrt(1 - 4.0 / 100.0)
+        assert (np.asarray(d.z) >= ctm - 1e-6).all()
+
+    def test_to_sphere_inside_invalid(self, rng):
+        u1, u2 = _uniforms(rng, 4)
+        d, valid = S.to_sphere(u1, u2, vec3(0.0, 0.0, 0.0), 5.0, vec3(0.0, 0.0, 1.0))
+        assert not bool(np.asarray(valid).any())
+
+
+class TestBasis:
+    def test_orthonormal(self, rng):
+        w = Vec3(*(jnp.asarray(rng.randn(100).astype(np.float32)) for _ in range(3)))
+        a, b, c = S.orthonormal_basis(w)
+        for v in (a, b, c):
+            np.testing.assert_allclose(np.asarray(magnitude(v)), 1.0, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(dot(a, b)), 0.0, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(dot(b, c)), 0.0, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(dot(a, c)), 0.0, atol=1e-5)
+
+    def test_roundtrip(self, rng):
+        w = vec3(0.3, -0.2, 0.9)
+        a, b, c = S.orthonormal_basis(w)
+        t = vec3(0.1, 0.2, 0.97)
+        world = S.from_tangent(t, a, b, c)
+        np.testing.assert_allclose(float(magnitude(world)),
+                                   float(magnitude(t)), atol=1e-5)
+
+
+class TestPdfs:
+    def test_pdf_cosine(self):
+        assert abs(float(S.pdf_cosine(vec3(0.0, 0.0, 1.0))) - 1.0 / np.pi) < 1e-6
+        assert float(S.pdf_cosine(vec3(0.0, 0.0, -1.0))) == 0.0
+
+    def test_pdf_to_sphere_solid_angle(self):
+        center, origin = vec3(0.0, 0.0, 10.0), vec3(0.0, 0.0, 0.0)
+        p = float(S.pdf_to_sphere(jnp.asarray(True), center, 2.0, origin))
+        ctm = np.sqrt(1 - 4.0 / 100.0)
+        expect = 1.0 / (2 * np.pi * (1 - ctm))
+        np.testing.assert_allclose(p, expect, rtol=1e-5)
+        assert float(S.pdf_to_sphere(jnp.asarray(False), center, 2.0, origin)) == 0.0
+
+    def test_pdf_quad(self):
+        # unit quad at distance 5, viewed head-on
+        t = jnp.asarray(5.0)
+        d = vec3(0.0, 0.0, -1.0)
+        p = float(S.pdf_quad(t, jnp.asarray(True), d, vec3(1.0, 0.0, 0.0), vec3(0.0, 1.0, 0.0)))
+        np.testing.assert_allclose(p, 25.0, rtol=1e-5)  # d^2/(cos*area) = 25/1
+
+    def test_burley(self):
+        np.testing.assert_allclose(float(S.burley_alpha2(jnp.asarray(0.5))), 0.0625)
+
+
+class TestBsdf:
+    def test_schlick_limits(self):
+        # grazing: (1-0)^5 = 1 -> full reflectance
+        ks = B.schlick_metal(jnp.asarray(0.04), jnp.asarray(0.0),
+                             jnp.asarray(0.0), vec3(1.0, 1.0, 1.0))
+        np.testing.assert_allclose(to_stacked(ks), 1.0, atol=1e-6)
+        # head-on: F0
+        ks = B.schlick_metal(jnp.asarray(0.04), jnp.asarray(1.0),
+                             jnp.asarray(0.0), vec3(1.0, 1.0, 1.0))
+        np.testing.assert_allclose(to_stacked(ks), 0.04, atol=1e-6)
+
+    def test_schlick_metal_tint(self):
+        color = vec3(0.9, 0.6, 0.3)
+        ks = B.schlick_metal(jnp.asarray(0.04), jnp.asarray(1.0),
+                             jnp.asarray(1.0), color)
+        np.testing.assert_allclose(to_stacked(ks), to_stacked(color), atol=1e-6)
+
+    def test_hammon_range(self, rng):
+        n = vec3(0.0, 0.0, 1.0)
+        for r in (0.1, 0.5, 1.0):
+            l = vec3(0.3, 0.0, 0.95)
+            v = vec3(-0.3, 0.0, 0.95)
+            g = float(B.hammon_masking_shadowing(n, l, v, jnp.asarray(r)))
+            assert 0.0 < g <= 2.0
+
+    def test_ggx_d_normalization_shape(self):
+        n = vec3(0.0, 0.0, 1.0)
+        d_at_n = float(B.ggx_d(n, n, jnp.asarray(0.5)))
+        d_off = float(B.ggx_d(n, vec3(0.5, 0.0, 0.8660254), jnp.asarray(0.5)))
+        assert d_at_n > d_off  # peaked at the normal
+
+    def test_effectively_smooth(self):
+        assert bool(B.effectively_smooth(jnp.asarray(0.005)))
+        assert not bool(B.effectively_smooth(jnp.asarray(0.5)))
+
+    def test_refraction_tir(self):
+        # glass->air at grazing angle: total internal reflection
+        d = vec3(0.99, 0.0, 0.141)
+        n = vec3(0.0, 0.0, 1.0)
+        _, ok = B.find_refraction_direction(d, n, jnp.asarray(1.5))
+        assert not bool(ok)
+
+    def test_refraction_straight_through(self):
+        d = vec3(0.0, 0.0, -1.0)
+        n = vec3(0.0, 0.0, 1.0)
+        out, ok = B.find_refraction_direction(d, n, jnp.asarray(1.5))
+        assert bool(ok)
+        np.testing.assert_allclose(to_stacked(out), [0, 0, -1], atol=1e-5)
