@@ -11,6 +11,14 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# The machine's sitecustomize registers the axon TPU plugin at interpreter
+# startup (before this file runs), so the env var alone is too late —
+# override through jax.config as well.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu", jax.devices()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -1,0 +1,76 @@
+"""Multi-chip sharding: bit-identical to single-chip, collectives work.
+
+Runs on the 8-virtual-device CPU mesh (conftest.py), the strategy SURVEY.md
+§4 prescribes for distributed testing without TPU hardware.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from pathtracer_tpu import RenderConfig, finalize_world, render_image
+from pathtracer_tpu.parallel.shard import make_mesh, render_image_sharded
+from pathtracer_tpu.scene.schema import WORLD_CORNELL_BOX, WORLD_DEFAULT
+
+
+@pytest.fixture(scope="module")
+def cornell_small():
+    scene, cam = finalize_world(WORLD_CORNELL_BOX, 24, 16)
+    return scene, cam
+
+
+class TestSharded:
+    def test_eight_devices_available(self):
+        assert len(jax.devices()) == 8
+
+    def test_sharded_matches_single(self, cornell_small):
+        scene, cam = cornell_small
+        cfg = RenderConfig(width=24, height=16, pp=2, seed=0)
+        img1, packed1, st1 = render_image(scene, cam, cfg)
+        img8, packed8, st8 = render_image_sharded(scene, cam, cfg)
+        # bit-identical: same pixels, same RNG, any sharding
+        np.testing.assert_array_equal(np.asarray(img1), np.asarray(img8))
+        np.testing.assert_array_equal(np.asarray(packed1), np.asarray(packed8))
+
+    def test_psum_diagnostics(self, cornell_small):
+        scene, cam = cornell_small
+        cfg = RenderConfig(width=24, height=16, pp=2, seed=0)
+        _, _, st1 = render_image(scene, cam, cfg)
+        _, _, st8 = render_image_sharded(scene, cam, cfg)
+        # rays_cast psum'd over the mesh; padding adds < n_dev extra paths
+        # per sample, each tracing <= MAX_BOUNCE rays
+        pad = 8 * 4 * cfg.spp
+        assert 0 <= float(st8.rays_cast) - float(st1.rays_cast) <= pad
+
+    def test_uneven_pixel_count(self):
+        # 25x17 = 425 pixels, not divisible by 8 -> exercises padding
+        scene, cam = finalize_world(WORLD_CORNELL_BOX, 25, 17)
+        cfg = RenderConfig(width=25, height=17, pp=1, seed=0)
+        img1, _, _ = render_image(scene, cam, cfg)
+        img8, _, _ = render_image_sharded(scene, cam, cfg)
+        np.testing.assert_array_equal(np.asarray(img1), np.asarray(img8))
+
+    def test_subset_mesh(self, cornell_small):
+        scene, cam = cornell_small
+        cfg = RenderConfig(width=24, height=16, pp=1, seed=0)
+        mesh = make_mesh(jax.devices()[:4])
+        img4, _, _ = render_image_sharded(scene, cam, cfg, mesh=mesh)
+        img1, _, _ = render_image(scene, cam, cfg)
+        np.testing.assert_array_equal(np.asarray(img1), np.asarray(img4))
+
+
+class TestGraftEntry:
+    def test_entry_jits(self):
+        import sys
+        sys.path.insert(0, "/root/repo")
+        import __graft_entry__ as g
+        fn, args = g.entry()
+        out = jax.jit(fn)(*args)
+        assert float(np.asarray(out.rays_cast)) > 0
+        assert int(np.asarray(out.samples_done)) == 1
+
+    def test_dryrun_multichip(self):
+        import sys
+        sys.path.insert(0, "/root/repo")
+        import __graft_entry__ as g
+        g.dryrun_multichip(8)

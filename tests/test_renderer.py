@@ -1,0 +1,117 @@
+"""Renderer-level behavior: debug kinds, checkpoint/resume, compare tool."""
+
+import os
+
+import numpy as np
+import pytest
+
+from pathtracer_tpu import RenderConfig, finalize_world, render_image
+from pathtracer_tpu.compare import percentage_similarity, rmse as cmp_rmse
+from pathtracer_tpu.io.bmp import write_bmp
+from pathtracer_tpu.render.integrator import (
+    BOUNCE_COUNT, PRIMARY_RAY_NORMALS, TERMINATION_CONDITION, VARIANCE,
+)
+from pathtracer_tpu.render.progressive import (
+    load_checkpoint, samples_done, save_checkpoint,
+)
+from pathtracer_tpu.scene.schema import MAX_BOUNCE_COUNT, WORLD_CORNELL_BOX
+
+
+@pytest.fixture(scope="module")
+def cornell():
+    return finalize_world(WORLD_CORNELL_BOX, 24, 16)
+
+
+class TestDebugKinds:
+    def test_primary_ray_normals(self, cornell):
+        scene, cam = cornell
+        cfg = RenderConfig(24, 16, pp=1, debug_kind=PRIMARY_RAY_NORMALS)
+        img, _, _ = render_image(scene, cam, cfg)
+        img = np.asarray(img)
+        # normals encode to [0,1]; rays missing everything give (0.5,0.5,0.5)
+        assert img.min() >= -1e-6 and img.max() <= 1.0 + 1e-6
+        # [8,12] is dead center = the light sphere, facing the camera (-y ish)
+        assert img[8, 12][1] < 0.15
+        # right of the sphere hits the back wall: normal (0,-1,0) -> (0.5,0,0.5)
+        np.testing.assert_allclose(img[8, 14], [0.5, 0.0, 0.5], atol=1e-5)
+        # further right is the green wall: normal (-1,0,0) -> (0, 0.5, 0.5)
+        np.testing.assert_allclose(img[8, 17], [0.0, 0.5, 0.5], atol=1e-5)
+
+    def test_bounce_count(self, cornell):
+        scene, cam = cornell
+        cfg = RenderConfig(24, 16, pp=1, debug_kind=BOUNCE_COUNT)
+        img, _, _ = render_image(scene, cam, cfg)
+        img = np.asarray(img)
+        # quantized to k/MAX_BOUNCE_COUNT, k in 1..4
+        vals = np.unique(np.round(img * MAX_BOUNCE_COUNT).astype(int))
+        assert vals.min() >= 1 and vals.max() <= MAX_BOUNCE_COUNT
+        np.testing.assert_allclose(img * MAX_BOUNCE_COUNT,
+                                   np.round(img * MAX_BOUNCE_COUNT), atol=1e-4)
+
+    def test_termination_condition_colors(self, cornell):
+        scene, cam = cornell
+        cfg = RenderConfig(24, 16, pp=1, debug_kind=TERMINATION_CONDITION)
+        img, _, _ = render_image(scene, cam, cfg)
+        img = np.asarray(img).reshape(-1, 3)
+        allowed = {(0, 0, 0), (0, 0, 1), (0, 1, 0), (1, 0, 0), (1, 1, 0)}
+        got = {tuple(px) for px in np.round(img).astype(int)}
+        assert got <= allowed, got
+        assert (1, 0, 0) in got or (0, 1, 0) in got  # some terminal/light paths
+
+    def test_variance_nonnegative(self, cornell):
+        scene, cam = cornell
+        cfg = RenderConfig(24, 16, pp=2, debug_kind=VARIANCE)
+        img, _, _ = render_image(scene, cam, cfg)
+        assert float(np.asarray(img).min()) >= -1e-4
+
+
+class TestCheckpoint:
+    def test_resume_is_exact(self, cornell, tmp_path):
+        scene, cam = cornell
+        cfg = RenderConfig(24, 16, pp=3, seed=0)
+        # full render in one go
+        img_full, _, _ = render_image(scene, cam, cfg)
+        # render 4 samples, checkpoint, reload, finish
+        path = str(tmp_path / "accum.npz")
+        _, _, st = render_image(scene, cam, cfg, chunk_samples=4,
+                                progress_cb=lambda s, t, state:
+                                    save_checkpoint(path, state) if s == 4 else None)
+        loaded, found = load_checkpoint(path, 24 * 16)
+        assert found and samples_done(loaded) == 4
+        img_resumed, _, _ = render_image(scene, cam, cfg, state=loaded)
+        np.testing.assert_array_equal(np.asarray(img_full),
+                                      np.asarray(img_resumed))
+
+    def test_missing_checkpoint_fresh(self, tmp_path):
+        st, found = load_checkpoint(str(tmp_path / "nope.npz"), 10)
+        assert not found and samples_done(st) == 0
+
+
+class TestCompareTool:
+    def test_similarity_and_rmse(self, rng):
+        a = rng.randint(0, 255, (8, 8, 4), dtype=np.uint8)
+        assert percentage_similarity(a, a) == 100.0
+        assert cmp_rmse(a, a) == 0.0
+        b = a.copy()
+        b[..., :3] = np.clip(b[..., :3].astype(int) + 10, 0, 255).astype(np.uint8)
+        assert percentage_similarity(a, b) < 100.0
+        assert cmp_rmse(a, b) > 0.0
+
+    def test_legacy_bug_semantics(self):
+        # reference Magnitude ignores red, counts alpha twice
+        # (image_compare.c:121-124): a pure-red difference is invisible
+        a = np.zeros((2, 2, 4), np.uint8)
+        b = a.copy()
+        b[..., 0] = 255  # red-only difference
+        assert percentage_similarity(a, b, legacy=True) == 100.0
+        assert percentage_similarity(a, b, legacy=False) < 100.0
+
+    def test_cli_roundtrip(self, tmp_path, rng):
+        from pathtracer_tpu.compare import main
+        img = rng.randint(0, 2**32, (4, 6), dtype=np.uint64).astype(np.uint32)
+        p1 = str(tmp_path / "a.bmp")
+        p2 = str(tmp_path / "b.bmp")
+        write_bmp(p1, img)
+        write_bmp(p2, img)
+        assert main([p1, p2, "--threshold", "0.001"]) == 0
+        assert main([p1, "/nope.bmp"]) == -1
