@@ -42,9 +42,22 @@ def voxel_coords(points: np.ndarray) -> np.ndarray:
 def build_uniform_grid(triangles: np.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, int]:
     """Bin triangles (T, 3, 3) into the 64^3 grid; returns
     (cell_start, cell_count, tris, grid_res) as device arrays + static res.
+
+    Uses the native C++ builder (native/src/accel.cpp via pathtracer_tpu.native)
+    when built, falling back to the numpy reference below; both produce
+    identical CSR arrays (tests/test_native.py).
     """
     tris = np.asarray(triangles, np.float32)
     T = len(tris)
+
+    from .. import native
+    if native.available():
+        result = native.grid_build_native(tris.reshape(T, 9), GRID_RES, CELL_SIZE)
+        if result is not None:
+            starts, counts, refs = result
+            return (jnp.asarray(starts), jnp.asarray(counts),
+                    jnp.asarray(refs), GRID_RES)
+
     coords = voxel_coords(tris.reshape(-1, 3)).reshape(T, 3, 3)  # (T, vert, axis)
     if coords.min() < 0 or coords.max() >= GRID_RES:
         raise ValueError(

@@ -1,0 +1,101 @@
+"""Native C++ components == numpy fallbacks; standalone tool behavior."""
+
+import subprocess
+
+import numpy as np
+import pytest
+
+from pathtracer_tpu import native
+from pathtracer_tpu.compare import percentage_similarity
+from pathtracer_tpu.io.bmp import write_bmp
+from pathtracer_tpu.scene.accel import CELL_SIZE, GRID_RES
+from pathtracer_tpu.scene.schema import WORLD_MARIO
+from pathtracer_tpu.scene.worlds import build_world
+
+needs_native = pytest.mark.skipif(
+    not native.available(), reason="native lib not built (make -C native)")
+
+
+def _numpy_grid(tris):
+    """The pure-numpy reference binning (mirrors scene/accel.py fallback)."""
+    from pathtracer_tpu.scene.accel import voxel_coords
+    T = len(tris)
+    coords = voxel_coords(tris.reshape(-1, 3)).reshape(T, 3, 3)
+    lo, hi = coords.min(axis=1), coords.max(axis=1)
+    counts = np.zeros(GRID_RES ** 3, np.int64)
+    spans = []
+    for t in range(T):
+        zz, yy, xx = np.meshgrid(
+            np.arange(lo[t, 2], hi[t, 2] + 1),
+            np.arange(lo[t, 1], hi[t, 1] + 1),
+            np.arange(lo[t, 0], hi[t, 0] + 1), indexing="ij")
+        cells = (zz * GRID_RES * GRID_RES + yy * GRID_RES + xx).ravel()
+        spans.append(cells)
+        np.add.at(counts, cells, 1)
+    starts = np.zeros(GRID_RES ** 3 + 1, np.int64)
+    np.cumsum(counts, out=starts[1:])
+    refs = np.zeros(max(int(starts[-1]), 1), np.int32)
+    cursor = starts[:-1].copy()
+    for t in range(T):
+        refs[cursor[spans[t]]] = t
+        cursor[spans[t]] += 1
+    return starts[:-1], counts, refs
+
+
+@needs_native
+class TestNativeGrid:
+    def test_matches_numpy_on_mario(self):
+        b, _ = build_world(WORLD_MARIO)
+        tris = b.triangles.astype(np.float32)
+        s_n, c_n, r_n = native.grid_build_native(
+            tris.reshape(len(tris), 9), GRID_RES, CELL_SIZE)
+        s_p, c_p, r_p = _numpy_grid(tris)
+        np.testing.assert_array_equal(c_n, c_p)
+        np.testing.assert_array_equal(s_n, s_p)
+        np.testing.assert_array_equal(r_n, r_p)
+
+    def test_out_of_bounds_raises(self):
+        tris = np.array([[[0, 0, 0, 3.0, 0, 0, 0, 1, 0]]], np.float32).reshape(1, 9)
+        with pytest.raises(ValueError, match="out of the world bounds"):
+            native.grid_build_native(tris, GRID_RES, CELL_SIZE)
+
+
+@needs_native
+class TestNativeCompare:
+    def test_similarity_matches_python(self, rng):
+        a32 = rng.randint(0, 2**32, (16, 16), dtype=np.uint64).astype(np.uint32)
+        b32 = rng.randint(0, 2**32, (16, 16), dtype=np.uint64).astype(np.uint32)
+
+        def unpack(p):
+            return np.stack([(p >> 16) & 0xFF, (p >> 8) & 0xFF,
+                             p & 0xFF, (p >> 24) & 0xFF], -1).astype(np.uint8)
+
+        for legacy in (False, True):
+            py = percentage_similarity(unpack(a32), unpack(b32), legacy=legacy)
+            nat = native.percentage_similarity_native(a32, b32, legacy=legacy)
+            assert abs(py - nat) < 1e-9
+
+    def test_exe_runs(self, tmp_path, rng):
+        exe = native.compare_exe_path()
+        assert exe is not None
+        img = rng.randint(0, 2**32, (8, 12), dtype=np.uint64).astype(np.uint32)
+        p1, p2 = str(tmp_path / "a.bmp"), str(tmp_path / "b.bmp")
+        write_bmp(p1, img)
+        write_bmp(p2, img)
+        out = subprocess.run([exe, p1, p2], capture_output=True, text=True)
+        assert out.returncode == 0
+        assert "Percentage Similarity: 100.000000 %" in out.stdout
+        assert "RMSE: 0.000000" in out.stdout
+
+    def test_exe_error_paths(self, tmp_path, rng):
+        exe = native.compare_exe_path()
+        img = rng.randint(0, 2**32, (8, 12), dtype=np.uint64).astype(np.uint32)
+        p1 = str(tmp_path / "a.bmp")
+        write_bmp(p1, img)
+        out = subprocess.run([exe, p1, "/nope.bmp"], capture_output=True, text=True)
+        assert "invalid file path" in out.stdout
+        img2 = rng.randint(0, 2**32, (8, 10), dtype=np.uint64).astype(np.uint32)
+        p2 = str(tmp_path / "b.bmp")
+        write_bmp(p2, img2)
+        out = subprocess.run([exe, p1, p2], capture_output=True, text=True)
+        assert "must have same width" in out.stdout
