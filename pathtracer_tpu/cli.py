@@ -80,7 +80,8 @@ def print_help():
     print("\tr       - Disable loading roughness material textures.")
     print("\th       - Print this help menu.")
     print("\nTPU extensions: --size WxH --out PATH --png PATH --debug MODE "
-          "--seed N --checkpoint PATH --chunk N --profile DIR --single-chip")
+          "--seed N --checkpoint PATH --chunk N --profile DIR --single-chip "
+          "--rr --mode auto|unrolled|wavefront --preview PATH --probe-pixel X,Y")
 
 
 def main(argv=None):
@@ -100,6 +101,16 @@ def main(argv=None):
     ap.add_argument("--chunk", type=int, default=None)
     ap.add_argument("--profile", default=None)
     ap.add_argument("--single-chip", action="store_true")
+    ap.add_argument("--rr", action="store_true",
+                    help="Russian-roulette path termination (unbiased)")
+    ap.add_argument("--mode", default="auto",
+                    choices=["auto", "unrolled", "wavefront"])
+    ap.add_argument("--preview", default=None,
+                    help="write a progressive preview PNG at each --chunk "
+                         "boundary (the live-viewer role, win32_main.cpp:252-274)")
+    ap.add_argument("--probe-pixel", default=None, metavar="X,Y",
+                    help="print mean/variance radiance of one pixel "
+                         "(the DEBUG_MIDDLE_PIXEL role, win32_main.cpp:18,1011-1014)")
     args = ap.parse_args(rest)
 
     import jax
@@ -143,7 +154,8 @@ def main(argv=None):
     print()
 
     cfg = RenderConfig(width=w, height=h, pp=pp, seed=args.seed,
-                       debug_kind=args.debug)
+                       debug_kind=args.debug,
+                       use_russian_roulette=args.rr, mode=args.mode)
 
     state = None
     if args.checkpoint:
@@ -159,6 +171,13 @@ def main(argv=None):
         if args.checkpoint:
             from .render.progressive import save_checkpoint
             save_checkpoint(args.checkpoint, st)
+        if args.preview and int(st.count.shape[0]) == w * h:
+            # (the sharded path carries padding lanes mid-render; preview
+            # only on exact-size states)
+            from .render.renderer import finalize as _finalize
+            from PIL import Image
+            pk = np.asarray(_finalize(st, cfg))
+            Image.fromarray(packed_to_rgb(pk)[::-1]).save(args.preview)
 
     with timer.phase("render"), profiler_trace(args.profile):
         t0 = time.perf_counter()
@@ -180,6 +199,18 @@ def main(argv=None):
         if args.png:
             from PIL import Image
             Image.fromarray(packed_to_rgb(packed)[::-1]).save(args.png)
+
+    if args.probe_pixel:
+        px, py = (int(v) for v in args.probe_pixel.split(","))
+        lin = py * w + px
+        cnt = max(float(np.asarray(state.count[lin])), 1.0)
+        mean = [float(np.asarray(c[lin])) / cnt for c in
+                (state.sum.x, state.sum.y, state.sum.z)]
+        var = [float(np.asarray(sq[lin])) / cnt - m * m for sq, m in
+               zip((state.sum_sq.x, state.sum_sq.y, state.sum_sq.z), mean)]
+        print(f"probe pixel ({px},{py}): mean radiance = "
+              f"({mean[0]:f},{mean[1]:f},{mean[2]:f})  variance = "
+              f"({var[0]:f},{var[1]:f},{var[2]:f})  samples = {cnt:.0f}")
 
     m = RenderMetrics(rays_cast=float(np.asarray(state.rays_cast)),
                       wall_seconds=wall, width=w, height=h, spp=pp * pp,

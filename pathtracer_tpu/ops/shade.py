@@ -35,7 +35,10 @@ def schlick_metal(F0: jnp.ndarray, cos_theta: jnp.ndarray,
     metalness, then F0 + (1-cos)^5 (1-F0) per channel."""
     shape = jnp.shape(cos_theta)
     vF0 = lerp(splat((1.0, 1.0, 1.0), shape) * F0, surface_color, metalness)
-    p = jnp.power(1.0 - cos_theta, 5.0)
+    # (1-cos)^5 as multiplies — pow is a transcendental on the VPU
+    m = 1.0 - cos_theta
+    m2 = m * m
+    p = m2 * m2 * m
     one = splat((1.0, 1.0, 1.0), shape)
     return Vec3(
         vF0.x + p * (one.x - vF0.x),

@@ -71,10 +71,15 @@ def _render_chunk_sharded(
     )
 
     def shard_fn(scene, key, s0, pixel_shard, st):
-        def body(k, acc):
-            return _one_sample(scene, camera, config, key, s0 + k, acc,
-                               pixel_shard)
-        st = jax.lax.fori_loop(0, n_samples, body, st)
+        if config.resolved_mode() == "wavefront":
+            from ..render.wavefront import render_chunk_wavefront
+            st = render_chunk_wavefront(scene, camera, config, key, s0,
+                                        n_samples, st, pixel_shard)
+        else:
+            def body(k, acc):
+                return _one_sample(scene, camera, config, key, s0 + k, acc,
+                                   pixel_shard)
+            st = jax.lax.fori_loop(0, n_samples, body, st)
         # combine scalar diagnostics across the mesh (ICI collective)
         return st._replace(
             nan_count=jax.lax.psum(st.nan_count, "tiles"),

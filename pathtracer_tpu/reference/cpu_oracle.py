@@ -5,7 +5,7 @@ This is the role BASELINE.md assigns to "a scalar NumPy/CPU reference": a
 straightforward per-pixel, per-sample, per-bounce port of the reference
 semantics (RayCast win32_main.cpp:558-823, RayCastIntersect :406-556,
 RenderTexel :990-1186) sharing NO code with the TPU integrator except the
-counter-based PRNG (utils/prng.py) — both consume identical threefry
+counter-based PRNG (utils/prng.py) — both consume identical PCG4D
 streams keyed on (pixel, sample, bounce, slot), so a TPU render and an
 oracle render of the same configuration agree to float32 rounding, not just
 in distribution. That is what makes the RMSE < 1e-3 golden gate meaningful.
@@ -232,7 +232,8 @@ def bespoke_sample_host(tex, u, v):
 
 def trace_path(world: HostWorld, o, d, u_bounce, just_cosine,
                use_metalness_maps=True, use_roughness_maps=True,
-               use_normal_maps=True, just_importance=False):
+               use_normal_maps=True, just_importance=False,
+               use_russian_roulette=False):
     """Iterative equivalent of RayCast(world, o, d, 0) consuming
     u_bounce[(bounce, slot)] uniforms. Kills zero-pdf / degenerate draws
     instead of retrying (same policy as the TPU integrator)."""
@@ -338,7 +339,14 @@ def trace_path(world: HostWorld, o, d, u_bounce, just_cosine,
                     world.textures[mat.albedo_idx - 1], hitpoint[0], hitpoint[1])
             brdf = ndotl * kd * albedo / PI
 
-        throughput = throughput * (F32(2.0) / px) * brdf
+        new_thr = throughput * (F32(2.0) / px) * brdf
+        if use_russian_roulette and b >= 1:
+            # mirror integrator.russian_roulette exactly (same u[4] slot)
+            q = F32(min(max(float(new_thr.max()), 0.05), 1.0))
+            if not (u_bounce[b][4] < q):
+                return radiance
+            new_thr = new_thr * (F32(1.0) / q)
+        throughput = new_thr
         o, d = hitpoint, L
 
     return radiance
@@ -355,6 +363,7 @@ def render_oracle(
     use_normal_maps: bool = True,
     use_metalness_maps: bool = True,
     use_roughness_maps: bool = True,
+    use_russian_roulette: bool = False,
 ) -> np.ndarray:
     """Full oracle render -> (H, W, 3) float32 mean radiance (pre-tonemap)."""
     import jax
@@ -372,12 +381,13 @@ def render_oracle(
     lens_u = np.zeros((n_pix, pp, 2), np.float32)
     for s in range(spp):
         pkeys = prng.path_keys(key, jax.numpy.asarray(pixel_idx), jax.numpy.asarray(s))
-        jit_u[:, s] = np.asarray(prng.jitter_uniforms_v(pkeys))
+        jit_u[:, s] = np.stack([np.asarray(x) for x in prng.jitter_uniforms_v(pkeys)], -1)
         for b in range(MAX_BOUNCE_COUNT - 1):
-            bnc_u[:, s, b] = np.asarray(prng.bounce_uniforms_v(pkeys, b))
+            bnc_u[:, s, b] = np.stack(
+                [np.asarray(x) for x in prng.bounce_uniforms_v(pkeys, b)], -1)
     for ri in range(pp):
         pkeys = prng.path_keys(key, jax.numpy.asarray(pixel_idx), jax.numpy.asarray(ri))
-        lens_u[:, ri] = np.asarray(prng.lens_uniforms_v(pkeys))
+        lens_u[:, ri] = np.stack([np.asarray(x) for x in prng.lens_uniforms_v(pkeys)], -1)
 
     cam = camera
     img = np.zeros((height, width, 3), np.float32)
@@ -409,7 +419,8 @@ def render_oracle(
                         d = normalize(fp - pos)
                         rad = trace_path(world, pos, d, bnc_u[p, s], just_cosine,
                                          use_metalness_maps, use_roughness_maps,
-                                         use_normal_maps)
+                                         use_normal_maps,
+                                         use_russian_roulette=use_russian_roulette)
                         if np.any(np.isnan(rad)):
                             continue
                         color += rad
@@ -438,7 +449,8 @@ def render_oracle(
                         dd = normalize(focal_point - od)
                         rad = trace_path(world, od, dd, bnc_u[p, s], just_cosine,
                                          use_metalness_maps, use_roughness_maps,
-                                         use_normal_maps)
+                                         use_normal_maps,
+                                         use_russian_roulette=use_russian_roulette)
                         if np.any(np.isnan(rad)):
                             continue
                         color += rad

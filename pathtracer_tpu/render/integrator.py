@@ -1,20 +1,26 @@
-"""Wavefront path integrator: lax-style bounce loop over SoA ray batches.
+"""Wavefront path integrator: bounce stepping over SoA ray batches.
 
 The reference integrator is a recursive megakernel (`RayCast`,
 win32_main.cpp:558-823) with divergent control flow. Recursion and
 divergence don't map to XLA, so the TPU build restructures it as an
-*iterative throughput accumulation*: unrolled over MAX_BOUNCE_COUNT=4
-bounces, carrying per-lane (origin, direction, throughput, radiance, alive).
-Unrolling the observation
+*iterative throughput accumulation*. Unrolling the observation
 
     RayCast(depth) = emit(depth) + w(depth) * RayCast(depth+1),
     w = 2 * (1/px) * brdfTerm                      (win32_main.cpp:780-782)
 
 gives   radiance = sum_b [ prod_{k<b} w(k) ] * emit(b),
 
-which this module evaluates with masked lanes instead of branches. All
-estimator semantics are preserved exactly:
+evaluated with masked lanes instead of branches. Two drivers share the
+single-sourced per-bounce shading step (:func:`shade_bounce`):
 
+- :func:`trace` — the unrolled 4-bounce loop (supports every debug render
+  kind; the oracle-comparison reference path);
+- render/wavefront.py — the persistent path-regeneration loop (terminated
+  lanes immediately start their pixel's next sample, ~100% lane utilization;
+  the production/throughput path). Both produce bit-identical radiance per
+  (pixel, sample) because randomness is a pure function of those counters.
+
+Estimator semantics preserved exactly:
 - 50/50 estimator split with the x2 correction weight (win32_main.cpp:661-670);
 - mirror path for EffectivelySmooth surfaces, px=1 (:672-675);
 - diffuse estimator = 50/50 mixture of cosine-hemisphere and
@@ -31,12 +37,16 @@ Divergences from the reference (documented, intentional):
   to-sphere sample degenerates (`continue`, :700,:722); such lanes are
   measure-zero — we kill them (weight 0) instead of looping;
 - NaN radiance is masked out by the accumulator (renderer.py) rather than
-  resampled (:1068), keeping the estimator deterministic per (pixel,sample).
+  resampled (:1068), keeping the estimator deterministic per (pixel,sample);
+- optional Russian roulette (OFF by default; the reference lists it as a
+  TODO :187 and the north star requires it): after the first bounce a path
+  survives with probability q = clamp(max(throughput), q_min, 1) and is
+  reweighted by 1/q — unbiased.
 """
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -73,47 +83,250 @@ class TraceStats(NamedTuple):
     rays_cast: jnp.ndarray  # scalar: total intersect invocations over live lanes
 
 
+class BounceOut(NamedTuple):
+    """Result of shading one bounce at a batch of hits."""
+    emit: Vec3            # material emission at the hit (add thr*emit)
+    hitpoint: Vec3        # next ray origin
+    L: Vec3               # next ray direction
+    weight: Vec3          # throughput multiplier 2/px * brdfTerm
+    cont: jnp.ndarray     # path continues (surface hit, valid estimator draw)
+    hit_sky: jnp.ndarray
+    hit_light: jnp.ndarray
+    front_facing: jnp.ndarray  # NdotV > 0 (for the termination debug target)
+    shading_normal: Vec3  # post-normal-map N (primary-ray-normals target)
+
+
+_SELECT_LOOKUP_MAX = 32
+
+
 def _material_lookup(scene: Scene, mat: jnp.ndarray):
-    """Gather the per-lane material record (material_t, ray.hpp:36-79)."""
-    return dict(
-        albedo=gather(scene.mat_albedo, mat),
-        emit=gather(scene.mat_emit, mat),
-        metal_color=gather(scene.mat_metal_color, mat),
-        metalness=scene.mat_metalness[mat],
-        roughness=scene.mat_roughness[mat],
-        ior=scene.mat_ior[mat],
-        albedo_idx=scene.mat_albedo_idx[mat],
-        metalness_idx=scene.mat_metalness_idx[mat],
-        roughness_idx=scene.mat_roughness_idx[mat],
-        normal_idx=scene.mat_normal_idx[mat],
+    """Per-lane material record lookup (material_t, ray.hpp:36-79).
+
+    For small tables an unrolled compare/select sweep beats a hardware
+    gather on the VPU (one vectorized compare+select per row vs a serial
+    gather per lane); large tables (world 4's ~400 materials) use gathers.
+    """
+    n = scene.n_materials
+    fields = dict(
+        albedo=scene.mat_albedo, emit=scene.mat_emit,
+        metal_color=scene.mat_metal_color,
+        metalness=scene.mat_metalness, roughness=scene.mat_roughness,
+        ior=scene.mat_ior,
+        albedo_idx=scene.mat_albedo_idx,
+        metalness_idx=scene.mat_metalness_idx,
+        roughness_idx=scene.mat_roughness_idx,
+        normal_idx=scene.mat_normal_idx,
     )
+    if n > _SELECT_LOOKUP_MAX:
+        return {
+            k: gather(v, mat) if isinstance(v, Vec3) else v[mat]
+            for k, v in fields.items()
+        }
+    out = {}
+    for k, v in fields.items():
+        if isinstance(v, Vec3):
+            accx = jnp.full(mat.shape, v.x[0])
+            accy = jnp.full(mat.shape, v.y[0])
+            accz = jnp.full(mat.shape, v.z[0])
+            for i in range(1, n):
+                take = mat == i
+                accx = jnp.where(take, v.x[i], accx)
+                accy = jnp.where(take, v.y[i], accy)
+                accz = jnp.where(take, v.z[i], accz)
+            out[k] = Vec3(accx, accy, accz)
+        else:
+            acc = jnp.full(mat.shape, v[0], v.dtype)
+            for i in range(1, n):
+                acc = jnp.where(mat == i, v[i], acc)
+            out[k] = acc
+    return out
+
+
+def shade_bounce(
+    scene: Scene,
+    o: Vec3,
+    d: Vec3,
+    hit: Hit,
+    u,  # tuple of BOUNCE_SLOTS (N,) uniforms
+    just_importance: bool = False,
+) -> BounceOut:
+    """One bounce of RayCast's surface interaction (win32_main.cpp:576-792):
+    material fetch, texture-driven parameters, estimator selection, BSDF
+    weight. Pure function of (scene, ray, hit, uniforms) — shared verbatim
+    by the unrolled and regeneration drivers."""
+    just_cosine = scene.just_cosine
+    shape = jnp.shape(o.x)
+    ones_vec = splat((1.0, 1.0, 1.0), shape)
+
+    mat = _material_lookup(scene, hit.mat)
+    emit = mat["emit"]
+    hit_sky = hit.mat == 0
+    hit_light = (emit.x != 0.0) | (emit.y != 0.0) | (emit.z != 0.0)
+    surface = ~hit_sky & ~hit_light
+
+    # --- geometric terms (win32_main.cpp:592-651) -------------------------
+    N_geom = hit.normal
+    cos_theta_in = dot(N_geom, d)
+    cos_theta_in = jnp.where(cos_theta_in > 0.0, -cos_theta_in, cos_theta_in)
+    hitpoint = o + d * hit.t
+    pure_bounce = d - N_geom * (2.0 * cos_theta_in)
+    V = -d
+
+    # texture-driven material parameters (win32_main.cpp:613-644)
+    metalness = mat["metalness"]
+    roughness = mat["roughness"]
+    N = N_geom
+    if scene.n_textures:
+        uvx, uvy = hitpoint.x, hitpoint.y
+        if scene.use_metalness_maps:
+            mtl_tex = bespoke_sample(scene, jnp.maximum(mat["metalness_idx"] - 1, 0), uvx, uvy)
+            metalness = jnp.where(mat["metalness_idx"] != 0, mtl_tex.x, metalness)
+        if scene.use_roughness_maps:
+            rgh_tex = bespoke_sample(scene, jnp.maximum(mat["roughness_idx"] - 1, 0), uvx, uvy)
+            roughness = jnp.where(mat["roughness_idx"] != 0, rgh_tex.x, roughness)
+        if scene.use_normal_maps:
+            n_tex = bespoke_sample(scene, jnp.maximum(mat["normal_idx"] - 1, 0), uvx, uvy)
+            n_mapped = normalize(
+                Vec3(2.0 * n_tex.x - 1.0, 2.0 * n_tex.y - 1.0, 2.0 * n_tex.z - 1.0),
+                eps=1e-30,
+            )
+            use_nm = mat["normal_idx"] != 0
+            N = vwhere(use_nm, n_mapped, N)
+
+    ndotv = dot(N, V)
+    front_facing = ndotv > 0.0
+
+    # --- estimator (win32_main.cpp:660-792) --------------------------------
+    b_specular = u[0] > 0.5
+    b_sample_cosine = u[1] > 0.5
+
+    smooth = effectively_smooth(roughness)
+    tx, ty, tz = orthonormal_basis(N)
+
+    # case B: rough specular — GGX half vector in the N-frame (:724-731)
+    h_t = ggx_half_vector(u[2], u[3], roughness)
+    H_spec = normalize(from_tangent(h_t, tx, ty, tz), eps=1e-30)
+    L_spec = H_spec * (2.0 * dot(V, H_spec)) - V
+
+    # case C: diffuse — cosine or to-sphere sample (:676-722)
+    light_center = Vec3(scene.sph_center.x[0], scene.sph_center.y[0],
+                        scene.sph_center.z[0])
+    light_radius = scene.sph_radius[0]
+    cos_dir = cosine_hemisphere(u[2], u[3])
+    light_dir = light_center - hitpoint
+    sph_dir, ts_valid = to_sphere(u[2], u[3], light_center, light_radius, hitpoint)
+    lx, ly, lz = orthonormal_basis(light_dir)
+    if just_importance:
+        use_cosine = jnp.zeros(shape, bool)
+    elif just_cosine:
+        use_cosine = jnp.ones(shape, bool)
+    else:
+        use_cosine = b_sample_cosine
+    r_dir = vwhere(use_cosine, cos_dir, sph_dir)
+    fx, fy, fz = (
+        vwhere(use_cosine, tx, lx),
+        vwhere(use_cosine, ty, ly),
+        vwhere(use_cosine, tz, lz),
+    )
+    L_diff = normalize(from_tangent(r_dir, fx, fy, fz), eps=1e-30)
+    # mixture pdf: cosine pdf of the raw sample in its own frame (the
+    # reference quirk) + solid-angle pdf of the world-space direction
+    pcos = pdf_cosine(r_dir)
+    _, sph_hit, _ = ray_sphere(hitpoint, L_diff, light_center, light_radius,
+                               MIN_HIT_DISTANCE)
+    psph = pdf_to_sphere(sph_hit, light_center, light_radius, hitpoint)
+    if just_cosine:
+        px_diff = pcos
+    elif just_importance:
+        px_diff = psph
+    else:
+        px_diff = 0.5 * pcos + 0.5 * psph
+    diff_valid = (px_diff > 0.0) & (use_cosine | ts_valid)
+
+    # select estimator results per lane
+    case_a = b_specular & smooth
+    case_b = b_specular & ~smooth
+    L = vwhere(case_a, pure_bounce, vwhere(case_b, L_spec, L_diff))
+    H = vwhere(case_b, H_spec, normalize(L_diff + V, eps=1e-30))
+    px = jnp.where(b_specular, 1.0, px_diff)
+    est_valid = jnp.where(b_specular, True, diff_valid)
+
+    ndotl = dot(N, L)
+    in_hemisphere = ndotl > 0.0
+
+    # Fresnel (win32_main.cpp:738-749)
+    ior = mat["ior"]
+    F0 = ((N_AIR - ior) / (N_AIR + ior)) ** 2
+    hdotl = dot(H, L)
+    hdotv = dot(H, V)
+    ks_cos = jnp.where(smooth, ndotl, hdotl)
+    ks = schlick_metal(F0, ks_cos, metalness, mat["metal_color"])
+    hv_ok = smooth | ((hdotv > 0.0) & (hdotl > 0.0))
+
+    # kd with metal kill (win32_main.cpp:751-759)
+    kd = Vec3(
+        (ones_vec.x - ks.x) * (1.0 - metalness),
+        (ones_vec.y - ks.y) * (1.0 - metalness),
+        (ones_vec.z - ks.z) * (1.0 - metalness),
+    )
+
+    # brdfTerm (win32_main.cpp:761-773)
+    albedo = mat["albedo"]
+    if scene.n_textures:
+        alb_tex = bespoke_sample(scene, jnp.maximum(mat["albedo_idx"] - 1, 0),
+                                 hitpoint.x, hitpoint.y)
+        albedo = vwhere(mat["albedo_idx"] != 0, alb_tex, albedo)
+    brdf_diff = hadamard(kd, albedo) * (ndotl / PI)
+    spec_scalar = brdf_specular_scalar(N, L, V, H, roughness)
+    brdf_spec = ks * spec_scalar
+    brdf = vwhere(case_a, ks, vwhere(case_b, brdf_spec, brdf_diff))
+
+    inv_px = jnp.where(px > 0.0, 1.0 / jnp.where(px > 0.0, px, 1.0), 0.0)
+    weight = brdf * (2.0 * inv_px)
+
+    cont = surface & front_facing & in_hemisphere & hv_ok & est_valid
+
+    return BounceOut(
+        emit=emit, hitpoint=hitpoint, L=L, weight=weight, cont=cont,
+        hit_sky=hit_sky, hit_light=hit_light, front_facing=front_facing,
+        shading_normal=vwhere(surface, N, N_geom),
+    )
+
+
+def russian_roulette(throughput: Vec3, u_rr: jnp.ndarray, q_min: float = 0.05):
+    """Unbiased RR: survive with q = clamp(max channel of throughput,
+    q_min, 1), reweight by 1/q. The reference lists RR as unrealized future
+    work (win32_main.cpp:187); BASELINE.json's north star requires it."""
+    lum = jnp.maximum(jnp.maximum(throughput.x, throughput.y), throughput.z)
+    q = jnp.clip(lum, q_min, 1.0)
+    survive = u_rr < q
+    inv_q = 1.0 / q
+    return survive, Vec3(throughput.x * inv_q, throughput.y * inv_q,
+                         throughput.z * inv_q)
 
 
 def trace(
     scene: Scene,
     o: Vec3,
     d: Vec3,
-    pkeys: jax.Array,
+    pkeys: prng.PathStream,
     debug_kind: str = REGULAR,
     just_importance: bool = False,
+    use_russian_roulette: bool = False,
 ) -> Tuple[Vec3, TraceStats]:
-    """Trace a batch of primary rays to radiance (RayCast, win32_main.cpp:558-823).
-
-    ``pkeys`` are per-path threefry keys (utils/prng.py); all randomness is
-    a pure function of them, so results are independent of batch shape and
-    sharding.
-    """
+    """Trace a batch of primary rays to radiance (RayCast, win32_main.cpp:558-823),
+    unrolled over MAX_BOUNCE_COUNT. ``pkeys`` are per-path PCG4D streams
+    (utils/prng.py); all randomness is a pure function of them, so results
+    are independent of batch shape and sharding."""
     assert debug_kind in DEBUG_KINDS
-    just_cosine = scene.just_cosine
-    assert not (just_cosine and just_importance), "they can't both be true"
+    assert not (scene.just_cosine and just_importance), "they can't both be true"
 
     shape = jnp.shape(o.x)
     zeros = lambda: jnp.zeros(shape)
     zvec = lambda: Vec3(zeros(), zeros(), zeros())
-    ones_vec = splat((1.0, 1.0, 1.0), shape)
 
     radiance = zvec()
-    throughput = ones_vec
+    throughput = splat((1.0, 1.0, 1.0), shape)
     alive = jnp.ones(shape, bool)
     rays_cast = jnp.zeros((), jnp.float32)
 
@@ -122,21 +335,20 @@ def trace(
     cond_color = zvec()
     cond_done = jnp.zeros(shape, bool)
 
-    light_center = Vec3(scene.sph_center.x[0], scene.sph_center.y[0], scene.sph_center.z[0])
-    light_radius = scene.sph_radius[0]
-
     accumulate_regular = debug_kind in (REGULAR, VARIANCE)
 
     for b in range(MAX_BOUNCE_COUNT):
         rays_cast = rays_cast + jnp.sum(alive.astype(jnp.float32))
         hit = intersect_scene(scene, o, d)
-        mat = _material_lookup(scene, hit.mat)
-        emit = mat["emit"]
+        is_terminal_depth = b == MAX_BOUNCE_COUNT - 1
+
+        u = prng.bounce_uniforms_v(pkeys, b)
+        out = shade_bounce(scene, o, d, hit, u, just_importance=just_importance)
 
         if accumulate_regular:
             # radiance += emitColor at every level (win32_main.cpp:799),
             # scaled by the path throughput.
-            contrib = hadamard(throughput, emit)
+            contrib = hadamard(throughput, out.emit)
             radiance = Vec3(
                 jnp.where(alive, radiance.x + contrib.x, radiance.x),
                 jnp.where(alive, radiance.y + contrib.y, radiance.y),
@@ -151,158 +363,36 @@ def trace(
                 jnp.where(alive, radiance.z + c, radiance.z),
             )
 
-        hit_sky = hit.mat == 0
-        hit_light = (emit.x != 0.0) | (emit.y != 0.0) | (emit.z != 0.0)
-        is_terminal_depth = b == MAX_BOUNCE_COUNT - 1
-
-        surface = alive & ~hit_sky & ~hit_light
-
-        # --- geometric terms (win32_main.cpp:592-651) ---------------------
-        N_geom = hit.normal
-        cos_theta_in = dot(N_geom, d)
-        cos_theta_in = jnp.where(cos_theta_in > 0.0, -cos_theta_in, cos_theta_in)
-        hitpoint = o + d * hit.t
-        pure_bounce = d - N_geom * (2.0 * cos_theta_in)
-        V = -d
-
-        # texture-driven material parameters (win32_main.cpp:613-644)
-        metalness = mat["metalness"]
-        roughness = mat["roughness"]
-        N = N_geom
-        if scene.n_textures:
-            uvx, uvy = hitpoint.x, hitpoint.y
-            if scene.use_metalness_maps:
-                mtl_tex = bespoke_sample(scene, jnp.maximum(mat["metalness_idx"] - 1, 0), uvx, uvy)
-                metalness = jnp.where(mat["metalness_idx"] != 0, mtl_tex.x, metalness)
-            if scene.use_roughness_maps:
-                rgh_tex = bespoke_sample(scene, jnp.maximum(mat["roughness_idx"] - 1, 0), uvx, uvy)
-                roughness = jnp.where(mat["roughness_idx"] != 0, rgh_tex.x, roughness)
-            if scene.use_normal_maps:
-                n_tex = bespoke_sample(scene, jnp.maximum(mat["normal_idx"] - 1, 0), uvx, uvy)
-                n_mapped = normalize(
-                    Vec3(2.0 * n_tex.x - 1.0, 2.0 * n_tex.y - 1.0, 2.0 * n_tex.z - 1.0),
-                    eps=1e-30,
-                )
-                use_nm = mat["normal_idx"] != 0
-                N = vwhere(use_nm, n_mapped, N)
-
         if b == 0:
             # primary-ray normals debug: N after optional normal mapping for
             # surfaces, geometric N (0 for sky) otherwise (win32_main.cpp:806-807)
-            primary_n = vwhere(surface, N, N_geom)
-
-        ndotv = dot(N, V)
-        front_facing = ndotv > 0.0
+            primary_n = out.shading_normal
 
         if debug_kind == TERMINATION_CONDITION:
             # color-coded first termination cause (win32_main.cpp:809-820)
             def set_cond(mask, rgb, color, done):
                 take = mask & alive & ~done
                 return vwhere(take, splat(rgb, shape), color), done | take
-            cond_color, cond_done = set_cond(hit_sky, (0, 0, 1), cond_color, cond_done)
-            cond_color, cond_done = set_cond(hit_light, (0, 1, 0), cond_color, cond_done)
+            cond_color, cond_done = set_cond(out.hit_sky, (0, 0, 1), cond_color, cond_done)
+            cond_color, cond_done = set_cond(out.hit_light, (0, 1, 0), cond_color, cond_done)
             cond_color, cond_done = set_cond(
                 jnp.full(shape, is_terminal_depth), (1, 0, 0), cond_color, cond_done)
-            cond_color, cond_done = set_cond(~front_facing, (1, 1, 0), cond_color, cond_done)
+            cond_color, cond_done = set_cond(~out.front_facing, (1, 1, 0), cond_color, cond_done)
 
         if is_terminal_depth:
             alive = jnp.zeros(shape, bool)
             break
 
-        # --- estimator (win32_main.cpp:660-792) ----------------------------
-        u = prng.bounce_uniforms_v(pkeys, b)
-        u = [u[..., i] for i in range(u.shape[-1])]
-        b_specular = u[0] > 0.5
-        b_sample_cosine = u[1] > 0.5
-
-        smooth = effectively_smooth(roughness)
-        tx, ty, tz = orthonormal_basis(N)
-
-        # case B: rough specular — GGX half vector in the N-frame (:724-731)
-        h_t = ggx_half_vector(u[2], u[3], roughness)
-        H_spec = normalize(from_tangent(h_t, tx, ty, tz), eps=1e-30)
-        L_spec = H_spec * (2.0 * dot(V, H_spec)) - V
-
-        # case C: diffuse — cosine or to-sphere sample (:676-722)
-        cos_dir = cosine_hemisphere(u[2], u[3])
-        light_dir = light_center - hitpoint
-        sph_dir, ts_valid = to_sphere(u[2], u[3], light_center, light_radius, hitpoint)
-        lx, ly, lz = orthonormal_basis(light_dir)
-        if just_importance:
-            use_cosine = jnp.zeros(shape, bool)
-        elif just_cosine:
-            use_cosine = jnp.ones(shape, bool)
-        else:
-            use_cosine = b_sample_cosine
-        r_dir = vwhere(use_cosine, cos_dir, sph_dir)
-        fx, fy, fz = (
-            vwhere(use_cosine, tx, lx),
-            vwhere(use_cosine, ty, ly),
-            vwhere(use_cosine, tz, lz),
-        )
-        L_diff = normalize(from_tangent(r_dir, fx, fy, fz), eps=1e-30)
-        # mixture pdf: cosine pdf of the raw sample in its own frame (the
-        # reference quirk) + solid-angle pdf of the world-space direction
-        pcos = pdf_cosine(r_dir)
-        _, sph_hit, _ = ray_sphere(hitpoint, L_diff, light_center, light_radius,
-                                   MIN_HIT_DISTANCE)
-        psph = pdf_to_sphere(sph_hit, light_center, light_radius, hitpoint)
-        if just_cosine:
-            px_diff = pcos
-        elif just_importance:
-            px_diff = psph
-        else:
-            px_diff = 0.5 * pcos + 0.5 * psph
-        diff_valid = (px_diff > 0.0) & (use_cosine | ts_valid)
-
-        # select estimator results per lane
-        case_a = b_specular & smooth
-        case_b = b_specular & ~smooth
-        L = vwhere(case_a, pure_bounce, vwhere(case_b, L_spec, L_diff))
-        H = vwhere(case_b, H_spec, normalize(L_diff + V, eps=1e-30))
-        px = jnp.where(b_specular, 1.0, px_diff)
-        est_valid = jnp.where(b_specular, True, diff_valid)
-
-        ndotl = dot(N, L)
-        in_hemisphere = ndotl > 0.0
-
-        # Fresnel (win32_main.cpp:738-749)
-        ior = mat["ior"]
-        F0 = ((N_AIR - ior) / (N_AIR + ior)) ** 2
-        hdotl = dot(H, L)
-        hdotv = dot(H, V)
-        ks_cos = jnp.where(smooth, ndotl, hdotl)
-        ks = schlick_metal(F0, ks_cos, metalness, mat["metal_color"])
-        hv_ok = smooth | ((hdotv > 0.0) & (hdotl > 0.0))
-
-        # kd with metal kill (win32_main.cpp:751-759)
-        one = ones_vec
-        kd = Vec3(
-            (one.x - ks.x) * (1.0 - metalness),
-            (one.y - ks.y) * (1.0 - metalness),
-            (one.z - ks.z) * (1.0 - metalness),
-        )
-
-        # brdfTerm (win32_main.cpp:761-773)
-        albedo = mat["albedo"]
-        if scene.n_textures:
-            alb_tex = bespoke_sample(scene, jnp.maximum(mat["albedo_idx"] - 1, 0),
-                                     hitpoint.x, hitpoint.y)
-            albedo = vwhere(mat["albedo_idx"] != 0, alb_tex, albedo)
-        brdf_diff = hadamard(kd, albedo) * (ndotl / PI)
-        spec_scalar = brdf_specular_scalar(N, L, V, H, roughness)
-        brdf_spec = ks * spec_scalar
-        brdf = vwhere(case_a, ks, vwhere(case_b, brdf_spec, brdf_diff))
-
-        cont = (surface & front_facing & in_hemisphere & hv_ok & est_valid)
-
-        if debug_kind in (REGULAR, VARIANCE):
-            inv_px = jnp.where(px > 0.0, 1.0 / jnp.where(px > 0.0, px, 1.0), 0.0)
-            w = brdf * (2.0 * inv_px)
-            throughput = vwhere(cont, hadamard(throughput, w), throughput)
-
-        o = vwhere(cont, hitpoint, o)
-        d = vwhere(cont, L, d)
+        cont = alive & out.cont
+        if accumulate_regular:
+            new_thr = hadamard(throughput, out.weight)
+            if use_russian_roulette and b >= 1:
+                survive, rr_thr = russian_roulette(new_thr, u[4])
+                cont = cont & survive
+                new_thr = rr_thr
+            throughput = vwhere(cont, new_thr, throughput)
+        o = vwhere(cont, out.hitpoint, o)
+        d = vwhere(cont, out.L, d)
         alive = cont
 
     if debug_kind == PRIMARY_RAY_NORMALS:

@@ -79,7 +79,7 @@ def pinhole_rays(
     pp: int,
     i,
     j,
-    jitter_u: jnp.ndarray,  # (N, 2) uniforms
+    jitter_u,  # tuple of two (N,) uniform arrays
     pixel_idx=None,
 ) -> Tuple[Vec3, Vec3]:
     """Rays for stratum (i, j) of the g_pp x g_pp grid, for the given pixel
@@ -91,8 +91,8 @@ def pinhole_rays(
     step_y = (1.0 / pp) * hph * 2.0
     i = jnp.asarray(i, jnp.float32)
     j = jnp.asarray(j, jnp.float32)
-    x_step = (fX - hpw) + (i / pp) * hpw + 0.5 * step_x + (jitter_u[:, 0] - 0.5) * step_x
-    y_step = (fY - hph) + (j / pp) * hph + 0.5 * step_y + (jitter_u[:, 1] - 0.5) * step_y
+    x_step = (fX - hpw) + (i / pp) * hpw + 0.5 * step_x + (jitter_u[0] - 0.5) * step_x
+    y_step = (fY - hph) + (j / pp) * hph + 0.5 * step_y + (jitter_u[1] - 0.5) * step_y
 
     p = _film_point(camera, x_step, y_step)
     pin = splat(camera.pos, jnp.shape(fX))
@@ -107,15 +107,15 @@ def thin_lens_rays(
     pp: int,
     ray_index,
     ray_index2,
-    lens_u: jnp.ndarray,  # (N, 2) uniforms keyed on (pixel, ray_index)
+    lens_u,  # tuple of two (N,) uniform arrays keyed on (pixel, ray_index)
     pixel_idx=None,
 ) -> Tuple[Vec3, Vec3]:
     """Thin-lens rays for (rayIndex, rayIndex2) for the given pixel indices
     (win32_main.cpp:1087-1169)."""
     fX, fY = pixel_frustum_coords(width, height, pixel_idx)
 
-    off_x = fX + (2.0 * lens_u[:, 0] - 1.0) * camera.half_film_pixel_w
-    off_y = fY + (2.0 * lens_u[:, 1] - 1.0) * camera.half_film_pixel_h
+    off_x = fX + (2.0 * lens_u[0] - 1.0) * camera.half_film_pixel_w
+    off_y = fY + (2.0 * lens_u[1] - 1.0) * camera.half_film_pixel_h
     p = _film_point(camera, off_x, off_y)
     lens_center = splat(camera.pos, jnp.shape(fX))
     ray_dir = normalize(p - lens_center)

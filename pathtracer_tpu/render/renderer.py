@@ -44,10 +44,21 @@ class RenderConfig:
     seed: int = 0
     debug_kind: str = REGULAR
     just_importance: bool = False
+    # Russian roulette (reference TODO win32_main.cpp:187; north star
+    # requires it). Off by default to match the reference estimator.
+    use_russian_roulette: bool = False
+    # "auto": path-regeneration wavefront for regular/variance (fastest),
+    # unrolled bounce loop otherwise. "unrolled"/"wavefront" force a driver.
+    mode: str = "auto"
 
     @property
     def spp(self) -> int:
         return self.pp * self.pp
+
+    def resolved_mode(self) -> str:
+        if self.mode != "auto":
+            return self.mode
+        return "wavefront" if self.debug_kind in (REGULAR, VARIANCE) else "unrolled"
 
 
 class AccumState(NamedTuple):
@@ -101,7 +112,8 @@ def _one_sample(scene: Scene, camera: Camera, config: RenderConfig,
 
     radiance, stats = trace(scene, o, d, pkeys,
                             debug_kind=config.debug_kind,
-                            just_importance=config.just_importance)
+                            just_importance=config.just_importance,
+                            use_russian_roulette=config.use_russian_roulette)
 
     # NaN policy: mask & count (the reference resamples, win32_main.cpp:1068)
     bad = jnp.isnan(radiance.x) | jnp.isnan(radiance.y) | jnp.isnan(radiance.z)
@@ -129,7 +141,15 @@ def render_chunk(scene: Scene, camera: Camera, config: RenderConfig,
                  state: AccumState) -> AccumState:
     """Accumulate ``n_samples`` consecutive sample indices starting at s0.
     Jitted once per (scene shapes, camera, config, n_samples); the sample
-    loop runs on-device (lax.fori_loop), no host round-trips."""
+    loop runs on-device, no host round-trips. Dispatches to the
+    path-regeneration wavefront driver when the config allows (bit-identical
+    results, ~2.5x fewer lane-bounces on early-terminating scenes)."""
+    if config.resolved_mode() == "wavefront":
+        from .wavefront import render_chunk_wavefront
+        pixel_idx = jnp.arange(config.width * config.height, dtype=jnp.int32)
+        return render_chunk_wavefront(scene, camera, config, key, s0,
+                                      n_samples, state, pixel_idx)
+
     def body(k, st):
         return _one_sample(scene, camera, config, key, s0 + k, st)
     return jax.lax.fori_loop(0, n_samples, body, state)

@@ -37,6 +37,9 @@ TOLERANCE = 1e-9
 WORLD_SIZE = 5.0
 LEVELS = 6
 N_AIR = 1.003
+LIGHT_KIND_DIRECTIONAL = 0
+LIGHT_KIND_POINT = 1
+LIGHT_KIND_TRIANGLE = 2
 FIXED_FOCAL_LENGTH = 0.098
 MIN_ROUGHNESS = 0.01
 F32_MAX = float(np.finfo(np.float32).max)
@@ -103,6 +106,16 @@ class Scene:
     box_mat: jnp.ndarray
     box_mask: jnp.ndarray
 
+    # --- explicit lights (light_t, ray.hpp:122-135) ------------------------
+    # The reference defines directional/point/triangle lights but its only
+    # use is commented out (AddSunDirectionalLight, win32_main.cpp:2053-2056);
+    # lights are emissive GEOMETRY instead. Table kept for API parity; the
+    # integrator, like RayCast, never reads it.
+    light_kind: jnp.ndarray   # int32: 0 directional, 1 point, 2 triangle
+    light_vec: Vec3           # direction (directional) or position (point)
+    light_radiance: Vec3
+    light_mask: jnp.ndarray
+
     # --- acceleration structure (uniform grid over triangles) -------------
     # CSR layout: cell c owns grid_tris[grid_cell_start[c] : +grid_cell_count[c]].
     grid_cell_start: jnp.ndarray   # (ncells,) int32
@@ -157,6 +170,7 @@ class WorldBuilder:
 
     def __init__(self):
         self.materials: list[HostMaterial] = []
+        self.lights: list[tuple] = []       # (kind, vec, radiance)
         self.spheres: list[tuple] = []      # (center, radius, mat)
         self.quads: list[tuple] = []        # (point, u, v, mat)
         self.planes: list[tuple] = []       # (n, d, mat)
@@ -167,6 +181,11 @@ class WorldBuilder:
     def add_material(self, **kw) -> int:
         self.materials.append(HostMaterial(**kw))
         return len(self.materials) - 1
+
+    def add_light(self, kind, vec, radiance) -> int:
+        """light_t push (parity; the reference never renders these)."""
+        self.lights.append((int(kind), tuple(vec), tuple(radiance)))
+        return len(self.lights) - 1
 
     def add_sphere(self, center, radius, mat) -> int:
         self.spheres.append((tuple(center), float(radius), int(mat)))
@@ -286,6 +305,10 @@ class WorldBuilder:
             box_max=vec_table([], 8),
             box_mat=scalar_table([], 8, i32),
             box_mask=mask_table(0, 8),
+            light_kind=scalar_table([l[0] for l in self.lights], _pad(len(self.lights)), i32),
+            light_vec=vec_table([l[1] for l in self.lights], _pad(len(self.lights))),
+            light_radiance=vec_table([l[2] for l in self.lights], _pad(len(self.lights))),
+            light_mask=mask_table(len(self.lights), _pad(len(self.lights))),
             grid_cell_start=grid_start,
             grid_cell_count=grid_count,
             grid_tris=grid_tris,

@@ -100,18 +100,18 @@ class TestPrng:
         key = prng.base_key(0)
         idx = jnp.arange(100, dtype=jnp.int32)
         k_all = prng.path_keys(key, idx, jnp.zeros(100, jnp.int32))
-        u_all = prng.bounce_uniforms_v(k_all, 2)
+        u_all = np.stack([np.asarray(x) for x in prng.bounce_uniforms_v(k_all, 2)], -1)
         # same values regardless of batch decomposition
         k_half = prng.path_keys(key, idx[50:], jnp.zeros(50, jnp.int32))
-        u_half = prng.bounce_uniforms_v(k_half, 2)
-        np.testing.assert_array_equal(np.asarray(u_all[50:]), np.asarray(u_half))
+        u_half = np.stack([np.asarray(x) for x in prng.bounce_uniforms_v(k_half, 2)], -1)
+        np.testing.assert_array_equal(u_all[50:], u_half)
 
     def test_scalar_matches_vector(self):
         key = prng.base_key(7)
         pk = prng.path_key(key, jnp.asarray(13), jnp.asarray(5))
         u_scalar = np.asarray(prng.bounce_uniforms(pk, 1))
         ks = prng.path_keys(key, jnp.asarray([13], jnp.int32), jnp.asarray([5], jnp.int32))
-        u_vec = np.asarray(prng.bounce_uniforms_v(ks, 1))[0]
+        u_vec = np.asarray(prng.bounce_uniforms_v(ks, 1))[:, 0]
         np.testing.assert_array_equal(u_scalar, u_vec)
 
     def test_streams_distinct(self):
@@ -122,3 +122,30 @@ class TestPrng:
         c = np.asarray(prng.bounce_uniforms(pk, 0))
         assert not np.allclose(a, b)
         assert not np.allclose(a, c[:2])
+
+    def test_uniformity(self):
+        # PCG4D statistical sanity: mean ~ 0.5, var ~ 1/12, full range
+        key = prng.base_key(0)
+        ks = prng.path_keys(key, jnp.arange(100_000, dtype=jnp.int32), 0)
+        u = np.asarray(prng.bounce_uniforms_v(ks, 0)).ravel()
+        assert abs(u.mean() - 0.5) < 2e-3
+        assert abs(u.var() - 1.0 / 12.0) < 1e-3
+        assert u.min() < 1e-4 and u.max() > 1 - 1e-4
+        assert (u >= 0).all() and (u < 1).all()
+        # equidistribution: chi-square over 64 bins, ~6 sigma bound
+        counts, _ = np.histogram(u, bins=64, range=(0, 1))
+        expect = u.size / 64
+        chi2 = ((counts - expect) ** 2 / expect).sum()
+        assert chi2 < 64 + 6 * np.sqrt(2 * 64), chi2
+
+    def test_no_adjacent_correlation(self):
+        # adjacent pixels / samples / bounces must decorrelate
+        key = prng.base_key(0)
+        ks = prng.path_keys(key, jnp.arange(50_000, dtype=jnp.int32), 0)
+        u0 = np.asarray(prng.bounce_uniforms_v(ks, 0)[2])
+        u1 = np.asarray(prng.bounce_uniforms_v(ks, 1)[2])
+        assert abs(np.corrcoef(u0, u1)[0, 1]) < 0.02
+        assert abs(np.corrcoef(u0[:-1], u0[1:])[0, 1]) < 0.02  # pixel p vs p+1
+        ks1 = prng.path_keys(key, jnp.arange(50_000, dtype=jnp.int32), 1)
+        v0 = np.asarray(prng.bounce_uniforms_v(ks1, 0)[2])
+        assert abs(np.corrcoef(u0, v0)[0, 1]) < 0.02  # sample s vs s+1
