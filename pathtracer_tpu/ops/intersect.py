@@ -187,9 +187,22 @@ def ray_aabb_hit(o: Vec3, d: Vec3, box_min: Vec3, box_max: Vec3) -> jnp.ndarray:
 # Scene-level nearest hit (RayCastIntersect, win32_main.cpp:406-556)
 # ---------------------------------------------------------------------------
 
+_UNROLL_MAX = 192
+
+
 def _scan_table(n_items, body, init):
-    """fori_loop over a primitive table (static trip count)."""
+    """Loop over a primitive table (static trip count).
+
+    Small tables unroll with python indices: static slices fuse better, and
+    Mosaic (the Pallas TPU compiler, which compiles this same code inside
+    render/pallas_backend.py) has no dynamic_slice. Large tables (world 4's
+    ~500 spheres) use fori_loop to bound code size.
+    """
     if n_items == 0:
+        return init
+    if n_items <= _UNROLL_MAX:
+        for i in range(n_items):
+            init = body(i, init)
         return init
     return jax.lax.fori_loop(0, n_items, body, init)
 

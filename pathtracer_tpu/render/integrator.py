@@ -249,7 +249,7 @@ def shade_bounce(
     L = vwhere(case_a, pure_bounce, vwhere(case_b, L_spec, L_diff))
     H = vwhere(case_b, H_spec, normalize(L_diff + V, eps=1e-30))
     px = jnp.where(b_specular, 1.0, px_diff)
-    est_valid = jnp.where(b_specular, True, diff_valid)
+    est_valid = b_specular | diff_valid
 
     ndotl = dot(N, L)
     in_hemisphere = ndotl > 0.0

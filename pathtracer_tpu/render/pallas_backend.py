@@ -1,0 +1,240 @@
+"""Pallas TPU backend: the fused wavefront render kernel.
+
+One `pl.pallas_call` renders a whole sample budget: the grid tiles the pixel
+batch into VMEM-resident blocks; for each block the kernel runs the SAME
+path-regeneration loop as render/wavefront.py — regenerate, intersect,
+shade, fold — entirely on-chip. The XLA wavefront driver carries ~25 (N,)
+arrays through HBM on every `lax.while_loop` iteration; here the state never
+leaves VMEM and only the final per-pixel accumulator block is written back.
+
+Crucially the kernel body CALLS THE SAME CODE as the XLA drivers —
+ops/intersect.intersect_scene and render/integrator.shade_bounce are plain
+jnp functions and lower through Mosaic unchanged — so there is no semantic
+fork to keep in sync; equivalence with the XLA wavefront driver is asserted
+in tests/test_pallas.py.
+
+Supported scene class (the benchmark-critical ones): no triangles and no
+textures — worlds 2 (BRDF grid), 3 (Cornell box), 4 (RTIOW). Texture
+gathers and grid traversal stay on the XLA path; renderer.render_chunk
+dispatches automatically.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..ops.intersect import intersect_scene
+from ..scene.camera import Camera
+from ..scene.schema import MAX_BOUNCE_COUNT, Scene
+from ..utils import prng
+from ..utils.vec import Vec3, hadamard, splat, where as vwhere
+from . import raygen
+from .integrator import REGULAR, VARIANCE, russian_roulette, shade_bounce
+from .renderer import AccumState, RenderConfig
+
+# Lanes per block: (rows, 128). 2048 lanes x ~30 live f32 arrays ~ 240 KB
+# of VMEM — comfortable, and enough rows to keep the VPU saturated.
+_BLOCK_ROWS = 16
+_LANES = 128
+BLOCK = _BLOCK_ROWS * _LANES
+
+
+def supports(scene: Scene, config: RenderConfig) -> bool:
+    """The fused kernel covers untextured, triangle-free scenes whose
+    primitive loops fully unroll (Mosaic has no dynamic_slice, so the
+    intersect loops must use static indices — ops/intersect._scan_table).
+    World 4's ~500 spheres exceed the cap and fall back to the XLA driver."""
+    from ..ops.intersect import _UNROLL_MAX
+    return (
+        scene.n_tris == 0
+        and scene.n_textures == 0
+        and max(scene.n_spheres, scene.n_quads, scene.n_planes) <= _UNROLL_MAX
+        and config.debug_kind in (REGULAR, VARIANCE)
+        and not config.just_importance
+    )
+
+
+def _wave_loop(scene: Scene, camera: Camera, config: RenderConfig,
+               key, s0, n_samples: int, pixel_idx: jnp.ndarray):
+    """The path-regeneration loop on one block of pixels (pure jnp; runs
+    inside the kernel). Mirrors render/wavefront.py exactly."""
+    shape = pixel_idx.shape
+    # Derive constants from the block data: Mosaic's layout inference
+    # rejects while-loop carries seeded with replicated splat constants
+    # ("Invalid relayout ... replicated in destination but not in source").
+    zeros = lambda: pixel_idx.astype(jnp.float32) * 0.0
+    zvec = lambda: Vec3(zeros(), zeros(), zeros())
+
+    def primary(s_abs):
+        if camera.use_pinhole:
+            i, j = s_abs // config.pp, s_abs % config.pp
+            stream = prng.PathStream(
+                jnp.broadcast_to(jnp.uint32(key), shape),
+                pixel_idx.astype(jnp.uint32), s_abs.astype(jnp.uint32))
+            jit_u = prng.jitter_uniforms_v(stream)
+            return raygen.pinhole_rays(camera, config.width, config.height,
+                                       config.pp, i, j, jit_u, pixel_idx)
+        ray_index, ray_index2 = s_abs // config.pp, s_abs % config.pp
+        lens_stream = prng.PathStream(
+            jnp.broadcast_to(jnp.uint32(key), shape),
+            pixel_idx.astype(jnp.uint32), ray_index.astype(jnp.uint32))
+        lens_u = prng.lens_uniforms_v(lens_stream)
+        return raygen.thin_lens_rays(camera, config.width, config.height,
+                                     config.pp, ray_index, ray_index2,
+                                     lens_u, pixel_idx)
+
+    def cond(carry):
+        s_rel = carry[0]
+        return jnp.any(s_rel < n_samples)
+
+    def body(carry):
+        (s_rel, bounce, o, d, thr, prad, acc_sum, acc_sq, count, nan_c, rays) = carry
+        done = s_rel >= n_samples
+        active = ~done
+
+        regen = active & (bounce == 0)
+        s_abs = s0 + s_rel
+        po, pd = primary(s_abs)
+        o = vwhere(regen, po, o)
+        d = vwhere(regen, pd, d)
+        thr = vwhere(regen, splat((1.0, 1.0, 1.0), shape), thr)
+        prad = vwhere(regen, zvec(), prad)
+
+        rays = rays + active.astype(jnp.float32)
+        hit = intersect_scene(scene, o, d)
+        stream = prng.PathStream(
+            jnp.broadcast_to(jnp.uint32(key), shape),
+            pixel_idx.astype(jnp.uint32), s_abs.astype(jnp.uint32))
+        u = prng.bounce_uniforms_v(stream, bounce)
+        out = shade_bounce(scene, o, d, hit, u)
+
+        contrib = hadamard(thr, out.emit)
+        prad = Vec3(
+            jnp.where(active, prad.x + contrib.x, prad.x),
+            jnp.where(active, prad.y + contrib.y, prad.y),
+            jnp.where(active, prad.z + contrib.z, prad.z),
+        )
+
+        at_depth_limit = bounce >= MAX_BOUNCE_COUNT - 1
+        cont = active & out.cont & ~at_depth_limit
+        new_thr = hadamard(thr, out.weight)
+        if config.use_russian_roulette:
+            survive, rr_thr = russian_roulette(new_thr, u[4])
+            rr_applies = bounce >= 1
+            cont = cont & (survive | ~rr_applies)
+            new_thr = vwhere(rr_applies, rr_thr, new_thr)
+
+        path_end = active & ~cont
+        bad = jnp.isnan(prad.x) | jnp.isnan(prad.y) | jnp.isnan(prad.z)
+        ok_end = path_end & ~bad
+        okf = ok_end.astype(jnp.float32)
+        rx = jnp.where(ok_end, prad.x, 0.0)
+        ry = jnp.where(ok_end, prad.y, 0.0)
+        rz = jnp.where(ok_end, prad.z, 0.0)
+
+        return (
+            jnp.where(path_end, s_rel + 1, s_rel),
+            jnp.where(path_end, 0, jnp.where(cont, bounce + 1, bounce)),
+            vwhere(cont, out.hitpoint, o),
+            vwhere(cont, out.L, d),
+            vwhere(cont, new_thr, thr),
+            prad,
+            Vec3(acc_sum.x + rx, acc_sum.y + ry, acc_sum.z + rz),
+            Vec3(acc_sq.x + rx * rx, acc_sq.y + ry * ry, acc_sq.z + rz * rz),
+            count + okf,
+            nan_c + (path_end & bad).astype(jnp.float32),
+            rays,
+        )
+
+    izeros = lambda: pixel_idx * 0
+    ones = lambda: zeros() + 1.0
+    init = (
+        izeros(), izeros(),
+        zvec(), Vec3(zeros(), zeros(), ones()),
+        Vec3(ones(), ones(), ones()), zvec(),
+        zvec(), zvec(), zeros(), zeros(), zeros(),
+    )
+    carry = jax.lax.while_loop(cond, body, init)
+    (_, _, _, _, _, _, acc_sum, acc_sq, count, nan_c, rays) = carry
+    return acc_sum, acc_sq, count, nan_c, rays
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("camera", "config", "n_samples", "interpret"),
+)
+def render_chunk_pallas(
+    scene: Scene, camera: Camera, config: RenderConfig,
+    key, s0, n_samples: int, state: AccumState, pixel_idx: jnp.ndarray,
+    interpret: bool = False,
+) -> AccumState:
+    """Drop-in replacement for the wavefront chunk on supported scenes."""
+    n = pixel_idx.shape[0]
+    n_pad = ((n + BLOCK - 1) // BLOCK) * BLOCK
+    pix = jnp.concatenate(
+        [pixel_idx.astype(jnp.int32),
+         jnp.zeros((n_pad - n,), jnp.int32)]) if n_pad != n else pixel_idx
+    pix2d = pix.reshape(-1, _LANES)  # (rows_total, 128)
+    rows_total = pix2d.shape[0]
+    grid = (rows_total // _BLOCK_ROWS,)
+
+    scene_leaves, scene_def = jax.tree_util.tree_flatten(scene)
+    sk = jnp.asarray(key, jnp.uint32).reshape(1, 1)
+    ss0 = jnp.asarray(s0, jnp.int32).reshape(1, 1)
+
+    def kernel(sk_ref, ss0_ref, pix_ref, *refs):
+        scene_refs = refs[: len(scene_leaves)]
+        outs = refs[len(scene_leaves):]
+        (sumx, sumy, sumz, sqx, sqy, sqz, cnt, nanc, rays) = outs
+        scene_local = jax.tree_util.tree_unflatten(
+            scene_def, [r[:] for r in scene_refs])
+        pixel_block = pix_ref[:]
+        acc_sum, acc_sq, count, nan_c, ray_c = _wave_loop(
+            scene_local, camera, config, sk_ref[0, 0], ss0_ref[0, 0],
+            n_samples, pixel_block)
+        sumx[:] = acc_sum.x
+        sumy[:] = acc_sum.y
+        sumz[:] = acc_sum.z
+        sqx[:] = acc_sq.x
+        sqy[:] = acc_sq.y
+        sqz[:] = acc_sq.z
+        cnt[:] = count
+        nanc[:] = nan_c
+        rays[:] = ray_c
+
+    blk = pl.BlockSpec((_BLOCK_ROWS, _LANES), lambda i: (i, 0),
+                       memory_space=pltpu.VMEM)
+    full = lambda leaf: pl.BlockSpec(memory_space=pltpu.VMEM)
+    out_shape = [jax.ShapeDtypeStruct((rows_total, _LANES), jnp.float32)
+                 for _ in range(9)]
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            blk,
+        ] + [full(l) for l in scene_leaves],
+        out_specs=[blk] * 9,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(sk, ss0, pix2d, *scene_leaves)
+
+    (sumx, sumy, sumz, sqx, sqy, sqz, cnt, nanc, rays) = [
+        a.reshape(-1)[:n] for a in outs[:7]
+    ] + [outs[7], outs[8]]
+
+    return AccumState(
+        sum=Vec3(state.sum.x + sumx, state.sum.y + sumy, state.sum.z + sumz),
+        sum_sq=Vec3(state.sum_sq.x + sqx, state.sum_sq.y + sqy,
+                    state.sum_sq.z + sqz),
+        count=state.count + cnt,
+        nan_count=state.nan_count + jnp.sum(nanc.reshape(-1)[:n]),
+        rays_cast=state.rays_cast + jnp.sum(rays.reshape(-1)[:n]),
+        samples_done=state.samples_done + n_samples,
+    )

@@ -135,11 +135,18 @@ def thin_lens_rays(
     t = (d_coef - (n[0] * lens_center.x + n[1] * lens_center.y + n[2] * lens_center.z)) / denom
     focal_point = lens_center + ray_dir * t
 
-    # Poisson-disk aperture point: disk[(rayIndex2 * rayIndex) % 12]
-    disk = jnp.asarray(POISSON_DISK, jnp.float32)
+    # Poisson-disk aperture point: disk[(rayIndex2 * rayIndex) % 12].
+    # Select-sweep over the 12-entry table instead of a gather (vector
+    # gathers are slow on the VPU and unsupported by Mosaic).
     idx = (jnp.asarray(ray_index2) * jnp.asarray(ray_index)) % NUM_POISSON
-    dx = disk[idx, 0] * camera.aperture_radius
-    dy = disk[idx, 1] * camera.aperture_radius
+    dx = jnp.zeros_like(jnp.asarray(idx, jnp.float32))
+    dy = jnp.zeros_like(dx)
+    for k, (px, py) in enumerate(POISSON_DISK):
+        take = idx == k
+        dx = jnp.where(take, px, dx)
+        dy = jnp.where(take, py, dy)
+    dx = dx * camera.aperture_radius
+    dy = dy * camera.aperture_radius
     axv, ayv = camera.axis_x, camera.axis_y
     o = Vec3(
         lens_center.x + dx * axv[0] + dy * ayv[0],

@@ -50,6 +50,10 @@ class RenderConfig:
     # "auto": path-regeneration wavefront for regular/variance (fastest),
     # unrolled bounce loop otherwise. "unrolled"/"wavefront" force a driver.
     mode: str = "auto"
+    # "auto": the fused Pallas kernel on TPU for supported scenes (no
+    # triangles/textures), XLA otherwise. "xla" forces XLA; "pallas" forces
+    # the kernel; "pallas-interpret" runs it interpreted (CPU tests).
+    backend: str = "auto"
 
     @property
     def spp(self) -> int:
@@ -144,9 +148,17 @@ def render_chunk(scene: Scene, camera: Camera, config: RenderConfig,
     loop runs on-device, no host round-trips. Dispatches to the
     path-regeneration wavefront driver when the config allows (bit-identical
     results, ~2.5x fewer lane-bounces on early-terminating scenes)."""
+    pixel_idx = jnp.arange(config.width * config.height, dtype=jnp.int32)
     if config.resolved_mode() == "wavefront":
+        from .pallas_backend import render_chunk_pallas, supports
+        use_pallas = config.backend in ("pallas", "pallas-interpret") or (
+            config.backend == "auto" and supports(scene, config)
+            and jax.default_backend() != "cpu")
+        if use_pallas:
+            return render_chunk_pallas(
+                scene, camera, config, key, s0, n_samples, state, pixel_idx,
+                interpret=(config.backend == "pallas-interpret"))
         from .wavefront import render_chunk_wavefront
-        pixel_idx = jnp.arange(config.width * config.height, dtype=jnp.int32)
         return render_chunk_wavefront(scene, camera, config, key, s0,
                                       n_samples, state, pixel_idx)
 

@@ -37,6 +37,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 # Stream tags. Bounce streams use TAG_BOUNCE + bounce*2 + block. Arbitrary
@@ -48,8 +49,10 @@ TAG_BOUNCE = 0x0400_0000
 
 BOUNCE_SLOTS = 6
 
-_U24 = jnp.uint32(0xFFFFFF)
-_INV_U24 = jnp.float32(1.0 / (1 << 24))
+# python scalars (not jnp constants: those would be captured as closure
+# constants by pallas kernels that call into this module)
+_U24 = 0xFFFFFF
+_INV_U24 = 1.0 / (1 << 24)
 
 
 class PathStream(NamedTuple):
@@ -84,8 +87,13 @@ def _pcg4d(a, b, c, d):
 
 
 def _to_unit(x: jnp.ndarray) -> jnp.ndarray:
-    """uint32 -> float32 uniform in [0, 1) via the top 24 bits."""
-    return ((x >> jnp.uint32(8)) & _U24).astype(jnp.float32) * _INV_U24
+    """uint32 -> float32 uniform in [0, 1) via the top 24 bits.
+
+    The masked value fits in 24 bits, so bitcast to int32 before the float
+    conversion — Mosaic (Pallas TPU) has no uint32->float32 cast.
+    """
+    masked = (x >> jnp.uint32(8)) & _U24
+    return jax.lax.bitcast_convert_type(masked, jnp.int32).astype(jnp.float32) * _INV_U24
 
 
 def _draw4(stream: PathStream, tag) -> tuple:
