@@ -28,8 +28,8 @@ import numpy as np
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--spp", type=int, default=64,
-                    help="measured samples per pixel (after warmup)")
+    ap.add_argument("--spp", type=int, default=256,
+                    help="measured samples per pixel")
     ap.add_argument("--full", action="store_true",
                     help="run the full 1024-spp north-star workload")
     ap.add_argument("--world", type=int, default=3, help="1-based world number")

@@ -188,6 +188,7 @@ def ray_aabb_hit(o: Vec3, d: Vec3, box_min: Vec3, box_max: Vec3) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 _UNROLL_MAX = 192
+_CHUNK = 16
 
 
 def _scan_table(n_items, body, init):
@@ -207,17 +208,54 @@ def _scan_table(n_items, body, init):
     return jax.lax.fori_loop(0, n_items, body, init)
 
 
+def _scan_table_chunked(n_items, tables, body, init):
+    """Chunked loop for LARGE primitive tables: one dynamic_slice of _CHUNK
+    rows per fori iteration, static indexing within the chunk.
+
+    A per-item fori (one dynamic-slice load per primitive) measured ~50x
+    slower than straight-line code on the VPU; full unrolling of ~750-item
+    tables explodes compile time. Chunking gets within ~_CHUNK of unrolled
+    throughput at 1/_CHUNK the code size. ``tables`` is a dict of (P,)
+    arrays (P padded >= n_items); ``body(row_scalars: dict, item_valid, h)``
+    processes one primitive.
+    """
+    if n_items == 0:
+        return init
+    if n_items <= _UNROLL_MAX:
+        rows = lambda i: {k: v[i] for k, v in tables.items()}
+        for i in range(n_items):
+            init = body(rows(i), True, init)
+        return init
+    n_chunks = -(-n_items // _CHUNK)
+
+    def chunk_body(ci, h):
+        base = ci * _CHUNK
+        sl = {k: jax.lax.dynamic_slice_in_dim(v, base, _CHUNK)
+              for k, v in tables.items()}
+        for k in range(_CHUNK):
+            valid = base + k < n_items
+            h = body({key: v[k] for key, v in sl.items()}, valid, h)
+        return h
+
+    return jax.lax.fori_loop(0, n_chunks, chunk_body, init)
+
+
 def intersect_spheres(scene: Scene, o: Vec3, d: Vec3, best: Hit) -> Hit:
-    def body(i, h):
-        center = Vec3(scene.sph_center.x[i], scene.sph_center.y[i], scene.sph_center.z[i])
-        t, hit, n = ray_sphere(o, d, center, scene.sph_radius[i])
-        take = hit & (t < h.t)
+    tables = dict(
+        cx=scene.sph_center.x, cy=scene.sph_center.y, cz=scene.sph_center.z,
+        r=scene.sph_radius, m=scene.sph_mat,
+    )
+
+    def body(row, valid, h):
+        center = Vec3(row["cx"], row["cy"], row["cz"])
+        t, hit, n = ray_sphere(o, d, center, row["r"])
+        take = hit & (t < h.t) & valid
         return Hit(
             jnp.where(take, t, h.t),
-            jnp.where(take, scene.sph_mat[i], h.mat),
+            jnp.where(take, row["m"], h.mat),
             vwhere(take, n, h.normal),
         )
-    return _scan_table(scene.n_spheres, body, best)
+    return _scan_table_chunked(scene.n_spheres, tables, body, best)
 
 
 def intersect_quads(scene: Scene, o: Vec3, d: Vec3, best: Hit) -> Hit:
@@ -252,21 +290,29 @@ def intersect_planes(scene: Scene, o: Vec3, d: Vec3, best: Hit) -> Hit:
 def intersect_triangles_brute(scene: Scene, o: Vec3, d: Vec3, best: Hit) -> Hit:
     """Nearest hit over all triangles. Semantically identical to the octree
     traversal (win32_main.cpp:476-526): the octree only prunes work, never
-    changes the nearest hit. Used when no grid was built and as the oracle
-    for the grid path."""
-    def body(i, h):
-        A = Vec3(scene.tri_a.x[i], scene.tri_a.y[i], scene.tri_a.z[i])
-        u = Vec3(scene.tri_u.x[i], scene.tri_u.y[i], scene.tri_u.z[i])
-        v = Vec3(scene.tri_v.x[i], scene.tri_v.y[i], scene.tri_v.z[i])
+    changes the nearest hit. The default triangle path on TPU: per-lane
+    divergent DDA walks measured ~70x slower than chunked brute force on
+    the VPU at reference mesh sizes (752 tris)."""
+    tables = dict(
+        ax=scene.tri_a.x, ay=scene.tri_a.y, az=scene.tri_a.z,
+        ux=scene.tri_u.x, uy=scene.tri_u.y, uz=scene.tri_u.z,
+        vx=scene.tri_v.x, vy=scene.tri_v.y, vz=scene.tri_v.z,
+        m=scene.tri_mat,
+    )
+
+    def body(row, valid, h):
+        A = Vec3(row["ax"], row["ay"], row["az"])
+        u = Vec3(row["ux"], row["uy"], row["uz"])
+        v = Vec3(row["vx"], row["vy"], row["vz"])
         n = normalize(cross(u, v), eps=1e-30)
         t, hit = ray_planar_triangle(o, d, A, u, v)
-        take = hit & (t < h.t)
+        take = hit & (t < h.t) & valid
         return Hit(
             jnp.where(take, t, h.t),
-            jnp.where(take, scene.tri_mat[i], h.mat),
+            jnp.where(take, row["m"], h.mat),
             vwhere(take, n, h.normal),
         )
-    return _scan_table(scene.n_tris, body, best)
+    return _scan_table_chunked(scene.n_tris, tables, body, best)
 
 
 def intersect_boxes(scene: Scene, o: Vec3, d: Vec3, best: Hit) -> Hit:

@@ -160,3 +160,14 @@ def pdf_quad(
     denom = cosine * area
     pdf = jnp.where(denom > 0.0, dist2 / jnp.maximum(denom, 1e-30), 0.0)
     return jnp.where(hit, pdf, 0.0)
+
+
+def uniform_hemisphere(u1: jnp.ndarray, u2: jnp.ndarray) -> Vec3:
+    """Uniform hemisphere sample in tangent space, p = 1/(2 pi). The
+    reference declares RandomDirectionHemisphere (win32_main.cpp:56) but
+    never defines or calls it — implemented here so the uniform-sampling
+    mode in its TODO list ("uniform sampling in hemisphere", :167) exists."""
+    z = u1
+    r = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
+    phi = 2.0 * PI * u2
+    return Vec3(r * jnp.cos(phi), r * jnp.sin(phi), z)

@@ -9,8 +9,14 @@ Reference semantics:
   scale used by every material texture fetch in the reference
   (win32_main.cpp:613,621,631,640,1604).
 
-The device texture stack is a padded (K, Hmax, Wmax) SoA (Scene.tex_data)
-with true extents in tex_w/tex_h; per-lane texture index selects the layer.
+Layout: texels are packed RGB8 in ONE flat int32 array (Scene.tex_packed,
+linear index (layer*Hmax + y)*Wmax + x). Random-access gathers dominate
+textured-scene cost on the VPU; packing turns 3 float gathers per texel
+into 1 int32 gather (measured 3x on world 1), and the flat 1-D index avoids
+the slow multi-dimensional gather path. Texel floats are exactly the
+reference's k/255 values (textures are always 8-bit-sourced: stbi_load ->
+/255.f, win32_main.cpp:1736-1739; procedural stand-ins are quantized to the
+same grid, scene/textures.quantize8) so the CPU oracle matches bit-for-bit.
 """
 
 from __future__ import annotations
@@ -19,6 +25,17 @@ import jax.numpy as jnp
 
 from ..scene.schema import Scene
 from ..utils.vec import Vec3
+
+_INV255 = 1.0 / 255.0
+
+
+def _unpack(word: jnp.ndarray) -> Vec3:
+    """Packed RGB8 int32 -> float Vec3, the reference's unpack semantics
+    (pixel & 0xFF, >>8, >>16 each * 1/255 — win32_main.cpp:1736-1739)."""
+    r = (word & 0xFF).astype(jnp.float32) * _INV255
+    g = ((word >> 8) & 0xFF).astype(jnp.float32) * _INV255
+    b = ((word >> 16) & 0xFF).astype(jnp.float32) * _INV255
+    return Vec3(r, g, b)
 
 
 def sample_texture(scene: Scene, layer: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> Vec3:
@@ -37,12 +54,10 @@ def sample_texture(scene: Scene, layer: jnp.ndarray, u: jnp.ndarray, v: jnp.ndar
     y1 = y1 % h
     y2 = (y1 + 1) % h
 
+    base = layer * (scene.tex_hmax * scene.tex_wmax)
+
     def fetch(yy, xx):
-        return Vec3(
-            scene.tex_data.x[layer, yy, xx],
-            scene.tex_data.y[layer, yy, xx],
-            scene.tex_data.z[layer, yy, xx],
-        )
+        return _unpack(scene.tex_packed[base + yy * scene.tex_wmax + xx])
 
     c11, c12 = fetch(y1, x1), fetch(y1, x2)
     c21, c22 = fetch(y2, x1), fetch(y2, x2)

@@ -72,9 +72,17 @@ def _render_chunk_sharded(
 
     def shard_fn(scene, key, s0, pixel_shard, st):
         if config.resolved_mode() == "wavefront":
+            import jax as _jax
+            from ..render.pallas_backend import render_chunk_pallas, supports
             from ..render.wavefront import render_chunk_wavefront
-            st = render_chunk_wavefront(scene, camera, config, key, s0,
-                                        n_samples, st, pixel_shard)
+            if (config.backend == "pallas" or (
+                    config.backend == "auto" and supports(scene, config)
+                    and _jax.default_backend() != "cpu")):
+                st = render_chunk_pallas(scene, camera, config, key, s0,
+                                         n_samples, st, pixel_shard)
+            else:
+                st = render_chunk_wavefront(scene, camera, config, key, s0,
+                                            n_samples, st, pixel_shard)
         else:
             def body(k, acc):
                 return _one_sample(scene, camera, config, key, s0 + k, acc,

@@ -96,7 +96,18 @@ class BounceOut(NamedTuple):
     shading_normal: Vec3  # post-normal-map N (primary-ray-normals target)
 
 
-_SELECT_LOOKUP_MAX = 32
+# Tables up to this size always use compare/select sweeps (required for
+# Mosaic, which cannot lower gathers). On TPU the sweep also beats per-lane
+# gathers up to ~500 rows (world 4's 424 materials: 3x), but the big sweep
+# blows up CPU compile time/memory, so the extended threshold is
+# backend-gated (values are identical either way — pure lookup).
+_SELECT_LOOKUP_MAX = 192
+_SELECT_LOOKUP_MAX_TPU = 512
+
+
+def _sweep_threshold() -> int:
+    return _SELECT_LOOKUP_MAX if jax.default_backend() == "cpu" \
+        else _SELECT_LOOKUP_MAX_TPU
 
 
 def _material_lookup(scene: Scene, mat: jnp.ndarray):
@@ -107,6 +118,7 @@ def _material_lookup(scene: Scene, mat: jnp.ndarray):
     gather per lane); large tables (world 4's ~400 materials) use gathers.
     """
     n = scene.n_materials
+    sweep_max = _sweep_threshold()
     fields = dict(
         albedo=scene.mat_albedo, emit=scene.mat_emit,
         metal_color=scene.mat_metal_color,
@@ -117,7 +129,7 @@ def _material_lookup(scene: Scene, mat: jnp.ndarray):
         roughness_idx=scene.mat_roughness_idx,
         normal_idx=scene.mat_normal_idx,
     )
-    if n > _SELECT_LOOKUP_MAX:
+    if n > sweep_max:
         return {
             k: gather(v, mat) if isinstance(v, Vec3) else v[mat]
             for k, v in fields.items()

@@ -50,10 +50,12 @@ def supports(scene: Scene, config: RenderConfig) -> bool:
     intersect loops must use static indices — ops/intersect._scan_table).
     World 4's ~500 spheres exceed the cap and fall back to the XLA driver."""
     from ..ops.intersect import _UNROLL_MAX
+    from .integrator import _SELECT_LOOKUP_MAX_TPU
     return (
         scene.n_tris == 0
         and scene.n_textures == 0
         and max(scene.n_spheres, scene.n_quads, scene.n_planes) <= _UNROLL_MAX
+        and scene.n_materials <= _SELECT_LOOKUP_MAX_TPU
         and config.debug_kind in (REGULAR, VARIANCE)
         and not config.just_importance
     )

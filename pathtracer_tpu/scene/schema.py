@@ -52,8 +52,9 @@ WORLD_MARIO = 4
 WORLD_KIND_COUNT = 5
 
 
-def _pad(n: int, multiple: int = 8) -> int:
-    """Pad table sizes to a multiple for friendlier TPU layouts."""
+def _pad(n: int, multiple: int = 16) -> int:
+    """Pad table sizes to a multiple for friendlier TPU layouts (16 = the
+    chunk width of ops/intersect._scan_table_chunked)."""
     return max(multiple, ((n + multiple - 1) // multiple) * multiple)
 
 
@@ -69,6 +70,9 @@ class Scene:
     mat_metalness: jnp.ndarray
     mat_roughness: jnp.ndarray
     mat_ior: jnp.ndarray
+    # material_t.alpha (ray.hpp:63, default 1): defined by the reference but
+    # never read by its render path; stored for struct parity.
+    mat_alpha: jnp.ndarray
     mat_albedo_idx: jnp.ndarray     # int32, 0 = none else 1-based texture id
     mat_metalness_idx: jnp.ndarray
     mat_roughness_idx: jnp.ndarray
@@ -123,10 +127,14 @@ class Scene:
     grid_tris: jnp.ndarray         # (total_refs,) int32 triangle indices
 
     # --- textures (mip level 0 only; the reference samples mips[0]
-    #     everywhere, win32_main.cpp:619-640,1601-1605) -------------------
-    tex_data: Vec3                 # (K, Hmax, Wmax) per component
+    #     everywhere, win32_main.cpp:619-640,1601-1605). Texels are packed
+    #     RGB8 in a flat int32 array: ONE gather per texel fetch instead of
+    #     three float gathers (gathers dominate textured-scene cost).
+    tex_packed: jnp.ndarray        # (K*Hmax*Wmax,) int32, r | g<<8 | b<<16
     tex_w: jnp.ndarray             # (K,) int32 actual widths
     tex_h: jnp.ndarray             # (K,) int32 actual heights
+    tex_hmax: int = struct.field(pytree_node=False, default=1)
+    tex_wmax: int = struct.field(pytree_node=False, default=1)
 
     # --- static (compile-time) metadata -----------------------------------
     world_kind: int = struct.field(pytree_node=False, default=WORLD_DEFAULT)
@@ -153,6 +161,7 @@ class Scene:
 @dataclasses.dataclass
 class HostMaterial:
     """Host-side material mirroring material_t defaults (ray.hpp:63-78)."""
+    alpha: float = 1.0
     albedo: tuple = (0.0, 0.0, 0.0)
     emit: tuple = (0.0, 0.0, 0.0)
     metal_color: tuple = (0.0, 0.0, 0.0)
@@ -253,7 +262,8 @@ class WorldBuilder:
             tri_v[:ntri] = self.triangles[:, 2] - self.triangles[:, 0]
             tri_m[:ntri] = self.tri_mats
 
-        # textures: pad to common max extent (mip 0 only on device)
+        # textures: pad to common max extent (mip 0 only on device),
+        # packed RGB8 per texel (values are 8-bit-grid floats, textures.py)
         K = max(1, len(self.textures))
         hmax = max([t.shape[0] for t in self.textures], default=1)
         wmax = max([t.shape[1] for t in self.textures], default=1)
@@ -263,6 +273,8 @@ class WorldBuilder:
         for k, t in enumerate(self.textures):
             tex[k, : t.shape[0], : t.shape[1]] = t
             th[k], tw[k] = t.shape[0], t.shape[1]
+        q = np.clip(np.round(tex * 255.0), 0, 255).astype(np.int64)
+        packed = (q[..., 0] | (q[..., 1] << 8) | (q[..., 2] << 16)).astype(i32)
 
         if grid is None:
             grid_start = jnp.zeros((1,), i32)
@@ -279,6 +291,7 @@ class WorldBuilder:
             mat_metalness=scalar_table([m.metalness for m in mats], M),
             mat_roughness=scalar_table([m.roughness for m in mats], M, fill=1),
             mat_ior=scalar_table([m.ior for m in mats], M, fill=1),
+            mat_alpha=scalar_table([m.alpha for m in mats], M, fill=1),
             mat_albedo_idx=scalar_table([m.albedo_idx for m in mats], M, i32),
             mat_metalness_idx=scalar_table([m.metalness_idx for m in mats], M, i32),
             mat_roughness_idx=scalar_table([m.roughness_idx for m in mats], M, i32),
@@ -312,9 +325,11 @@ class WorldBuilder:
             grid_cell_start=grid_start,
             grid_cell_count=grid_count,
             grid_tris=grid_tris,
-            tex_data=Vec3(jnp.asarray(tex[..., 0]), jnp.asarray(tex[..., 1]), jnp.asarray(tex[..., 2])),
+            tex_packed=jnp.asarray(packed.reshape(-1)),
             tex_w=jnp.asarray(tw),
             tex_h=jnp.asarray(th),
+            tex_hmax=hmax,
+            tex_wmax=wmax,
             world_kind=world_kind,
             just_cosine=(world_kind == WORLD_RAYTRACING_ONE_WEEKEND),
             n_spheres=len(self.spheres),

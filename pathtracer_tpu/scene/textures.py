@@ -99,6 +99,18 @@ def procedural_rusty_metal(kind: str, size: int = 512) -> np.ndarray:
     raise ValueError(kind)
 
 
+def quantize8(img: np.ndarray) -> np.ndarray:
+    """Snap float texels to the 8-bit grid: k * (1/255) with k = round(t*255).
+
+    The reference's texels are ALWAYS 8-bit-sourced (stbi_load -> /255.f,
+    win32_main.cpp:1736-1739); quantizing procedural stand-ins the same way
+    lets the device store one packed RGB8 int32 per texel (ops/texture.py)
+    while the float unpack reproduces these exact values.
+    """
+    k = np.clip(np.round(img * 255.0), 0, 255).astype(np.uint8)
+    return k.astype(np.float32) * np.float32(1.0 / 255.0)
+
+
 def load_bespoke_textures(res_dir: str = REFERENCE_RES_DIR) -> List[np.ndarray]:
     """The four rusty-metal maps in reference order (albedoIdx=1, metalnessIdx=2,
     roughnessIdx=3, normalIdx=4 — win32_main.cpp:1814,1720-1723)."""
@@ -111,7 +123,7 @@ def load_bespoke_textures(res_dir: str = REFERENCE_RES_DIR) -> List[np.ndarray]:
         if img.shape[0] != img.shape[1]:
             s = min(img.shape[0], img.shape[1])
             img = img[:s, :s]
-        out.append(img)
+        out.append(quantize8(img))
     return out
 
 

@@ -218,12 +218,16 @@ def finalize_world(
     use_roughness_maps: bool = True,
     rtiow_seed: int = 1337,
     res_dir: str = tex_mod.REFERENCE_RES_DIR,
-    use_grid: bool = True,
+    use_grid: bool = False,
 ) -> Tuple[Scene, Camera]:
     """Build world ``kind`` and derive the camera for the given image size.
 
-    ``use_grid=False`` forces brute-force triangle intersection (the grid
-    only prunes; results are identical — tested in test_accel.py).
+    ``use_grid`` selects the uniform-grid DDA traversal for triangles
+    (results identical to brute force — tested in test_accel.py). Default
+    OFF: per-lane divergent grid walks measured ~70x slower than chunked
+    brute force on the VPU at reference mesh sizes; the grid remains the
+    right structure for much larger meshes and for a future blocked
+    traversal kernel.
     """
     b, cam = build_world(
         kind,

@@ -175,3 +175,35 @@ def is_nan(a: Vec3) -> jnp.ndarray:
 def gather(v: Vec3, idx: jnp.ndarray) -> Vec3:
     """Index a table-of-vectors by an int array (device gather)."""
     return Vec3(v.x[idx], v.y[idx], v.z[idx])
+
+
+# --- minor reference-parity helpers (ray_math.hpp) --------------------------
+
+def lerp1(a, b, t):
+    """Lerp1f (ray_math.hpp:310-312)."""
+    return (1.0 - t) * a + t * b
+
+
+def smoothstep(a):
+    """Smoothstep (ray_math.hpp:314-316): 3a^2 - 2a^3 (unused by the
+    reference's render path; kept for math-library parity)."""
+    return 3.0 * a * a - 2.0 * a * a * a
+
+
+def gaussian(x, roughness):
+    """Gaussian (ray_math.hpp:271-276), the reference's (unnormalized-
+    in-its-own-way) bell curve: (1/(a/sqrt(2)/sqrt(pi))) * e^(-x^2/(2a^2))."""
+
+    a = roughness
+    sqrt_2, sqrt_pi = 1.41421356237, 1.77245385091
+    return 1.0 / (a / sqrt_2 / sqrt_pi) * jnp.exp(-(x * x) / (2.0 * a * a))
+
+
+def m2_inverse(a, b, c, d, tolerance: float = 1e-9):
+    """2x2 inverse of column-vector matrix [[a, c], [b, d]] (ray_math.hpp
+    m2/Inverse :123-168; unused by the reference's render path).
+    Returns (ok, (ia, ib, ic, id))."""
+    det = a * d - c * b
+    ok = (det >= tolerance) | (det <= -tolerance)
+    safe = jnp.where(ok, det, 1.0)
+    return ok, (d / safe, -b / safe, -c / safe, a / safe)

@@ -146,3 +146,29 @@ class TestBsdf:
         out, ok = B.find_refraction_direction(d, n, jnp.asarray(1.5))
         assert bool(ok)
         np.testing.assert_allclose(to_stacked(out), [0, 0, -1], atol=1e-5)
+
+
+class TestParityHelpers:
+    def test_uniform_hemisphere(self, rng):
+        u1, u2 = _uniforms(rng, 50_000)
+        d = S.uniform_hemisphere(u1, u2)
+        np.testing.assert_allclose(np.asarray(magnitude(d)), 1.0, atol=1e-5)
+        assert (np.asarray(d.z) >= 0).all()
+        # E[z] = 1/2 for uniform hemisphere
+        assert abs(float(np.asarray(d.z).mean()) - 0.5) < 5e-3
+
+    def test_vec_parity_helpers(self):
+        import jax.numpy as jnp
+        from pathtracer_tpu.utils.vec import gaussian, lerp1, m2_inverse, smoothstep
+        assert abs(float(lerp1(2.0, 4.0, 0.25)) - 2.5) < 1e-6
+        assert abs(float(smoothstep(0.5)) - 0.5) < 1e-6
+        assert float(smoothstep(0.0)) == 0.0 and float(smoothstep(1.0)) == 1.0
+        g = float(gaussian(jnp.asarray(0.0), 0.5))
+        assert g > 0  # peak value
+        ok, (ia, ib, ic, id_) = m2_inverse(
+            jnp.asarray(2.0), jnp.asarray(0.0), jnp.asarray(0.0), jnp.asarray(4.0))
+        assert bool(ok)
+        assert abs(float(ia) - 0.5) < 1e-6 and abs(float(id_) - 0.25) < 1e-6
+        ok, _ = m2_inverse(jnp.asarray(1.0), jnp.asarray(2.0),
+                           jnp.asarray(2.0), jnp.asarray(4.0))
+        assert not bool(ok)  # singular
