@@ -22,7 +22,7 @@ from typing import Tuple
 import jax.numpy as jnp
 
 from ..utils.vec import (
-    Vec3, cross, dot, magnitude, magnitude_squared, normalize, vec3, where,
+    Vec3, cross, dot, magnitude, magnitude_squared, normalize, where,
 )
 
 PI = 3.14159265358979323846264338327

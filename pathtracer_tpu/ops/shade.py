@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from ..ops.sampling import PI, burley_alpha2
 from ..scene.schema import MIN_ROUGHNESS
-from ..utils.vec import Vec3, cross, dot, lerp, normalize, splat, vec3
+from ..utils.vec import Vec3, cross, dot, lerp, normalize, splat
 
 
 def effectively_smooth(roughness: jnp.ndarray) -> jnp.ndarray:

@@ -83,3 +83,59 @@ def bespoke_sample(scene: Scene, layer: jnp.ndarray, u: jnp.ndarray, v: jnp.ndar
     w = scene.tex_w[layer].astype(u.dtype)
     h = scene.tex_h[layer].astype(v.dtype)
     return sample_texture(scene, layer, u * w * 0.5, v * h * 0.5)
+
+
+def _unpack4(word: jnp.ndarray):
+    """Packed RGBX8 int32 -> (r, g, b, x) floats. The >>24 byte survives the
+    int32 sign because & 0xFF masks the sign-extension bits."""
+    r = (word & 0xFF).astype(jnp.float32) * _INV255
+    g = ((word >> 8) & 0xFF).astype(jnp.float32) * _INV255
+    b = ((word >> 16) & 0xFF).astype(jnp.float32) * _INV255
+    x = ((word >> 24) & 0xFF).astype(jnp.float32) * _INV255
+    return r, g, b, x
+
+
+def bespoke_sample_combined(scene: Scene, u: jnp.ndarray, v: jnp.ndarray):
+    """Fused bespoke sample of the canonical 4-map set (scene.tex_combined):
+    ONE pair of gathers per bilinear corner decodes albedo+metalness and
+    normal+roughness together — 8 gathers/bounce instead of 16. Bilinear
+    math is the same expression per channel as sample_texture, so values
+    are bit-identical to four separate fetches (and to the oracle).
+
+    Returns (albedo Vec3, metalness, roughness, normal Vec3).
+    """
+    w, h = scene.tex_comb_w, scene.tex_comb_h
+    u = jnp.abs(u * (w * 0.5))
+    v = jnp.abs(v * (h * 0.5))
+    x1 = u.astype(jnp.int32)
+    y1 = v.astype(jnp.int32)
+    s = jnp.clip(u - x1.astype(u.dtype), 0.0, 1.0)
+    t = jnp.clip(v - y1.astype(v.dtype), 0.0, 1.0)
+    x1 = x1 % w
+    x2 = (x1 + 1) % w
+    y1 = y1 % h
+    y2 = (y1 + 1) % h
+
+    def corners(plane):
+        c11 = plane[y1 * w + x1]
+        c12 = plane[y1 * w + x2]
+        c21 = plane[y2 * w + x1]
+        c22 = plane[y2 * w + x2]
+        return c11, c12, c21, c22
+
+    def bilerp(c11, c12, c21, c22):
+        top = (1 - s) * c11 + s * c12
+        bot = (1 - s) * c21 + s * c22
+        return (1 - t) * top + t * bot
+
+    a11, a12, a21, a22 = corners(scene.tex_comb_a)
+    b11, b12, b21, b22 = corners(scene.tex_comb_b)
+
+    def blend4(ws):
+        ch = [_unpack4(w_) for w_ in ws]
+        return tuple(bilerp(ch[0][i], ch[1][i], ch[2][i], ch[3][i])
+                     for i in range(4))
+
+    ar, ag, ab, met = blend4((a11, a12, a21, a22))
+    nr, ng, nb, rgh = blend4((b11, b12, b21, b22))
+    return Vec3(ar, ag, ab), met, rgh, Vec3(nr, ng, nb)

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from ..scene.schema import Scene
-from ..utils.vec import Vec3, cross, normalize, where as vwhere
+from ..utils.vec import Vec3, cross, normalize
 from .intersect import Hit, ray_planar_triangle
 
 _BIG = 1e30

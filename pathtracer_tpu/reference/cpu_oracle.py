@@ -16,7 +16,6 @@ Deliberately slow (python loops); use tiny images in tests.
 from __future__ import annotations
 
 import math
-from typing import Optional
 
 import numpy as np
 

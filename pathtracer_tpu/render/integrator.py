@@ -188,7 +188,24 @@ def shade_bounce(
     metalness = mat["metalness"]
     roughness = mat["roughness"]
     N = N_geom
-    if scene.n_textures:
+    albedo_tex = None
+    if scene.n_textures and scene.tex_combined:
+        # canonical 4-map set: fused 2-word fetch (ops/texture.py)
+        from ..ops.texture import bespoke_sample_combined
+        alb_c, met_c, rgh_c, nrm_c = bespoke_sample_combined(
+            scene, hitpoint.x, hitpoint.y)
+        has_tex = mat["albedo_idx"] != 0
+        if scene.use_metalness_maps:
+            metalness = jnp.where(mat["metalness_idx"] != 0, met_c, metalness)
+        if scene.use_roughness_maps:
+            roughness = jnp.where(mat["roughness_idx"] != 0, rgh_c, roughness)
+        if scene.use_normal_maps:
+            n_mapped = normalize(
+                Vec3(2.0 * nrm_c.x - 1.0, 2.0 * nrm_c.y - 1.0, 2.0 * nrm_c.z - 1.0),
+                eps=1e-30)
+            N = vwhere(mat["normal_idx"] != 0, n_mapped, N)
+        albedo_tex = (has_tex, alb_c)
+    elif scene.n_textures:
         uvx, uvy = hitpoint.x, hitpoint.y
         if scene.use_metalness_maps:
             mtl_tex = bespoke_sample(scene, jnp.maximum(mat["metalness_idx"] - 1, 0), uvx, uvy)
@@ -284,7 +301,9 @@ def shade_bounce(
 
     # brdfTerm (win32_main.cpp:761-773)
     albedo = mat["albedo"]
-    if scene.n_textures:
+    if albedo_tex is not None:
+        albedo = vwhere(albedo_tex[0], albedo_tex[1], albedo)
+    elif scene.n_textures:
         alb_tex = bespoke_sample(scene, jnp.maximum(mat["albedo_idx"] - 1, 0),
                                  hitpoint.x, hitpoint.y)
         albedo = vwhere(mat["albedo_idx"] != 0, alb_tex, albedo)

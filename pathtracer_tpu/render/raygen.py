@@ -22,7 +22,7 @@ from typing import Tuple
 import jax.numpy as jnp
 
 from ..scene.camera import Camera
-from ..scene.schema import FIXED_FOCAL_LENGTH, MIN_HIT_DISTANCE
+from ..scene.schema import FIXED_FOCAL_LENGTH
 from ..utils.vec import Vec3, normalize, splat
 
 # The Poisson-disk aperture samples (win32_main.cpp:1097-1110).

@@ -31,7 +31,7 @@ from ..scene.camera import Camera
 from ..scene.schema import Scene
 from ..utils import prng
 from ..utils.color import bgra_pack, tonemap_aces
-from ..utils.vec import Vec3, hadamard, to_stacked
+from ..utils.vec import Vec3, to_stacked
 from . import raygen
 from .integrator import REGULAR, VARIANCE, DEBUG_KINDS, trace
 

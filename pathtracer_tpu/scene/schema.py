@@ -133,8 +133,17 @@ class Scene:
     tex_packed: jnp.ndarray        # (K*Hmax*Wmax,) int32, r | g<<8 | b<<16
     tex_w: jnp.ndarray             # (K,) int32 actual widths
     tex_h: jnp.ndarray             # (K,) int32 actual heights
+    # Combined fast path for the reference's canonical 4-map material set
+    # (albedoIdx=1, metalnessIdx=2, roughnessIdx=3, normalIdx=4, all equal
+    # size — LoadBespokeTextures, win32_main.cpp:1711-1724): two words per
+    # texel halve the per-bounce gather count (8 instead of 16).
+    tex_comb_a: jnp.ndarray        # (H*W,) int32: albedo.rgb | metalness.r<<24
+    tex_comb_b: jnp.ndarray        # (H*W,) int32: normal.rgb | roughness.r<<24
     tex_hmax: int = struct.field(pytree_node=False, default=1)
     tex_wmax: int = struct.field(pytree_node=False, default=1)
+    tex_combined: bool = struct.field(pytree_node=False, default=False)
+    tex_comb_w: int = struct.field(pytree_node=False, default=1)
+    tex_comb_h: int = struct.field(pytree_node=False, default=1)
 
     # --- static (compile-time) metadata -----------------------------------
     world_kind: int = struct.field(pytree_node=False, default=WORLD_DEFAULT)
@@ -276,6 +285,34 @@ class WorldBuilder:
         q = np.clip(np.round(tex * 255.0), 0, 255).astype(np.int64)
         packed = (q[..., 0] | (q[..., 1] << 8) | (q[..., 2] << 16)).astype(i32)
 
+        # canonical-set detection: exactly 4 equal-size maps and every
+        # material's texture indices are all-zero or exactly (1,2,3,4)
+        combined = (
+            len(self.textures) == 4
+            and len({t.shape[:2] for t in self.textures}) == 1
+            and all(
+                (m.albedo_idx, m.metalness_idx, m.roughness_idx, m.normal_idx)
+                in ((0, 0, 0, 0), (1, 2, 3, 4))
+                for m in mats
+            )
+        )
+        if combined:
+            qa = [np.clip(np.round(t * 255.0), 0, 255).astype(np.int64)
+                  for t in self.textures]
+            alb, mtl, rgh, nrm = qa
+            comb_a = (alb[..., 0] | (alb[..., 1] << 8) | (alb[..., 2] << 16)
+                      | (mtl[..., 0] << 24)).astype(np.int64)
+            comb_b = (nrm[..., 0] | (nrm[..., 1] << 8) | (nrm[..., 2] << 16)
+                      | (rgh[..., 0] << 24)).astype(np.int64)
+            # keep within int32 via wraparound-safe cast
+            comb_a = comb_a.astype(np.uint32).astype(np.int64).astype(i32)
+            comb_b = comb_b.astype(np.uint32).astype(np.int64).astype(i32)
+            ch, cw = self.textures[0].shape[:2]
+        else:
+            comb_a = np.zeros((1,), i32)
+            comb_b = np.zeros((1,), i32)
+            ch = cw = 1
+
         if grid is None:
             grid_start = jnp.zeros((1,), i32)
             grid_count = jnp.zeros((1,), i32)
@@ -328,8 +365,13 @@ class WorldBuilder:
             tex_packed=jnp.asarray(packed.reshape(-1)),
             tex_w=jnp.asarray(tw),
             tex_h=jnp.asarray(th),
+            tex_comb_a=jnp.asarray(np.asarray(comb_a).reshape(-1)),
+            tex_comb_b=jnp.asarray(np.asarray(comb_b).reshape(-1)),
             tex_hmax=hmax,
             tex_wmax=wmax,
+            tex_combined=bool(combined),
+            tex_comb_w=cw,
+            tex_comb_h=ch,
             world_kind=world_kind,
             just_cosine=(world_kind == WORLD_RAYTRACING_ONE_WEEKEND),
             n_spheres=len(self.spheres),

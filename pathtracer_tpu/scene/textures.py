@@ -124,6 +124,16 @@ def load_bespoke_textures(res_dir: str = REFERENCE_RES_DIR) -> List[np.ndarray]:
             s = min(img.shape[0], img.shape[1])
             img = img[:s, :s]
         out.append(quantize8(img))
+    # Equalize map sizes (the real roughness PNG is 2048^2, stand-ins 512^2):
+    # decimate larger maps to the smallest size via the mip-chain rule
+    # (even-texel selection, GenerateMipmapChain win32_main.cpp:2307-2328) —
+    # i.e. we ship a deeper mip of the big map. Equal sizes unlock the
+    # combined 2-word texel fast path (scene/schema.py, ops/texture.py).
+    smallest = min(t.shape[0] for t in out)
+    for i, t in enumerate(out):
+        while t.shape[0] > smallest:
+            t = t[::2, ::2]
+        out[i] = np.ascontiguousarray(t)
     return out
 
 

@@ -10,7 +10,7 @@ numpy seed instead so renders are reproducible.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 
