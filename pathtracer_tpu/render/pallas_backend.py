@@ -37,9 +37,11 @@ from . import raygen
 from .integrator import REGULAR, VARIANCE, russian_roulette, shade_bounce
 from .renderer import AccumState, RenderConfig
 
-# Lanes per block: (rows, 128). 2048 lanes x ~30 live f32 arrays ~ 240 KB
-# of VMEM — comfortable, and enough rows to keep the VPU saturated.
-_BLOCK_ROWS = 16
+# Lanes per block: (rows, 128). 4096 lanes x ~30 live f32 arrays ~ 0.5 MB
+# of VMEM. Swept 8/16/32/64 rows on Cornell @64spp: 505/628/928/872 Mrays/s
+# — 32 rows best (enough work per grid step to hide loop overhead; 64 rows
+# starts spilling).
+_BLOCK_ROWS = 32
 _LANES = 128
 BLOCK = _BLOCK_ROWS * _LANES
 

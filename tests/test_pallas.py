@@ -59,9 +59,9 @@ class TestSupports:
 
 class TestInterpretEquality:
     def test_cornell_bit_exact(self):
-        # exactly one block (128x16 = BLOCK lanes)
-        assert 128 * 16 == BLOCK
-        ref, pal = _run_both(WORLD_CORNELL_BOX, 128, 16, 1, 2)
+        # exactly one block
+        w, h = 128, BLOCK // 128
+        ref, pal = _run_both(WORLD_CORNELL_BOX, w, h, 1, 2)
         np.testing.assert_array_equal(np.asarray(ref.sum.x), np.asarray(pal.sum.x))
         np.testing.assert_array_equal(np.asarray(ref.sum.z), np.asarray(pal.sum.z))
         np.testing.assert_array_equal(np.asarray(ref.count), np.asarray(pal.count))
@@ -75,6 +75,5 @@ class TestInterpretEquality:
         assert float(ref.rays_cast) == float(pal.rays_cast)
 
     def test_multi_block(self):
-        # 128x32 = 2 blocks
-        ref, pal = _run_both(WORLD_CORNELL_BOX, 128, 32, 1, 1)
+        ref, pal = _run_both(WORLD_CORNELL_BOX, 128, 2 * (BLOCK // 128), 1, 1)
         np.testing.assert_array_equal(np.asarray(ref.sum.x), np.asarray(pal.sum.x))
