@@ -187,8 +187,18 @@ def ray_aabb_hit(o: Vec3, d: Vec3, box_min: Vec3, box_max: Vec3) -> jnp.ndarray:
 # Scene-level nearest hit (RayCastIntersect, win32_main.cpp:406-556)
 # ---------------------------------------------------------------------------
 
-_UNROLL_MAX = 192
+_UNROLL_MAX = 192          # XLA drivers: larger unrolls blow up compile
+_UNROLL_MAX_KERNEL = 1024  # inside the Pallas kernel: Mosaic compiles
+                           # straight-line primitive tests fine (494-sphere
+                           # world 4 in ~60s) and has no dynamic_slice
 _CHUNK = 16
+
+# Set (at trace time) by render/pallas_backend.py around kernel tracing.
+_tracing_pallas_kernel = False
+
+
+def _unroll_max() -> int:
+    return _UNROLL_MAX_KERNEL if _tracing_pallas_kernel else _UNROLL_MAX
 
 
 def _scan_table(n_items, body, init):
@@ -201,7 +211,7 @@ def _scan_table(n_items, body, init):
     """
     if n_items == 0:
         return init
-    if n_items <= _UNROLL_MAX:
+    if n_items <= _unroll_max():
         for i in range(n_items):
             init = body(i, init)
         return init
@@ -221,7 +231,7 @@ def _scan_table_chunked(n_items, tables, body, init):
     """
     if n_items == 0:
         return init
-    if n_items <= _UNROLL_MAX:
+    if n_items <= _unroll_max():
         rows = lambda i: {k: v[i] for k, v in tables.items()}
         for i in range(n_items):
             init = body(rows(i), True, init)

@@ -13,10 +13,13 @@ jnp functions and lower through Mosaic unchanged — so there is no semantic
 fork to keep in sync; equivalence with the XLA wavefront driver is asserted
 in tests/test_pallas.py.
 
-Supported scene class (the benchmark-critical ones): no triangles and no
-textures — worlds 2 (BRDF grid), 3 (Cornell box), 4 (RTIOW). Texture
-gathers and grid traversal stay on the XLA path; renderer.render_chunk
-dispatches automatically.
+Supported scene class: untextured scenes with primitive/material tables
+small enough to fully unroll/sweep (worlds 2, 3, 4, 5 — the 494-sphere and
+752-triangle tables unroll fine under Mosaic, ~60s compile). Texture
+gathers (world 1) and grid traversal stay on the XLA path;
+renderer.render_chunk dispatches automatically. Compiled-TPU equivalence
+vs the XLA wavefront (256x144, 4spp): >=50% of pixels bit-equal, <0.1%
+with boundary-flip differences, ray counts within a few paths of 278k.
 """
 
 from __future__ import annotations
@@ -47,16 +50,17 @@ BLOCK = _BLOCK_ROWS * _LANES
 
 
 def supports(scene: Scene, config: RenderConfig) -> bool:
-    """The fused kernel covers untextured, triangle-free scenes whose
-    primitive loops fully unroll (Mosaic has no dynamic_slice, so the
-    intersect loops must use static indices — ops/intersect._scan_table).
-    World 4's ~500 spheres exceed the cap and fall back to the XLA driver."""
-    from ..ops.intersect import _UNROLL_MAX
+    """The fused kernel covers untextured scenes whose primitive loops
+    fully unroll (Mosaic has no dynamic_slice, so the intersect loops must
+    use static indices — ops/intersect._scan_table); triangles are covered
+    via the (default) brute-force path, not the grid."""
+    from ..ops.intersect import _UNROLL_MAX_KERNEL
     from .integrator import _SELECT_LOOKUP_MAX_TPU
     return (
-        scene.n_tris == 0
-        and scene.n_textures == 0
-        and max(scene.n_spheres, scene.n_quads, scene.n_planes) <= _UNROLL_MAX
+        scene.n_textures == 0
+        and (scene.n_tris == 0 or scene.grid_res == 0)
+        and max(scene.n_spheres, scene.n_quads, scene.n_planes,
+                scene.n_tris) <= _UNROLL_MAX_KERNEL
         and scene.n_materials <= _SELECT_LOOKUP_MAX_TPU
         and config.debug_kind in (REGULAR, VARIANCE)
         and not config.just_importance
@@ -191,6 +195,9 @@ def render_chunk_pallas(
     sk = jnp.asarray(key, jnp.uint32).reshape(1, 1)
     ss0 = jnp.asarray(s0, jnp.int32).reshape(1, 1)
 
+    from ..ops import intersect as _intersect_mod
+    _intersect_mod._tracing_pallas_kernel = True
+
     def kernel(sk_ref, ss0_ref, pix_ref, *refs):
         scene_refs = refs[: len(scene_leaves)]
         outs = refs[len(scene_leaves):]
@@ -216,18 +223,21 @@ def render_chunk_pallas(
     full = lambda leaf: pl.BlockSpec(memory_space=pltpu.VMEM)
     out_shape = [jax.ShapeDtypeStruct((rows_total, _LANES), jnp.float32)
                  for _ in range(9)]
-    outs = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            blk,
-        ] + [full(l) for l in scene_leaves],
-        out_specs=[blk] * 9,
-        out_shape=out_shape,
-        interpret=interpret,
-    )(sk, ss0, pix2d, *scene_leaves)
+    try:
+        outs = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                blk,
+            ] + [full(l) for l in scene_leaves],
+            out_specs=[blk] * 9,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(sk, ss0, pix2d, *scene_leaves)
+    finally:
+        _intersect_mod._tracing_pallas_kernel = False
 
     (sumx, sumy, sumz, sqx, sqy, sqz, cnt, nanc, rays) = [
         a.reshape(-1)[:n] for a in outs[:7]
