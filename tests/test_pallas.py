@@ -44,17 +44,22 @@ class TestSupports:
 
     def test_unsupported_scenes(self):
         cfg = RenderConfig()
-        s1, _ = finalize_world(WORLD_DEFAULT, 8, 8)   # textures
-        s5, _ = finalize_world(WORLD_MARIO, 8, 8)     # triangles
+        s1, _ = finalize_world(WORLD_DEFAULT, 8, 8)   # textures -> XLA path
         assert not supports(s1, cfg)
-        assert not supports(s5, cfg)
         s3, _ = finalize_world(WORLD_CORNELL_BOX, 8, 8)
         assert not supports(s3, RenderConfig(debug_kind="bounce_count"))
-        # world 4's ~500 spheres exceed the static-unroll cap (Mosaic has
-        # no dynamic_slice) -> XLA fallback
+        # grid-traversal scenes fall back (the kernel uses brute force)
+        s5g, _ = finalize_world(WORLD_MARIO, 8, 8, use_grid=True)
+        assert not supports(s5g, cfg)
+
+    def test_supported_big_tables(self):
+        # worlds 4 and 5 unroll inside the kernel (494 spheres / 752 tris)
         from pathtracer_tpu.scene.schema import WORLD_RAYTRACING_ONE_WEEKEND
+        cfg = RenderConfig()
         s4, _ = finalize_world(WORLD_RAYTRACING_ONE_WEEKEND, 8, 8)
-        assert not supports(s4, RenderConfig())
+        assert supports(s4, cfg)
+        s5, _ = finalize_world(WORLD_MARIO, 8, 8)
+        assert supports(s5, cfg)
 
 
 class TestInterpretEquality:
