@@ -28,8 +28,9 @@ import numpy as np
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--spp", type=int, default=256,
-                    help="measured samples per pixel")
+    ap.add_argument("--spp", type=int, default=1024,
+                    help="measured samples per pixel (default: the full "
+                         "1024-spp north-star workload)")
     ap.add_argument("--full", action="store_true",
                     help="run the full 1024-spp north-star workload")
     ap.add_argument("--world", type=int, default=3, help="1-based world number")

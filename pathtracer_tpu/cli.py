@@ -98,7 +98,9 @@ def main(argv=None):
     ap.add_argument("--debug", default="regular")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--checkpoint", default=None)
-    ap.add_argument("--chunk", type=int, default=None)
+    ap.add_argument("--chunk", type=int, default=None,
+                    help="samples per device dispatch (default: min(spp, 64); "
+                         "single long dispatches can trip runtime watchdogs)")
     ap.add_argument("--profile", default=None)
     ap.add_argument("--single-chip", action="store_true")
     ap.add_argument("--rr", action="store_true",
@@ -156,6 +158,8 @@ def main(argv=None):
     cfg = RenderConfig(width=w, height=h, pp=pp, seed=args.seed,
                        debug_kind=args.debug,
                        use_russian_roulette=args.rr, mode=args.mode)
+    if args.chunk is None:
+        args.chunk = min(cfg.spp, 64)
 
     state = None
     if args.checkpoint:
@@ -166,8 +170,9 @@ def main(argv=None):
                   f"{float(np.asarray(state.count).max()):.0f} samples done.")
 
     def progress(s_done, s_total, st):
-        print(f"  {s_done}/{s_total} samples "
-              f"({float(np.asarray(st.rays_cast)) / 1e6:.1f} Mrays)")
+        if s_total > args.chunk:
+            print(f"  {s_done}/{s_total} samples "
+                  f"({float(np.asarray(st.rays_cast)) / 1e6:.1f} Mrays)")
         if args.checkpoint:
             from .render.progressive import save_checkpoint
             save_checkpoint(args.checkpoint, st)
@@ -185,12 +190,12 @@ def main(argv=None):
             img, packed, state = render_image(scene, camera, cfg,
                                               chunk_samples=args.chunk,
                                               state=state,
-                                              progress_cb=progress if args.chunk else None)
+                                              progress_cb=progress)
         else:
             mesh = make_mesh(devices)
             img, packed, state = render_image_sharded(
                 scene, camera, cfg, mesh=mesh, chunk_samples=args.chunk,
-                progress_cb=progress if args.chunk else None)
+                progress_cb=progress)
         packed = np.asarray(jax.block_until_ready(packed))
         wall = time.perf_counter() - t0
 

@@ -72,6 +72,11 @@ class TestGolden:
         # GLTF mesh + grid traversal (config 5)
         assert _compare(WORLD_MARIO, 16, 12, 2) < 1e-4
 
+    def test_world1_thin_lens(self):
+        # textures + thin-lens DoF combined (-d on world 1)
+        assert _compare(WORLD_DEFAULT, 16, 12, 2, textured=True,
+                        use_pinhole=False) < 5e-3
+
     def test_world1_texture_flags(self):
         # -n -m -r texture disable flags change the image but still match
         # oracle (albedo texture stays on: BrdfDiff has no flag,

@@ -115,3 +115,33 @@ class TestCompareTool:
         write_bmp(p2, img)
         assert main([p1, p2, "--threshold", "0.001"]) == 0
         assert main([p1, "/nope.bmp"]) == -1
+
+
+class TestProfiling:
+    def test_phase_timer_and_metrics(self):
+        import time as _time
+        from pathtracer_tpu.utils.profiling import PhaseTimer, RenderMetrics
+        t = PhaseTimer()
+        with t.phase("a"):
+            _time.sleep(0.01)
+        assert t.phases["a"] >= 0.01
+        assert "a=" in t.report()
+        m = RenderMetrics(rays_cast=2e6, wall_seconds=2.0, width=10, height=10,
+                          spp=4)
+        assert abs(m.mrays_per_sec - 1.0) < 1e-9
+        line = m.json_line(vs_baseline_target=500.0)
+        import json
+        d = json.loads(line)
+        assert d["metric"] == "Mrays/sec" and d["unit"] == "Mrays/s"
+        assert abs(d["vs_baseline"] - 1.0 / 500.0) < 1e-6
+
+    def test_profiler_trace_capture(self, tmp_path):
+        import os
+        import jax.numpy as jnp
+        from pathtracer_tpu.utils.profiling import profiler_trace
+        d = str(tmp_path / "trace")
+        with profiler_trace(d):
+            jnp.zeros((8,)).block_until_ready()
+        assert os.path.isdir(d) and len(list(os.walk(d))) > 0
+        with profiler_trace(None):  # no-op path
+            pass
