@@ -195,7 +195,7 @@ def main(argv=None):
             mesh = make_mesh(devices)
             img, packed, state = render_image_sharded(
                 scene, camera, cfg, mesh=mesh, chunk_samples=args.chunk,
-                progress_cb=progress)
+                state=state, progress_cb=progress)
         packed = np.asarray(jax.block_until_ready(packed))
         wall = time.perf_counter() - t0
 

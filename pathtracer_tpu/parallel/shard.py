@@ -112,9 +112,14 @@ def render_image_sharded(
     config: RenderConfig,
     mesh: Optional[Mesh] = None,
     chunk_samples: Optional[int] = None,
+    state: Optional[AccumState] = None,
     progress_cb=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, AccumState]:
-    """Sharded equivalent of render_image: same results, N-chip throughput."""
+    """Sharded equivalent of render_image: same results, N-chip throughput.
+
+    ``state`` may be a checkpoint from either renderer (exact-size, n_pix
+    lanes) — it is padded to the mesh width and the render resumes at
+    state.samples_done, exactly like render_image."""
     mesh = mesh or make_mesh()
     n_dev = mesh.devices.size
     n_pix = config.width * config.height
@@ -125,10 +130,23 @@ def render_image_sharded(
     pixel_idx = jnp.asarray(pixel_idx)
 
     key = prng.base_key(config.seed)
-    state = init_accum(n_pad)
+    if state is None:
+        state = init_accum(n_pad)
+    elif state.count.shape[0] == n_pix and n_pad != n_pix:
+        pad = n_pad - n_pix
+        zpad = lambda a: jnp.concatenate([a, jnp.zeros((pad,), a.dtype)])
+        state = AccumState(
+            sum=Vec3(zpad(state.sum.x), zpad(state.sum.y), zpad(state.sum.z)),
+            sum_sq=Vec3(zpad(state.sum_sq.x), zpad(state.sum_sq.y),
+                        zpad(state.sum_sq.z)),
+            count=zpad(state.count),
+            nan_count=state.nan_count,
+            rays_cast=state.rays_cast,
+            samples_done=state.samples_done,
+        )
     total = config.spp
     chunk = min(chunk_samples or total, total)
-    s0 = 0
+    s0 = int(np.asarray(state.samples_done))
     while s0 < total:
         n = min(chunk, total - s0)
         state = _render_chunk_sharded(scene, camera, config, mesh, key,

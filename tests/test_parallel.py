@@ -74,3 +74,24 @@ class TestGraftEntry:
         sys.path.insert(0, "/root/repo")
         import __graft_entry__ as g
         g.dryrun_multichip(8)
+
+
+class TestShardedResume:
+    def test_checkpoint_resume_across_renderers(self, cornell_small, tmp_path):
+        # checkpoint written by the single-chip renderer resumes sharded,
+        # producing the identical final image
+        import jax.numpy as jnp
+        from pathtracer_tpu.render.progressive import load_checkpoint, save_checkpoint
+        scene, cam = cornell_small
+        cfg = RenderConfig(width=24, height=16, pp=3, seed=0)
+        full, _, _ = render_image(scene, cam, cfg)
+
+        path = str(tmp_path / "ck.npz")
+        render_image(scene, cam, cfg, chunk_samples=4,
+                     progress_cb=lambda s, t, st:
+                         save_checkpoint(path, st) if s == 4 else None)
+        loaded, found = load_checkpoint(path, 24 * 16)
+        assert found
+        resumed, _, st = render_image_sharded(scene, cam, cfg, state=loaded)
+        np.testing.assert_array_equal(np.asarray(full), np.asarray(resumed))
+        assert int(np.asarray(st.samples_done)) == cfg.spp
