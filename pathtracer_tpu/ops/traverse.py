@@ -59,9 +59,6 @@ def intersect_triangles_grid(scene: Scene, o: Vec3, d: Vec3, best: Hit) -> Hit:
     gmin = GRID_MIN
     gmax = -GRID_MIN
 
-    shape = jnp.shape(o.x)
-    i32 = lambda v: jnp.full(shape, v, jnp.int32)
-
     # slab test with the grid volume
     invx = 1.0 / jnp.where(d.x != 0.0, d.x, 1e-30)
     invy = 1.0 / jnp.where(d.y != 0.0, d.y, 1e-30)

@@ -167,33 +167,31 @@ def render_chunk(scene: Scene, camera: Camera, config: RenderConfig,
     return jax.lax.fori_loop(0, n_samples, body, state)
 
 
-def resolve(state: AccumState, config: RenderConfig) -> jnp.ndarray:
-    """Accumulator -> mean radiance (H, W, 3) float32 (linear, pre-tonemap)."""
+def _pixel_value(state: AccumState, config: RenderConfig) -> Vec3:
+    """Per-pixel value from the accumulator: mean radiance, or the biased
+    per-sample variance for the variance target (win32_main.cpp:1076-1082)."""
     cnt = jnp.maximum(state.count, 1.0)
     mean = Vec3(state.sum.x / cnt, state.sum.y / cnt, state.sum.z / cnt)
     if config.debug_kind == VARIANCE:
-        # var = E[x^2] - E[x]^2, matching the reference's biased estimator
-        # (win32_main.cpp:1076-1082)
         mean = Vec3(
             state.sum_sq.x / cnt - mean.x * mean.x,
             state.sum_sq.y / cnt - mean.y * mean.y,
             state.sum_sq.z / cnt - mean.z * mean.z,
         )
-    img = to_stacked(mean)
+    return mean
+
+
+def resolve(state: AccumState, config: RenderConfig) -> jnp.ndarray:
+    """Accumulator -> (H, W, 3) float32 (linear, pre-tonemap)."""
+    img = to_stacked(_pixel_value(state, config))
     return img.reshape(config.height, config.width, 3)
 
 
 def finalize(state: AccumState, config: RenderConfig) -> jnp.ndarray:
     """Accumulator -> packed BGRA uint32 (H, W) framebuffer bytes, matching
-    the reference's pixel pipeline (win32_main.cpp:1172-1182)."""
-    cnt = jnp.maximum(state.count, 1.0)
-    mean = Vec3(state.sum.x / cnt, state.sum.y / cnt, state.sum.z / cnt)
-    if config.debug_kind == VARIANCE:
-        mean = Vec3(
-            state.sum_sq.x / cnt - mean.x * mean.x,
-            state.sum_sq.y / cnt - mean.y * mean.y,
-            state.sum_sq.z / cnt - mean.z * mean.z,
-        )
+    the reference's pixel pipeline (win32_main.cpp:1172-1182; tonemap only
+    for the regular target, :1172-1173)."""
+    mean = _pixel_value(state, config)
     if config.debug_kind == REGULAR:
         mean = tonemap_aces(mean)
     packed = bgra_pack(mean)

@@ -62,3 +62,22 @@ def test_random_scene_matches_oracle(seed):
     assert np.median(d) < 1e-4, (seed, float(np.median(d)))
     assert (d > 1e-2).mean() < 0.05, (seed, float((d > 1e-2).mean()))
     assert np.isfinite(img).all()
+
+
+@pytest.mark.parametrize("seed", [42])
+def test_random_scene_with_rr_matches_oracle(seed):
+    # Russian roulette consumes slot-4 uniforms identically in renderer and
+    # oracle — the golden gate must hold with RR on too.
+    b = _random_world(seed)
+    w, h, pp = 16, 12, 2
+    cam = define_camera((0, -8, 1), (0, 0, 0), 35.0, w, h)
+    scene = b.finalize()
+    cfg = RenderConfig(width=w, height=h, pp=pp, seed=seed,
+                       use_russian_roulette=True)
+    img, _, _ = render_image(scene, cam, cfg)
+    oracle = render_oracle(b, cam, w, h, pp, seed=seed, world_kind=0,
+                           use_russian_roulette=True)
+    img = np.asarray(img)
+    d = np.abs(img - oracle).max(axis=-1)
+    assert np.median(d) < 1e-4, float(np.median(d))
+    assert (d > 1e-2).mean() < 0.05, float((d > 1e-2).mean())
