@@ -153,7 +153,13 @@ def main(argv=None):
     for name in ("axis_x", "axis_y", "axis_z"):
         v = getattr(camera, name)
         print(f"c->{name.replace('_', '')}: ({v[0]:f},{v[1]:f},{v[2]:f})")
-    print()
+    print(
+        "The film plane is embedded in the plane defined by c->axisX and c->axisY.\n"
+        "Rays are shot originating at the lens located at c->pos and \"strike a "
+        "sensor on the film to develop the image\".\n"
+        "The camera has a local coordinate system which is different from the "
+        "world coordinate system.\n"
+        "The camera is looking down the negative c->axisZ direction.\n")
 
     cfg = RenderConfig(width=w, height=h, pp=pp, seed=args.seed,
                        debug_kind=args.debug,
