@@ -98,3 +98,35 @@ class TestGltf:
         b = WorldBuilder()
         pts, mats = load_glb_triangles("/nonexistent.glb", b)
         assert pts is None and mats is None and len(b.materials) == 0
+
+
+class TestCombinedTextureDetection:
+    def test_canonical_set_detected(self):
+        from pathtracer_tpu.scene.worlds import finalize_world
+        s, _ = finalize_world(0, 8, 8)
+        assert s.tex_combined and s.tex_comb_w == s.tex_comb_h > 1
+
+    def test_non_canonical_indices_fall_back(self):
+        import numpy as np
+        b = WorldBuilder()
+        b.add_material()  # sky
+        for t in T.load_bespoke_textures():
+            b.add_texture(t)
+        # material references maps in a NON-canonical order -> no fast path
+        b.add_material(albedo_idx=2, metalness_idx=1, roughness_idx=3,
+                       normal_idx=4)
+        s = b.finalize()
+        assert not s.tex_combined
+
+    def test_mixed_sizes_fall_back(self):
+        import numpy as np
+        b = WorldBuilder()
+        b.add_material()
+        b.add_texture(np.zeros((8, 8, 3), np.float32))
+        b.add_texture(np.zeros((8, 8, 3), np.float32))
+        b.add_texture(np.zeros((16, 16, 3), np.float32))
+        b.add_texture(np.zeros((8, 8, 3), np.float32))
+        b.add_material(albedo_idx=1, metalness_idx=2, roughness_idx=3,
+                       normal_idx=4)
+        s = b.finalize()
+        assert not s.tex_combined
