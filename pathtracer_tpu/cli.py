@@ -81,7 +81,8 @@ def print_help():
     print("\th       - Print this help menu.")
     print("\nTPU extensions: --size WxH --out PATH --png PATH --debug MODE "
           "--seed N --checkpoint PATH --chunk N --profile DIR --single-chip "
-          "--rr --mode auto|unrolled|wavefront --preview PATH --probe-pixel X,Y")
+          "--rr --mode auto|unrolled|wavefront --preview PATH --probe-pixel X,Y "
+          "--exposure F")
 
 
 def main(argv=None):
@@ -110,6 +111,9 @@ def main(argv=None):
     ap.add_argument("--preview", default=None,
                     help="write a progressive preview PNG at each --chunk "
                          "boundary (the live-viewer role, win32_main.cpp:252-274)")
+    ap.add_argument("--exposure", type=float, default=1.0,
+                    help="linear exposure multiplier before the tonemap "
+                         "(the reference's unrealized camera TODO)")
     ap.add_argument("--probe-pixel", default=None, metavar="X,Y",
                     help="print mean/variance radiance of one pixel "
                          "(the DEBUG_MIDDLE_PIXEL role, win32_main.cpp:18,1011-1014)")
@@ -163,7 +167,8 @@ def main(argv=None):
 
     cfg = RenderConfig(width=w, height=h, pp=pp, seed=args.seed,
                        debug_kind=args.debug,
-                       use_russian_roulette=args.rr, mode=args.mode)
+                       use_russian_roulette=args.rr, mode=args.mode,
+                       exposure=args.exposure)
     if args.chunk is None:
         args.chunk = min(cfg.spp, 64)
 

@@ -54,6 +54,10 @@ class RenderConfig:
     # triangles/textures), XLA otherwise. "xla" forces XLA; "pallas" forces
     # the kernel; "pallas-interpret" runs it interpreted (CPU tests).
     backend: str = "auto"
+    # Linear exposure multiplier applied before the tonemap. The reference
+    # lists exposure as unrealized camera work (win32_main.cpp:180-181);
+    # 1.0 = exact reference behavior.
+    exposure: float = 1.0
 
     @property
     def spp(self) -> int:
@@ -193,6 +197,8 @@ def finalize(state: AccumState, config: RenderConfig) -> jnp.ndarray:
     for the regular target, :1172-1173)."""
     mean = _pixel_value(state, config)
     if config.debug_kind == REGULAR:
+        if config.exposure != 1.0:
+            mean = mean * config.exposure
         mean = tonemap_aces(mean)
     packed = bgra_pack(mean)
     return packed.reshape(config.height, config.width)

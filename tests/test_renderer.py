@@ -145,3 +145,23 @@ class TestProfiling:
         assert os.path.isdir(d) and len(list(os.walk(d))) > 0
         with profiler_trace(None):  # no-op path
             pass
+
+
+class TestExposure:
+    def test_exposure_scales_pretonemap(self, cornell):
+        import dataclasses
+        from pathtracer_tpu.render.renderer import finalize as _finalize
+        from pathtracer_tpu.io.bmp import packed_to_rgb
+        scene, cam = cornell
+        cfg = RenderConfig(24, 16, pp=1, seed=0)
+        _, _, st = render_image(scene, cam, cfg)
+        dark = packed_to_rgb(np.asarray(
+            _finalize(st, dataclasses.replace(cfg, exposure=0.25))))
+        base = packed_to_rgb(np.asarray(_finalize(st, cfg)))
+        bright = packed_to_rgb(np.asarray(
+            _finalize(st, dataclasses.replace(cfg, exposure=4.0))))
+        assert dark.astype(int).sum() < base.astype(int).sum() < bright.astype(int).sum()
+        # exposure 1.0 is bit-identical to the reference pipeline
+        again = packed_to_rgb(np.asarray(
+            _finalize(st, dataclasses.replace(cfg, exposure=1.0))))
+        np.testing.assert_array_equal(base, again)
