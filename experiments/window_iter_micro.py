@@ -92,3 +92,55 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def bench_pipelined(k_distinct, words=2, outer=8):
+    """Software-pipelined: next-tid reduce overlaps current gathers."""
+    def kernel(win_ref, off_ref, tab_ref, o_ref):
+        BIG = jnp.int32(1 << 30)
+        win0 = win_ref[:]
+        off = off_ref[:]
+
+        def one_pass(p, acc):
+            win = win0 + p
+            def cond(c):
+                return jnp.any(c[2] != BIG)
+            def body(c):
+                done, acc, tid_b = c
+                hit = (win == tid_b) & (done == 0)
+                done = done | hit.astype(jnp.int32)
+                nxt = jnp.broadcast_to(
+                    jnp.min(jnp.where(done != 0, BIG, win)), (R, C))
+                row = tab_ref[pl.ds(tid_b[0, 0] % N_WIN, 1), :]
+                b = jnp.broadcast_to(row, (R, C))
+                g = jnp.take_along_axis(b, off, axis=1)
+                acc = acc + jnp.where(hit, g, 0)
+                if words == 4:
+                    g2 = jnp.take_along_axis(b, (off + 1) % C, axis=1)
+                    acc = acc + jnp.where(hit, g2, 0)
+                return done, acc, nxt
+            tid0 = jnp.broadcast_to(jnp.min(win), (R, C))
+            _, acc, _ = jax.lax.while_loop(
+                cond, body, (win * 0, acc, tid0))
+            return acc
+
+        o_ref[:] = jax.lax.fori_loop(0, outer, one_pass, win0 * 0)
+
+    win, off, table = make(k_distinct)
+    f = jax.jit(pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((R, C), jnp.int32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+    ))
+    try:
+        dt = timeit(f, win, off, table)
+        per_win = dt / outer / k_distinct
+        print(f"  PIPE K={k_distinct:5d} words={words}: {dt*1e6:9.1f} us/call, "
+              f"{per_win*1e9:8.1f} ns/window")
+    except Exception as e:
+        print(f"  PIPE K={k_distinct:5d} words={words}: FAIL {str(e).splitlines()[0][:110]}")
+
+for k in (64, 256, 1024):
+    bench_pipelined(k, words=2)
+bench_pipelined(256, words=4)

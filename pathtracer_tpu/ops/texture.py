@@ -28,6 +28,12 @@ from ..utils.vec import Vec3
 
 _INV255 = 1.0 / 255.0
 
+# Trace-time side channel: the fused Pallas kernel parks the tex_tile REF
+# here (render/pallas_backend.py) so shade_bounce — a plain jnp function
+# shared by every driver — can dynamic-slice tile rows from VMEM. None
+# outside kernel tracing (the XLA drivers then use the flat gathers).
+KERNEL_TEX_REF = None
+
 
 def _unpack(word: jnp.ndarray) -> Vec3:
     """Packed RGB8 int32 -> float Vec3, the reference's unpack semantics
@@ -95,15 +101,9 @@ def _unpack4(word: jnp.ndarray):
     return r, g, b, x
 
 
-def bespoke_sample_combined(scene: Scene, u: jnp.ndarray, v: jnp.ndarray):
-    """Fused bespoke sample of the canonical 4-map set (scene.tex_combined):
-    ONE pair of gathers per bilinear corner decodes albedo+metalness and
-    normal+roughness together — 8 gathers/bounce instead of 16. Bilinear
-    math is the same expression per channel as sample_texture, so values
-    are bit-identical to four separate fetches (and to the oracle).
-
-    Returns (albedo Vec3, metalness, roughness, normal Vec3).
-    """
+def _combined_coords(scene: Scene, u: jnp.ndarray, v: jnp.ndarray):
+    """Bespoke-scale uv -> bilinear corner coordinates + fractional weights
+    (SampleTexture truncation/wrap semantics, win32_main.cpp:1680-1698)."""
     w, h = scene.tex_comb_w, scene.tex_comb_h
     u = jnp.abs(u * (w * 0.5))
     v = jnp.abs(v * (h * 0.5))
@@ -115,6 +115,41 @@ def bespoke_sample_combined(scene: Scene, u: jnp.ndarray, v: jnp.ndarray):
     x2 = (x1 + 1) % w
     y1 = y1 % h
     y2 = (y1 + 1) % h
+    return x1, y1, x2, y2, s, t
+
+
+def _blend_combined(wa, wb, s, t):
+    """Bilinear blend of the 4 corner word-pairs. ``wa``/``wb`` are
+    (c11, c12, c21, c22) packed A/B words. Shared verbatim by the XLA
+    gather path and the Pallas windowed path so both are bit-identical
+    to the oracle. Returns (albedo Vec3, metalness, roughness, normal Vec3)."""
+
+    def bilerp(c11, c12, c21, c22):
+        top = (1 - s) * c11 + s * c12
+        bot = (1 - s) * c21 + s * c22
+        return (1 - t) * top + t * bot
+
+    def blend4(ws):
+        ch = [_unpack4(w_) for w_ in ws]
+        return tuple(bilerp(ch[0][i], ch[1][i], ch[2][i], ch[3][i])
+                     for i in range(4))
+
+    ar, ag, ab, met = blend4(wa)
+    nr, ng, nb, rgh = blend4(wb)
+    return Vec3(ar, ag, ab), met, rgh, Vec3(nr, ng, nb)
+
+
+def bespoke_sample_combined(scene: Scene, u: jnp.ndarray, v: jnp.ndarray):
+    """Fused bespoke sample of the canonical 4-map set (scene.tex_combined):
+    ONE pair of gathers per bilinear corner decodes albedo+metalness and
+    normal+roughness together — 8 gathers/bounce instead of 16. Bilinear
+    math is the same expression per channel as sample_texture, so values
+    are bit-identical to four separate fetches (and to the oracle).
+
+    Returns (albedo Vec3, metalness, roughness, normal Vec3).
+    """
+    w = scene.tex_comb_w
+    x1, y1, x2, y2, s, t = _combined_coords(scene, u, v)
 
     def corners(plane):
         c11 = plane[y1 * w + x1]
@@ -123,19 +158,95 @@ def bespoke_sample_combined(scene: Scene, u: jnp.ndarray, v: jnp.ndarray):
         c22 = plane[y2 * w + x2]
         return c11, c12, c21, c22
 
-    def bilerp(c11, c12, c21, c22):
-        top = (1 - s) * c11 + s * c12
-        bot = (1 - s) * c21 + s * c22
-        return (1 - t) * top + t * bot
+    return _blend_combined(corners(scene.tex_comb_a),
+                           corners(scene.tex_comb_b), s, t)
 
-    a11, a12, a21, a22 = corners(scene.tex_comb_a)
-    b11, b12, b21, b22 = corners(scene.tex_comb_b)
 
-    def blend4(ws):
-        ch = [_unpack4(w_) for w_ in ws]
-        return tuple(bilerp(ch[0][i], ch[1][i], ch[2][i], ch[3][i])
-                     for i in range(4))
+def bespoke_sample_combined_windowed(scene: Scene, tab_ref, u, v, needs,
+                                      return_words: bool = False):
+    """The Pallas-kernel twin of :func:`bespoke_sample_combined`.
 
-    ar, ag, ab, met = blend4((a11, a12, a21, a22))
-    nr, ng, nb, rgh = blend4((b11, b12, b21, b22))
-    return Vec3(ar, ag, ab), met, rgh, Vec3(nr, ng, nb)
+    The VPU has no random-access load; the only vectorized lookup is
+    tpu.dynamic_gather — a 128-entry LUT along lanes. ``tab_ref`` is the
+    tiled table (Scene.tex_tile): one 128-word row per 8x8-texel tile with
+    the A/B planes interleaved, so one row covers a full bilinear footprint
+    unless it straddles a tile edge. The fetch iterates over the DISTINCT
+    tiles touched by the block (data-dependent while_loop): min-reduce the
+    outstanding tile ids, dynamic-slice that row, lane-LUT all four corners,
+    mask-select the lanes it satisfies. Cost is ~0.4us per distinct tile
+    (experiments/window_iter_micro.py); a 4096-lane block of world-1 rays
+    touches a few hundred tiles (experiments/world1_stats.py) vs the ~33us
+    XLA serial-gather floor for the same block.
+
+    ``needs`` masks the lanes that sample at all: sky/emissive/untextured
+    lanes contribute no tiles (a primary block looking at sky costs zero).
+    Word values and blend are bit-identical to the XLA path. int32 masks
+    throughout — bool while-carries crash Mosaic (experiments/bisect_crash).
+
+    ``return_words=True`` returns the raw corner word tuples (wa, wb, s, t)
+    instead of the blend — used by tests to pin the fetched words exactly.
+
+    KNOWN LIMITATION (environment, not this code): under the CPU INTERPRET
+    path with ``--xla_force_host_platform_device_count`` > 1, XLA:CPU
+    miscompiles this loop when only the post-loop float blends are live —
+    a small deterministic subset of lanes receives a neighboring texel.
+    Exporting the words as kernel outputs (as the exactness test does), or
+    compiling for the real TPU (Mosaic), is bit-exact — verified against a
+    pure-numpy reference on chip. The interpret-mode world-1 equivalence
+    test therefore gates at a tolerance instead of bit equality.
+    """
+    import jax
+    from jax.experimental import pallas as pl
+
+    shape = u.shape
+    tiles_x = scene.tex_tiles_x
+    x1, y1, x2, y2, s, t = _combined_coords(scene, u, v)
+    BIG = jnp.int32(1 << 30)
+
+    def tile_of(y, x):
+        return (y >> 3) * tiles_x + (x >> 3)
+
+    def off_of(y, x):
+        return (((y & 7) << 3) | (x & 7)) << 1
+
+    corners = ((y1, x1), (y1, x2), (y2, x1), (y2, x2))
+    # lanes that never sample sit at the BIG sentinel and contribute no tiles
+    wins = [jnp.where(needs, tile_of(y, x), BIG) for (y, x) in corners]
+    offs = [off_of(y, x) for (y, x) in corners]
+
+    # Tiles are visited in increasing id order, so no done-masks are needed:
+    # a corner fires exactly when its tile id equals the current tid, and
+    # the next tid is the min over ids strictly greater than tid. The next
+    # tid is computed BEFORE the gathers (software pipelining): the serial
+    # dependency chain is then compare -> min-reduce only; the row slice
+    # and lane-LUT gathers hang off the chain (~40% faster per tile,
+    # experiments/window_iter_micro.py).
+    def nxt_tid(tid):
+        cand = [jnp.where(w_ > tid, w_, BIG) for w_ in wins]
+        return jnp.broadcast_to(
+            jnp.min(jnp.minimum(jnp.minimum(cand[0], cand[1]),
+                                jnp.minimum(cand[2], cand[3]))), shape)
+
+    def cond(c):
+        return jnp.any(c[0] != BIG)
+
+    def body(c):
+        tid_b, acc_a, acc_b = c
+        nxt = nxt_tid(tid_b)
+        row = jnp.broadcast_to(tab_ref[pl.ds(tid_b[0, 0], 1), :], shape)
+        new_a, new_b = [], []
+        for w_, o, aa, bb in zip(wins, offs, acc_a, acc_b):
+            hit = w_ == tid_b
+            ga = jnp.take_along_axis(row, o, axis=1)
+            gb = jnp.take_along_axis(row, o + 1, axis=1)
+            new_a.append(jnp.where(hit, ga, aa))
+            new_b.append(jnp.where(hit, gb, bb))
+        return nxt, tuple(new_a), tuple(new_b)
+
+    zero = x1 * 0
+    tid0 = nxt_tid(zero - 1)  # min over all tile ids (ids are >= 0 > -1)
+    init = (tid0, tuple(zero for _ in range(4)), tuple(zero for _ in range(4)))
+    _, wa, wb = jax.lax.while_loop(cond, body, init)
+    if return_words:
+        return wa, wb, s, t
+    return _blend_combined(wa, wb, s, t)

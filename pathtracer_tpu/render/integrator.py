@@ -190,11 +190,19 @@ def shade_bounce(
     N = N_geom
     albedo_tex = None
     if scene.n_textures and scene.tex_combined:
-        # canonical 4-map set: fused 2-word fetch (ops/texture.py)
-        from ..ops.texture import bespoke_sample_combined
-        alb_c, met_c, rgh_c, nrm_c = bespoke_sample_combined(
-            scene, hitpoint.x, hitpoint.y)
+        # canonical 4-map set: fused 2-word fetch (ops/texture.py).
+        # Inside the Pallas kernel the table lives in VMEM and the fetch
+        # iterates distinct 8x8 tiles (bespoke_sample_combined_windowed);
+        # the XLA drivers keep the flat-gather version. Same words, same
+        # blend — bit-identical results.
+        from ..ops import texture as _tex
         has_tex = mat["albedo_idx"] != 0
+        if _tex.KERNEL_TEX_REF is not None:
+            alb_c, met_c, rgh_c, nrm_c = _tex.bespoke_sample_combined_windowed(
+                scene, _tex.KERNEL_TEX_REF, hitpoint.x, hitpoint.y, has_tex)
+        else:
+            alb_c, met_c, rgh_c, nrm_c = _tex.bespoke_sample_combined(
+                scene, hitpoint.x, hitpoint.y)
         if scene.use_metalness_maps:
             metalness = jnp.where(mat["metalness_idx"] != 0, met_c, metalness)
         if scene.use_roughness_maps:

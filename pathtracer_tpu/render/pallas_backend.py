@@ -13,10 +13,13 @@ jnp functions and lower through Mosaic unchanged — so there is no semantic
 fork to keep in sync; equivalence with the XLA wavefront driver is asserted
 in tests/test_pallas.py.
 
-Supported scene class: untextured scenes with primitive/material tables
-small enough to fully unroll/sweep (worlds 2, 3, 4, 5 — the 494-sphere and
-752-triangle tables unroll fine under Mosaic, ~60s compile). Texture
-gathers (world 1) and grid traversal stay on the XLA path;
+Supported scene class: scenes with primitive/material tables small enough
+to fully unroll/sweep (worlds 2, 3, 4, 5 — the 494-sphere and 752-triangle
+tables unroll fine under Mosaic, ~60s compile) plus combined-texture-set
+scenes (world 1), whose texel fetches run in-kernel from a VMEM-resident
+tiled table via the windowed lane-LUT iteration
+(ops/texture.bespoke_sample_combined_windowed). Grid-traversal scenes and
+general multi-size texture stacks stay on the XLA path;
 renderer.render_chunk dispatches automatically. Compiled-TPU equivalence
 vs the XLA wavefront (256x144, 4spp): >=50% of pixels bit-equal, <0.1%
 with boundary-flip differences, ray counts within a few paths of 278k.
@@ -43,21 +46,34 @@ from .renderer import AccumState, RenderConfig
 # Lanes per block: (rows, 128). 4096 lanes x ~30 live f32 arrays ~ 0.5 MB
 # of VMEM. Swept 8/16/32/64 rows on Cornell @64spp: 505/628/928/872 Mrays/s
 # — 32 rows best (enough work per grid step to hide loop overhead; 64 rows
-# starts spilling).
+# starts spilling). Textured scenes use smaller blocks: the windowed fetch
+# costs (distinct tiles) x (ops on the whole block), and distinct tiles
+# grow sublinearly with lanes while the per-visit ops grow linearly, so
+# fewer rows win once the fetch dominates (swept on world 1).
 _BLOCK_ROWS = 32
+_BLOCK_ROWS_TEXTURED = 16
 _LANES = 128
 BLOCK = _BLOCK_ROWS * _LANES
 
 
+def _block_rows(scene: Scene) -> int:
+    return _BLOCK_ROWS_TEXTURED if (
+        scene.n_textures and scene.tex_combined) else _BLOCK_ROWS
+
+
 def supports(scene: Scene, config: RenderConfig) -> bool:
-    """The fused kernel covers untextured scenes whose primitive loops
-    fully unroll (Mosaic has no dynamic_slice, so the intersect loops must
-    use static indices — ops/intersect._scan_table); triangles are covered
-    via the (default) brute-force path, not the grid."""
+    """The fused kernel covers scenes whose primitive loops fully unroll
+    (Mosaic has no dynamic_slice, so the intersect loops must use static
+    indices — ops/intersect._scan_table); triangles are covered via the
+    (default) brute-force path, not the grid. Textured scenes are covered
+    when the canonical combined 4-map set exists (world 1): the tiled
+    table rides VMEM and the fetch is the windowed lane-LUT iteration
+    (ops/texture.bespoke_sample_combined_windowed). General multi-size
+    texture stacks stay on the XLA drivers."""
     from ..ops.intersect import _UNROLL_MAX_KERNEL
     from .integrator import _SELECT_LOOKUP_MAX_TPU
     return (
-        scene.n_textures == 0
+        (scene.n_textures == 0 or scene.tex_combined)
         and (scene.n_tris == 0 or scene.grid_res == 0)
         and max(scene.n_spheres, scene.n_quads, scene.n_planes,
                 scene.n_tris) <= _UNROLL_MAX_KERNEL
@@ -183,27 +199,46 @@ def render_chunk_pallas(
 ) -> AccumState:
     """Drop-in replacement for the wavefront chunk on supported scenes."""
     n = pixel_idx.shape[0]
-    n_pad = ((n + BLOCK - 1) // BLOCK) * BLOCK
+    block_rows = _block_rows(scene)
+    block = block_rows * _LANES
+    n_pad = ((n + block - 1) // block) * block
     pix = jnp.concatenate(
         [pixel_idx.astype(jnp.int32),
          jnp.zeros((n_pad - n,), jnp.int32)]) if n_pad != n else pixel_idx
     pix2d = pix.reshape(-1, _LANES)  # (rows_total, 128)
     rows_total = pix2d.shape[0]
-    grid = (rows_total // _BLOCK_ROWS,)
+    grid = (rows_total // block_rows,)
 
+    if scene.tex_combined:
+        # the kernel fetch reads only the tiled table; drop the flat texel
+        # arrays (world 1: 6 MB of VMEM) before they ride into the kernel
+        scene = scene.replace(
+            tex_packed=jnp.zeros((1,), jnp.int32),
+            tex_comb_a=jnp.zeros((1,), jnp.int32),
+            tex_comb_b=jnp.zeros((1,), jnp.int32),
+        )
     scene_leaves, scene_def = jax.tree_util.tree_flatten(scene)
+    # tex_tile stays a REF inside the kernel (dynamic row slices need the
+    # memref, not a loaded value); locate its leaf slot by identity
+    tex_idx = next(
+        (i for i, l in enumerate(scene_leaves) if l is scene.tex_tile), None)
+    use_tex_ref = scene.tex_combined and scene.n_textures > 0
     sk = jnp.asarray(key, jnp.uint32).reshape(1, 1)
     ss0 = jnp.asarray(s0, jnp.int32).reshape(1, 1)
 
     from ..ops import intersect as _intersect_mod
+    from ..ops import texture as _texture_mod
     _intersect_mod._tracing_pallas_kernel = True
 
     def kernel(sk_ref, ss0_ref, pix_ref, *refs):
         scene_refs = refs[: len(scene_leaves)]
         outs = refs[len(scene_leaves):]
         (sumx, sumy, sumz, sqx, sqy, sqz, cnt, nanc, rays) = outs
-        scene_local = jax.tree_util.tree_unflatten(
-            scene_def, [r[:] for r in scene_refs])
+        vals = [r if (use_tex_ref and i == tex_idx) else r[:]
+                for i, r in enumerate(scene_refs)]
+        scene_local = jax.tree_util.tree_unflatten(scene_def, vals)
+        if use_tex_ref:
+            _texture_mod.KERNEL_TEX_REF = scene_refs[tex_idx]
         pixel_block = pix_ref[:]
         acc_sum, acc_sq, count, nan_c, ray_c = _wave_loop(
             scene_local, camera, config, sk_ref[0, 0], ss0_ref[0, 0],
@@ -218,7 +253,7 @@ def render_chunk_pallas(
         nanc[:] = nan_c
         rays[:] = ray_c
 
-    blk = pl.BlockSpec((_BLOCK_ROWS, _LANES), lambda i: (i, 0),
+    blk = pl.BlockSpec((block_rows, _LANES), lambda i: (i, 0),
                        memory_space=pltpu.VMEM)
     full = lambda leaf: pl.BlockSpec(memory_space=pltpu.VMEM)
     out_shape = [jax.ShapeDtypeStruct((rows_total, _LANES), jnp.float32)
@@ -238,6 +273,7 @@ def render_chunk_pallas(
         )(sk, ss0, pix2d, *scene_leaves)
     finally:
         _intersect_mod._tracing_pallas_kernel = False
+        _texture_mod.KERNEL_TEX_REF = None
 
     (sumx, sumy, sumz, sqx, sqy, sqz, cnt, nanc, rays) = [
         a.reshape(-1)[:n] for a in outs[:7]

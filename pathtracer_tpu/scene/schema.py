@@ -139,11 +139,20 @@ class Scene:
     # texel halve the per-bounce gather count (8 instead of 16).
     tex_comb_a: jnp.ndarray        # (H*W,) int32: albedo.rgb | metalness.r<<24
     tex_comb_b: jnp.ndarray        # (H*W,) int32: normal.rgb | roughness.r<<24
+    # Tiled layout of the SAME combined words for the Pallas kernel: one row
+    # per 8x8-texel tile, A/B interleaved at word granularity:
+    #   tex_tile[ty*tiles_x + tx, ((y&7)*8 + (x&7))*2 + plane]
+    # Random access on the VPU only exists as a 128-wide lane LUT
+    # (tpu.dynamic_gather), so the kernel fetch iterates over the DISTINCT
+    # tiles touched by a lane block (render/pallas_backend.py); an 8x8
+    # footprint minimizes distinct tiles across the bilinear corners.
+    tex_tile: jnp.ndarray          # (tiles_y*tiles_x, 128) int32
     tex_hmax: int = struct.field(pytree_node=False, default=1)
     tex_wmax: int = struct.field(pytree_node=False, default=1)
     tex_combined: bool = struct.field(pytree_node=False, default=False)
     tex_comb_w: int = struct.field(pytree_node=False, default=1)
     tex_comb_h: int = struct.field(pytree_node=False, default=1)
+    tex_tiles_x: int = struct.field(pytree_node=False, default=1)
 
     # --- static (compile-time) metadata -----------------------------------
     world_kind: int = struct.field(pytree_node=False, default=WORLD_DEFAULT)
@@ -308,10 +317,26 @@ class WorldBuilder:
             comb_a = comb_a.astype(np.uint32).astype(np.int64).astype(i32)
             comb_b = comb_b.astype(np.uint32).astype(np.int64).astype(i32)
             ch, cw = self.textures[0].shape[:2]
+            # tiled twin of the combined words (see Scene.tex_tile)
+            hp, wp = -(-ch // 8) * 8, -(-cw // 8) * 8
+            pa = np.zeros((hp, wp), i32)
+            pb = np.zeros((hp, wp), i32)
+            pa[:ch, :cw], pb[:ch, :cw] = comb_a, comb_b
+            tiles_x = wp // 8
+
+            def tile64(m):  # (hp, wp) -> (tiles, 64) in tile-major order
+                return (m.reshape(hp // 8, 8, tiles_x, 8)
+                        .transpose(0, 2, 1, 3).reshape(-1, 64))
+
+            tiled = np.zeros((hp // 8 * tiles_x, 128), i32)
+            tiled[:, 0::2] = tile64(pa)
+            tiled[:, 1::2] = tile64(pb)
         else:
             comb_a = np.zeros((1,), i32)
             comb_b = np.zeros((1,), i32)
             ch = cw = 1
+            tiled = np.zeros((1, 128), i32)
+            tiles_x = 1
 
         if grid is None:
             grid_start = jnp.zeros((1,), i32)
@@ -367,11 +392,13 @@ class WorldBuilder:
             tex_h=jnp.asarray(th),
             tex_comb_a=jnp.asarray(np.asarray(comb_a).reshape(-1)),
             tex_comb_b=jnp.asarray(np.asarray(comb_b).reshape(-1)),
+            tex_tile=jnp.asarray(tiled),
             tex_hmax=hmax,
             tex_wmax=wmax,
             tex_combined=bool(combined),
             tex_comb_w=cw,
             tex_comb_h=ch,
+            tex_tiles_x=tiles_x,
             world_kind=world_kind,
             just_cosine=(world_kind == WORLD_RAYTRACING_ONE_WEEKEND),
             n_spheres=len(self.spheres),
