@@ -4,11 +4,14 @@ reference algorithm used as the correctness anchor for the TPU renderer.
 This is the role BASELINE.md assigns to "a scalar NumPy/CPU reference": a
 straightforward per-pixel, per-sample, per-bounce port of the reference
 semantics (RayCast win32_main.cpp:558-823, RayCastIntersect :406-556,
-RenderTexel :990-1186) sharing NO code with the TPU integrator except the
-counter-based PRNG (utils/prng.py) — both consume identical PCG4D
-streams keyed on (pixel, sample, bounce, slot), so a TPU render and an
-oracle render of the same configuration agree to float32 rounding, not just
-in distribution. That is what makes the RMSE < 1e-3 golden gate meaningful.
+RenderTexel :990-1186) sharing NO code with the TPU integrator — including
+the PRNG: the PCG4D counter streams are reimplemented below in pure numpy
+(same published constants, independently written), so the golden gates also
+cover utils/prng.py itself (a masking/bitcast/tag bug there cannot cancel
+out of the comparison). Both sides consume identical streams keyed on
+(pixel, sample, bounce, slot), so a TPU render and an oracle render of the
+same configuration agree to float32 rounding, not just in distribution.
+That is what makes the RMSE < 1e-3 golden gate meaningful.
 
 Deliberately slow (python loops); use tiny images in tests.
 """
@@ -26,10 +29,70 @@ from ..scene.schema import (
     WORLD_RAYTRACING_ONE_WEEKEND, FIXED_FOCAL_LENGTH,
 )
 from ..render.raygen import POISSON_DISK, NUM_POISSON
-from ..utils import prng
 
 F32 = np.float32
 PI = F32(math.pi)
+
+# --- counter PRNG, pure numpy (independent twin of utils/prng.py) -----------
+# PCG4D (Jarzynski & Olano, JCGT 2020, listing 6) with the renderer's
+# stream-tag layout. uint32 arithmetic wraps naturally in numpy arrays.
+
+_TAG_JITTER = 0x0100_0000
+_TAG_LENS = 0x0200_0000
+_TAG_BOUNCE = 0x0400_0000
+_BOUNCE_SLOTS = 6
+
+
+def _pcg4d_np(a, b, c, d):
+    u = np.uint32
+    mul, inc = u(1664525), u(1013904223)
+    a = a * mul + inc
+    b = b * mul + inc
+    c = c * mul + inc
+    d = d * mul + inc
+    a = a + b * d
+    b = b + c * a
+    c = c + a * b
+    d = d + b * c
+    a ^= a >> u(16)
+    b ^= b >> u(16)
+    c ^= c >> u(16)
+    d ^= d >> u(16)
+    a = a + b * d
+    b = b + c * a
+    c = c + a * b
+    d = d + b * c
+    return a, b, c, d
+
+
+def _to_unit_np(x):
+    """uint32 -> [0,1) float32 from the top 24 bits (matches prng._to_unit)."""
+    return ((x >> np.uint32(8)) & np.uint32(0xFFFFFF)).astype(F32) * F32(1.0 / (1 << 24))
+
+
+def _draw4_np(seed, pixel, sample, tag):
+    with np.errstate(over="ignore"):  # uint32 wraparound is the algorithm
+        a, b, c, d = _pcg4d_np(
+            np.asarray(seed, np.uint32), np.asarray(pixel, np.uint32),
+            np.asarray(sample, np.uint32), np.asarray(tag, np.uint32))
+    return _to_unit_np(a), _to_unit_np(b), _to_unit_np(c), _to_unit_np(d)
+
+
+def jitter_uniforms_np(seed, pixel, sample):
+    a, b, _, _ = _draw4_np(seed, pixel, sample, _TAG_JITTER)
+    return a, b
+
+
+def lens_uniforms_np(seed, pixel, sample):
+    a, b, _, _ = _draw4_np(seed, pixel, sample, _TAG_LENS)
+    return a, b
+
+
+def bounce_uniforms_np(seed, pixel, sample, bounce):
+    base = np.uint32(_TAG_BOUNCE) + np.uint32(bounce) * np.uint32(2)
+    a0, a1, a2, a3 = _draw4_np(seed, pixel, sample, base)
+    b0, b1, _, _ = _draw4_np(seed, pixel, sample, base + np.uint32(1))
+    return a0, a1, a2, a3, b0, b1
 
 
 def v3(x, y, z):
@@ -365,28 +428,24 @@ def render_oracle(
     use_russian_roulette: bool = False,
 ) -> np.ndarray:
     """Full oracle render -> (H, W, 3) float32 mean radiance (pre-tonemap)."""
-    import jax
-
     world = HostWorld(builder)
     just_cosine = world_kind == WORLD_RAYTRACING_ONE_WEEKEND
     n_pix = width * height
     spp = pp * pp
-    key = prng.base_key(seed)
 
-    # Precompute the shared uniform streams exactly as the TPU renderer does.
-    pixel_idx = np.arange(n_pix, dtype=np.int32)
+    # Precompute the uniform streams from the pure-numpy PCG4D twin (same
+    # counters the TPU renderer hashes on device; no jax on this side).
+    pixel_idx = np.arange(n_pix, dtype=np.uint32)
     jit_u = np.zeros((n_pix, spp, 2), np.float32)
-    bnc_u = np.zeros((n_pix, spp, MAX_BOUNCE_COUNT, prng.BOUNCE_SLOTS), np.float32)
+    bnc_u = np.zeros((n_pix, spp, MAX_BOUNCE_COUNT, _BOUNCE_SLOTS), np.float32)
     lens_u = np.zeros((n_pix, pp, 2), np.float32)
     for s in range(spp):
-        pkeys = prng.path_keys(key, jax.numpy.asarray(pixel_idx), jax.numpy.asarray(s))
-        jit_u[:, s] = np.stack([np.asarray(x) for x in prng.jitter_uniforms_v(pkeys)], -1)
+        jit_u[:, s] = np.stack(jitter_uniforms_np(seed, pixel_idx, s), -1)
         for b in range(MAX_BOUNCE_COUNT - 1):
             bnc_u[:, s, b] = np.stack(
-                [np.asarray(x) for x in prng.bounce_uniforms_v(pkeys, b)], -1)
+                bounce_uniforms_np(seed, pixel_idx, s, b), -1)
     for ri in range(pp):
-        pkeys = prng.path_keys(key, jax.numpy.asarray(pixel_idx), jax.numpy.asarray(ri))
-        lens_u[:, ri] = np.stack([np.asarray(x) for x in prng.lens_uniforms_v(pkeys)], -1)
+        lens_u[:, ri] = np.stack(lens_uniforms_np(seed, pixel_idx, ri), -1)
 
     cam = camera
     img = np.zeros((height, width, 3), np.float32)

@@ -103,6 +103,10 @@ class BounceOut(NamedTuple):
 # backend-gated (values are identical either way — pure lookup).
 _SELECT_LOOKUP_MAX = 192
 _SELECT_LOOKUP_MAX_TPU = 512
+# Inside the Pallas kernel, tables above this size switch from the select
+# sweep to the windowed lane-LUT lookup (tpu.dynamic_gather over 128-wide
+# static slices) — O(M/128) gathers instead of O(M) selects per field.
+_KERNEL_MAT_WINDOW_MIN = 128
 
 
 def _sweep_threshold() -> int:
@@ -110,16 +114,8 @@ def _sweep_threshold() -> int:
         else _SELECT_LOOKUP_MAX_TPU
 
 
-def _material_lookup(scene: Scene, mat: jnp.ndarray):
-    """Per-lane material record lookup (material_t, ray.hpp:36-79).
-
-    For small tables an unrolled compare/select sweep beats a hardware
-    gather on the VPU (one vectorized compare+select per row vs a serial
-    gather per lane); large tables (world 4's ~400 materials) use gathers.
-    """
-    n = scene.n_materials
-    sweep_max = _sweep_threshold()
-    fields = dict(
+def _material_fields(scene: Scene) -> dict:
+    return dict(
         albedo=scene.mat_albedo, emit=scene.mat_emit,
         metal_color=scene.mat_metal_color,
         metalness=scene.mat_metalness, roughness=scene.mat_roughness,
@@ -129,6 +125,53 @@ def _material_lookup(scene: Scene, mat: jnp.ndarray):
         roughness_idx=scene.mat_roughness_idx,
         normal_idx=scene.mat_normal_idx,
     )
+
+
+def _material_lookup_windowed(scene: Scene, mat: jnp.ndarray):
+    """In-kernel material fetch via the 128-lane-window LUT (the same
+    tpu.dynamic_gather primitive as the texture path, ops/texture.py).
+    Tables are padded to a 128 multiple (scene/schema.py); each window is a
+    STATIC slice broadcast across the block, gathered with the in-window
+    index, and selected where the lane's index falls in the window.
+    Bit-identical to the sweep (pure lookup); verified against it in
+    tests/test_clusters.py."""
+    M = scene.mat_roughness.shape[0]
+    n_win = M // 128
+
+    def fetch(tab):
+        acc = None
+        for w in range(n_win):
+            row = jnp.broadcast_to(tab[w * 128:(w + 1) * 128][None, :],
+                                   mat.shape)
+            idx = jnp.clip(mat - w * 128, 0, 127)
+            got = jnp.take_along_axis(row, idx, axis=1)
+            # windows ascend: the containing window's value wins
+            acc = got if acc is None else jnp.where(mat >= w * 128, got, acc)
+        return acc
+
+    return {
+        k: Vec3(fetch(v.x), fetch(v.y), fetch(v.z)) if isinstance(v, Vec3)
+        else fetch(v)
+        for k, v in _material_fields(scene).items()
+    }
+
+
+def _material_lookup(scene: Scene, mat: jnp.ndarray):
+    """Per-lane material record lookup (material_t, ray.hpp:36-79).
+
+    For small tables an unrolled compare/select sweep beats a hardware
+    gather on the VPU (one vectorized compare+select per row vs a serial
+    gather per lane); large tables use gathers — per-lane XLA gathers on
+    the XLA drivers, the windowed lane-LUT inside the Pallas kernel (which
+    has no gather instruction and where a ~400-row sweep dominates the
+    bounce, BENCH.md round 2)."""
+    from ..ops.intersect import _tracing_pallas_kernel
+    n = scene.n_materials
+    if (_tracing_pallas_kernel and mat.ndim == 2
+            and n > _KERNEL_MAT_WINDOW_MIN):
+        return _material_lookup_windowed(scene, mat)
+    sweep_max = _sweep_threshold()
+    fields = _material_fields(scene)
     if n > sweep_max:
         return {
             k: gather(v, mat) if isinstance(v, Vec3) else v[mat]

@@ -54,6 +54,11 @@ _BLOCK_ROWS = 32
 _BLOCK_ROWS_TEXTURED = 16
 _LANES = 128
 BLOCK = _BLOCK_ROWS * _LANES
+# Samples per kernel dispatch on coherence-dependent scenes (clusters /
+# textures): short dispatches restart all lanes in (sample, bounce)
+# lockstep, which is what keeps packet culling and tile-windowed fetches
+# effective (see render_chunk_pallas). Swept {4,8,16,64} on worlds 1/4/5.
+_SUB_CHUNK_SAMPLES = 8
 
 
 def _block_rows(scene: Scene) -> int:
@@ -71,13 +76,13 @@ def supports(scene: Scene, config: RenderConfig) -> bool:
     (ops/texture.bespoke_sample_combined_windowed). General multi-size
     texture stacks stay on the XLA drivers."""
     from ..ops.intersect import _UNROLL_MAX_KERNEL
-    from .integrator import _SELECT_LOOKUP_MAX_TPU
+    # (materials of any count are covered: small tables sweep, large ones
+    # use the windowed lane-LUT lookup — integrator._material_lookup)
     return (
         (scene.n_textures == 0 or scene.tex_combined)
         and (scene.n_tris == 0 or scene.grid_res == 0)
         and max(scene.n_spheres, scene.n_quads, scene.n_planes,
                 scene.n_tris) <= _UNROLL_MAX_KERNEL
-        and scene.n_materials <= _SELECT_LOOKUP_MAX_TPU
         and config.debug_kind in (REGULAR, VARIANCE)
         and not config.just_importance
     )
@@ -188,6 +193,62 @@ def _wave_loop(scene: Scene, camera: Camera, config: RenderConfig,
     return acc_sum, acc_sq, count, nan_c, rays
 
 
+@functools.lru_cache(maxsize=32)
+def _tile_perm_np(width: int, height: int, rows: int):
+    """Static pixel permutation grouping (128 x rows) image tiles, so one
+    kernel block covers a square-ish screen region instead of a 3-scanline
+    strip spanning the full image width. Matters for packet culling: a
+    strip block crosses every scene feature on its rows (world 5's Mario
+    occupies the middle of EVERY strip), while most square tiles miss the
+    mesh entirely and skip all its clusters. Returns (perm, inv) numpy
+    index arrays (perm[i] = original pixel at sorted position i)."""
+    import numpy as np
+    idx = np.arange(width * height, dtype=np.int32).reshape(height, width)
+    tiles = []
+    for ty in range(0, height, rows):
+        for tx in range(0, width, 128):
+            tiles.append(idx[ty:ty + rows, tx:tx + 128].ravel())
+    perm = np.concatenate(tiles)
+    inv = np.argsort(perm).astype(np.int32)
+    return perm, inv
+
+
+def _texel_sort(scene: Scene, camera: Camera, config: RenderConfig,
+                pixel_idx: jnp.ndarray) -> jnp.ndarray:
+    """Permutation ordering pixels by the texture TILE their primary ray
+    fetches (sentinel = pixels that fetch nothing: sky, untextured hits).
+
+    The windowed texture fetch costs ~0.4us per DISTINCT tile a block
+    touches, and with row-major pixel order a minified ground plane spreads
+    a 2048-lane block over ~130 tiles (BENCH.md round 2). Sorting pixels by
+    primary tile id makes blocks tile-coherent for every bounce-0 fetch of
+    every sample (each lane keeps its pixel for the whole chunk), cutting
+    distinct tiles per block several-fold; bounce>=1 fetches stay scattered.
+    The permutation is correctness-neutral: all randomness/geometry is a
+    pure function of the linear pixel index, and results are inverse-
+    permuted before accumulation."""
+    from ..ops import texture as _tex
+    from .integrator import _material_lookup
+    n = pixel_idx.shape[0]
+    half = jnp.full((n,), 0.5, jnp.float32)
+    zero = jnp.zeros((n,), jnp.int32)
+    if camera.use_pinhole:
+        o, d = raygen.pinhole_rays(camera, config.width, config.height,
+                                   config.pp, 0, 0, (half, half), pixel_idx)
+    else:
+        o, d = raygen.thin_lens_rays(camera, config.width, config.height,
+                                     config.pp, zero, zero, (half, half),
+                                     pixel_idx)
+    hit = intersect_scene(scene, o, d)
+    mat = _material_lookup(scene, hit.mat)
+    hp = o + d * hit.t
+    x1, y1, _, _, _, _ = _tex._combined_coords(scene, hp.x, hp.y)
+    tile = (y1 >> 3) * scene.tex_tiles_x + (x1 >> 3)
+    needs = (hit.mat != 0) & (mat["albedo_idx"] != 0)
+    key = jnp.where(needs, tile, jnp.int32(1 << 30))
+    return jnp.argsort(key)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("camera", "config", "n_samples", "interpret"),
@@ -201,6 +262,27 @@ def render_chunk_pallas(
     n = pixel_idx.shape[0]
     block_rows = _block_rows(scene)
     block = block_rows * _LANES
+
+    # Block-coherence machinery (clustered or textured scenes): the packet
+    # culls and the windowed texture fetch only pay off while a block's
+    # lanes agree on where they are. Path regeneration desyncs lanes over
+    # a long sample budget (each lane advances through its samples at its
+    # own pace), so (a) order pixels tile-coherently for textured scenes,
+    # and (b) split the sample budget into short per-dispatch sub-chunks
+    # that restart every lane at (sample, bounce 0) lockstep — measured on
+    # world 5: 29 Mrays/s at 64-sample dispatches vs ~90 at 4.
+    use_sort = bool(scene.tex_combined and scene.n_textures)
+    coherent = use_sort or bool(scene.sph_clusters or scene.tri_clusters)
+    perm = inv = None
+    if use_sort:
+        perm = _texel_sort(scene, camera, config, pixel_idx)
+        pixel_idx = pixel_idx[perm]
+    elif coherent and n == config.width * config.height:
+        p_np, i_np = _tile_perm_np(config.width, config.height, block_rows)
+        perm, inv = jnp.asarray(p_np), jnp.asarray(i_np)
+        pixel_idx = pixel_idx[perm]
+    sub = _SUB_CHUNK_SAMPLES if coherent else n_samples
+
     n_pad = ((n + block - 1) // block) * block
     pix = jnp.concatenate(
         [pixel_idx.astype(jnp.int32),
@@ -224,60 +306,81 @@ def render_chunk_pallas(
         (i for i, l in enumerate(scene_leaves) if l is scene.tex_tile), None)
     use_tex_ref = scene.tex_combined and scene.n_textures > 0
     sk = jnp.asarray(key, jnp.uint32).reshape(1, 1)
-    ss0 = jnp.asarray(s0, jnp.int32).reshape(1, 1)
 
     from ..ops import intersect as _intersect_mod
     from ..ops import texture as _texture_mod
     _intersect_mod._tracing_pallas_kernel = True
 
-    def kernel(sk_ref, ss0_ref, pix_ref, *refs):
-        scene_refs = refs[: len(scene_leaves)]
-        outs = refs[len(scene_leaves):]
-        (sumx, sumy, sumz, sqx, sqy, sqz, cnt, nanc, rays) = outs
-        vals = [r if (use_tex_ref and i == tex_idx) else r[:]
-                for i, r in enumerate(scene_refs)]
-        scene_local = jax.tree_util.tree_unflatten(scene_def, vals)
-        if use_tex_ref:
-            _texture_mod.KERNEL_TEX_REF = scene_refs[tex_idx]
-        pixel_block = pix_ref[:]
-        acc_sum, acc_sq, count, nan_c, ray_c = _wave_loop(
-            scene_local, camera, config, sk_ref[0, 0], ss0_ref[0, 0],
-            n_samples, pixel_block)
-        sumx[:] = acc_sum.x
-        sumy[:] = acc_sum.y
-        sumz[:] = acc_sum.z
-        sqx[:] = acc_sq.x
-        sqy[:] = acc_sq.y
-        sqz[:] = acc_sq.z
-        cnt[:] = count
-        nanc[:] = nan_c
-        rays[:] = ray_c
+    def make_kernel(ns: int):
+        def kernel(sk_ref, ss0_ref, pix_ref, *refs):
+            scene_refs = refs[: len(scene_leaves)]
+            outs = refs[len(scene_leaves):]
+            (sumx, sumy, sumz, sqx, sqy, sqz, cnt, nanc, rays) = outs
+            vals = [r if (use_tex_ref and i == tex_idx) else r[:]
+                    for i, r in enumerate(scene_refs)]
+            scene_local = jax.tree_util.tree_unflatten(scene_def, vals)
+            if use_tex_ref:
+                _texture_mod.KERNEL_TEX_REF = scene_refs[tex_idx]
+            pixel_block = pix_ref[:]
+            acc_sum, acc_sq, count, nan_c, ray_c = _wave_loop(
+                scene_local, camera, config, sk_ref[0, 0], ss0_ref[0, 0],
+                ns, pixel_block)
+            sumx[:] = acc_sum.x
+            sumy[:] = acc_sum.y
+            sumz[:] = acc_sum.z
+            sqx[:] = acc_sq.x
+            sqy[:] = acc_sq.y
+            sqz[:] = acc_sq.z
+            cnt[:] = count
+            nanc[:] = nan_c
+            rays[:] = ray_c
+        return kernel
 
     blk = pl.BlockSpec((block_rows, _LANES), lambda i: (i, 0),
                        memory_space=pltpu.VMEM)
     full = lambda leaf: pl.BlockSpec(memory_space=pltpu.VMEM)
     out_shape = [jax.ShapeDtypeStruct((rows_total, _LANES), jnp.float32)
                  for _ in range(9)]
+    calls = {}  # ns -> compiled pallas_call (1-2 distinct tail sizes)
+
+    def run_sub(off: int, ns: int):
+        if ns not in calls:
+            calls[ns] = pl.pallas_call(
+                make_kernel(ns),
+                grid=grid,
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                    blk,
+                ] + [full(l) for l in scene_leaves],
+                out_specs=[blk] * 9,
+                out_shape=out_shape,
+                interpret=interpret,
+            )
+        ss0 = (jnp.asarray(s0, jnp.int32) + off).reshape(1, 1)
+        return calls[ns](sk, ss0, pix2d, *scene_leaves)
+
     try:
-        outs = pl.pallas_call(
-            kernel,
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                blk,
-            ] + [full(l) for l in scene_leaves],
-            out_specs=[blk] * 9,
-            out_shape=out_shape,
-            interpret=interpret,
-        )(sk, ss0, pix2d, *scene_leaves)
+        outs = None
+        off = 0
+        while off < n_samples:
+            ns = min(sub, n_samples - off)
+            got = run_sub(off, ns)
+            outs = got if outs is None else [a + b for a, b in zip(outs, got)]
+            off += ns
     finally:
         _intersect_mod._tracing_pallas_kernel = False
         _texture_mod.KERNEL_TEX_REF = None
 
-    (sumx, sumy, sumz, sqx, sqy, sqz, cnt, nanc, rays) = [
-        a.reshape(-1)[:n] for a in outs[:7]
-    ] + [outs[7], outs[8]]
+    per_pixel = [a.reshape(-1)[:n] for a in outs[:7]]
+    if perm is not None:
+        # back to caller pixel order (state is indexed by the caller's
+        # pixel_idx): position i of the kernel outputs is position perm[i]
+        if inv is None:
+            inv = jnp.argsort(perm)
+        per_pixel = [a[inv] for a in per_pixel]
+    (sumx, sumy, sumz, sqx, sqy, sqz, cnt) = per_pixel
+    nanc, rays = outs[7], outs[8]
 
     return AccumState(
         sum=Vec3(state.sum.x + sumx, state.sum.y + sumy, state.sum.z + sumz),

@@ -1,0 +1,132 @@
+"""Host-side primitive clustering: the TPU-shaped acceleration structure.
+
+The reference accelerates only triangles, with a 64^3 uniform grid merged
+bottom-up into an octree that a per-ray stack walks
+(GenerateAccelerationStructure win32_main.cpp:1188-1447, traversal
+:476-526). Per-lane divergent traversal is the wrong shape for a vector
+machine: a grid-DDA port measured ~70x SLOWER than chunked brute force on
+the VPU (ops/traverse.py, BENCH.md round 1).
+
+This module is the redesign. Primitives (triangles AND spheres — the
+reference's sphere loop win32_main.cpp:418-434 is unaccelerated) are
+grouped on host into spatially-tight clusters by recursive longest-axis
+median split over centroids. The render kernel then tests one cluster AABB
+against the WHOLE 4096-lane block (a vectorized slab test + block-level
+any-reduce) and skips the cluster's primitive tests entirely via a real
+scalar branch (lax.cond) when no lane can hit it — ray-packet culling at
+block granularity, the natural TPU analog of the reference's per-ray
+octree walk. Culling correctness: a primitive hit inside an AABB has ray
+parameter t >= the AABB entry distance, so a cluster is skippable when
+every lane's current-best t is closer than its entry (or the slab test
+misses outright).
+
+Primitives whose own AABB spans a large fraction of the scene (world 4's
+r=1000 ground sphere, world 1/2's sun sphere) would inflate any cluster
+they join until it always hits; they are split out into an unconditional
+"huge" cluster tested every time — which costs nothing relative to brute
+force, since such primitives are hit-tested by almost every block anyway.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+# Primitives per leaf cluster. Swept on worlds 4/5 (see BENCH.md): small
+# leaves prune more but pay one ~0.3us block-reduce + branch per cluster.
+LEAF_SIZE = 32
+# Tables at or below this size stay on the plain unrolled path: a handful
+# of always-tested primitives is cheaper than any culling overhead.
+CLUSTER_MIN = 64
+# A primitive whose AABB diagonal exceeds this fraction of the scene
+# diagonal goes to the unconditional "huge" cluster.
+HUGE_FRAC = 0.3
+
+
+class Cluster(Tuple):
+    """(offset, count, bounds_min, bounds_max); bounds are None for the
+    unconditional (huge-primitive) cluster. Plain tuple subtype so it stays
+    hashable inside Scene's static (pytree_node=False) fields."""
+
+
+def _bounds_of(bmin: np.ndarray, bmax: np.ndarray, idx) -> tuple:
+    mn = bmin[idx].min(axis=0)
+    mx = bmax[idx].max(axis=0)
+    return (tuple(float(v) for v in mn), tuple(float(v) for v in mx))
+
+
+def build_clusters(
+    bmin: np.ndarray,
+    bmax: np.ndarray,
+    leaf_size: Optional[int] = None,
+    huge_frac: Optional[float] = None,
+) -> Tuple[np.ndarray, tuple]:
+    """Cluster primitives by their AABBs.
+
+    Args:
+      bmin, bmax: (N, 3) float per-primitive AABB corners.
+      leaf_size: max primitives per conditional cluster.
+      huge_frac: scene-diagonal fraction above which a primitive is "huge".
+
+    Returns:
+      (order, clusters): ``order`` is an (N,) permutation — the primitive
+      tables must be reordered as table[order] — and ``clusters`` is a
+      tuple of (offset, count, mn3 | None, mx3 | None) entries indexing the
+      REORDERED tables. The huge cluster (bounds None), if any, comes first.
+    """
+    leaf_size = LEAF_SIZE if leaf_size is None else leaf_size
+    huge_frac = HUGE_FRAC if huge_frac is None else huge_frac
+    bmin = np.asarray(bmin, np.float64)
+    bmax = np.asarray(bmax, np.float64)
+    n = len(bmin)
+    assert bmax.shape == bmin.shape and bmin.shape == (n, 3)
+
+    scene_diag = float(np.linalg.norm(bmax.max(axis=0) - bmin.min(axis=0)))
+    diag = np.linalg.norm(bmax - bmin, axis=1)
+    huge = diag > huge_frac * max(scene_diag, 1e-30)
+    huge_idx = np.nonzero(huge)[0]
+    rest_idx = np.nonzero(~huge)[0]
+
+    centroids = (bmin + bmax) * 0.5
+    leaves: list[np.ndarray] = []
+
+    def split(idx: np.ndarray):
+        if len(idx) <= leaf_size:
+            leaves.append(idx)
+            return
+        c = centroids[idx]
+        axis = int(np.argmax(c.max(axis=0) - c.min(axis=0)))
+        half = len(idx) // 2
+        part = np.argpartition(c[:, axis], half)
+        split(idx[part[:half]])
+        split(idx[part[half:]])
+
+    if len(rest_idx):
+        split(rest_idx)
+
+    order = np.concatenate([huge_idx] + leaves) if (len(huge_idx) or leaves) \
+        else np.zeros((0,), np.int64)
+    clusters = []
+    off = 0
+    if len(huge_idx):
+        clusters.append((0, int(len(huge_idx)), None, None))
+        off = int(len(huge_idx))
+    for leaf in leaves:
+        mn, mx = _bounds_of(bmin, bmax, leaf)
+        clusters.append((off, int(len(leaf)), mn, mx))
+        off += int(len(leaf))
+    return order.astype(np.int64), tuple(clusters)
+
+
+def sphere_bounds(centers: np.ndarray, radii: np.ndarray):
+    """Per-sphere AABBs from (N,3) centers and (N,) radii."""
+    c = np.asarray(centers, np.float64)
+    r = np.asarray(radii, np.float64)[:, None]
+    return c - r, c + r
+
+
+def triangle_bounds(tris: np.ndarray):
+    """Per-triangle AABBs from (N, 3, 3) vertex arrays."""
+    t = np.asarray(tris, np.float64)
+    return t.min(axis=1), t.max(axis=1)

@@ -104,6 +104,20 @@ class Scene:
     tri_mat: jnp.ndarray
     tri_mask: jnp.ndarray
 
+    # --- clustered (reordered) primitive copies ---------------------------
+    # The fused kernel culls primitives per 4096-lane block: host-built
+    # spatial clusters (scene/clusters.py) whose AABB slab test fails for
+    # every lane are skipped via a real branch. These are the SAME
+    # primitives reordered cluster-contiguously; originals stay in reference
+    # order (spheres[0] must remain the NEE light, win32_main.cpp:683).
+    csph_center: Vec3
+    csph_radius: jnp.ndarray
+    csph_mat: jnp.ndarray
+    ctri_a: Vec3
+    ctri_u: Vec3
+    ctri_v: Vec3
+    ctri_mat: jnp.ndarray
+
     # --- axis-aligned boxes (parity with world_t.aabbs; always empty) -----
     box_min: Vec3
     box_max: Vec3
@@ -155,6 +169,13 @@ class Scene:
     tex_tiles_x: int = struct.field(pytree_node=False, default=1)
 
     # --- static (compile-time) metadata -----------------------------------
+    # Cluster descriptors for the packet-culling path: tuples of
+    # (offset, count, bounds_min | None, bounds_max | None) into the
+    # clustered tables above; bounds None = unconditional "huge" cluster.
+    # Static so bounds bake into the kernel as immediates. Empty = no
+    # clustering (small tables run the plain unrolled loops).
+    sph_clusters: tuple = struct.field(pytree_node=False, default=())
+    tri_clusters: tuple = struct.field(pytree_node=False, default=())
     world_kind: int = struct.field(pytree_node=False, default=WORLD_DEFAULT)
     # World 4 forces cosine-only sampling (win32_main.cpp:654-655).
     just_cosine: bool = struct.field(pytree_node=False, default=False)
@@ -186,6 +207,10 @@ class HostMaterial:
     metalness: float = 0.0
     roughness: float = 1.0
     ior: float = 1.0
+    # Dielectric transmission (glass): 0 = opaque (exact reference
+    # behavior); > 0 enables the delta reflect/refract lobe the reference
+    # left unfinished (win32_main.cpp:169,1622-1661, F0 comment :600-601).
+    transmission: float = 0.0
     albedo_idx: int = 0
     metalness_idx: int = 0
     roughness_idx: int = 0
@@ -264,7 +289,10 @@ class WorldBuilder:
             m[:n] = True
             return jnp.asarray(m)
 
-        M = _pad(len(self.materials))
+        # Materials pad to a 128 multiple: the in-kernel windowed lookup
+        # (integrator._material_lookup) slices the tables in 128-lane
+        # windows for tpu.dynamic_gather.
+        M = _pad(len(self.materials), 128)
         mats = self.materials
         S, Q, P = _pad(len(self.spheres)), _pad(len(self.quads)), _pad(len(self.planes))
         ntri = 0 if self.triangles is None else len(self.triangles)
@@ -279,6 +307,34 @@ class WorldBuilder:
             tri_u[:ntri] = self.triangles[:, 1] - self.triangles[:, 0]
             tri_v[:ntri] = self.triangles[:, 2] - self.triangles[:, 0]
             tri_m[:ntri] = self.tri_mats
+
+        # packet-culling clusters (scene/clusters.py): reordered copies of
+        # big sphere/triangle tables, cluster-contiguous; tiny tables skip
+        from . import clusters as clu
+        sph_clusters: tuple = ()
+        csph_c = np.zeros((1, 3), f32)
+        csph_r = np.zeros((1,), f32)
+        csph_m = np.zeros((1,), i32)
+        if len(self.spheres) > clu.CLUSTER_MIN:
+            centers = np.asarray([s[0] for s in self.spheres], f32)
+            radii = np.asarray([s[1] for s in self.spheres], f32)
+            order, sph_clusters = clu.build_clusters(
+                *clu.sphere_bounds(centers, radii))
+            csph_c = centers[order]
+            csph_r = radii[order]
+            csph_m = np.asarray([s[2] for s in self.spheres], i32)[order]
+        tri_clusters: tuple = ()
+        ctri_a = np.zeros((1, 3), f32)
+        ctri_u = np.zeros((1, 3), f32)
+        ctri_v = np.zeros((1, 3), f32)
+        ctri_m = np.zeros((1,), i32)
+        if ntri > clu.CLUSTER_MIN:
+            order, tri_clusters = clu.build_clusters(
+                *clu.triangle_bounds(self.triangles))
+            ctri_a = tri_a[:ntri][order]
+            ctri_u = tri_u[:ntri][order]
+            ctri_v = tri_v[:ntri][order]
+            ctri_m = tri_m[:ntri][order]
 
         # textures: pad to common max extent (mip 0 only on device),
         # packed RGB8 per texel (values are 8-bit-grid floats, textures.py)
@@ -376,6 +432,19 @@ class WorldBuilder:
             tri_v=Vec3(jnp.asarray(tri_v[:, 0]), jnp.asarray(tri_v[:, 1]), jnp.asarray(tri_v[:, 2])),
             tri_mat=jnp.asarray(tri_m),
             tri_mask=mask_table(ntri, T),
+            csph_center=Vec3(jnp.asarray(csph_c[:, 0]), jnp.asarray(csph_c[:, 1]),
+                             jnp.asarray(csph_c[:, 2])),
+            csph_radius=jnp.asarray(csph_r),
+            csph_mat=jnp.asarray(csph_m),
+            ctri_a=Vec3(jnp.asarray(ctri_a[:, 0]), jnp.asarray(ctri_a[:, 1]),
+                        jnp.asarray(ctri_a[:, 2])),
+            ctri_u=Vec3(jnp.asarray(ctri_u[:, 0]), jnp.asarray(ctri_u[:, 1]),
+                        jnp.asarray(ctri_u[:, 2])),
+            ctri_v=Vec3(jnp.asarray(ctri_v[:, 0]), jnp.asarray(ctri_v[:, 1]),
+                        jnp.asarray(ctri_v[:, 2])),
+            ctri_mat=jnp.asarray(ctri_m),
+            sph_clusters=sph_clusters,
+            tri_clusters=tri_clusters,
             box_min=vec_table([], 8),
             box_max=vec_table([], 8),
             box_mat=scalar_table([], 8, i32),

@@ -1,0 +1,181 @@
+"""Packet-culling clusters + windowed material lookup (round 2 accel).
+
+The cluster path (scene/clusters.py + ops/intersect._intersect_clustered)
+must be a pure pruning optimization: identical nearest hits to the brute
+loops on every ray. The windowed material lookup must be a pure lookup:
+identical records to the select sweep.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pathtracer_tpu.ops import intersect as isect
+from pathtracer_tpu.scene import clusters as clu
+from pathtracer_tpu.scene.schema import WorldBuilder
+from pathtracer_tpu.utils.vec import Vec3
+
+
+def _random_sphere_builder(rng, n=150, huge=True):
+    b = WorldBuilder()
+    b.add_material(emit=(0.1, 0.2, 0.3))  # sky
+    for k in range(n):
+        m = b.add_material(albedo=tuple(rng.rand(3)))
+        c = tuple((rng.rand(3) - 0.5) * 20.0)
+        b.add_sphere(c, 0.1 + rng.rand() * 0.5, m)
+    if huge:
+        m = b.add_material(albedo=(0.5, 0.5, 0.5))
+        b.add_sphere((0.0, 0.0, -1000.0), 1000.0, m)  # huge outlier
+    return b
+
+
+def _random_tri_builder(rng, n=200):
+    b = WorldBuilder()
+    b.add_material(emit=(0.1, 0.2, 0.3))
+    m = b.add_material(albedo=(0.6, 0.5, 0.4))
+    base = (rng.rand(n, 1, 3) - 0.5) * 20.0
+    tris = base + (rng.rand(n, 3, 3) - 0.5) * 1.5
+    b.set_mesh(tris.reshape(-1, 3).astype(np.float32),
+               np.full((n * 3,), m, np.int32))
+    return b
+
+
+def _rays(rng, n=512):
+    o = Vec3(*(jnp.asarray((rng.rand(n) - 0.5) * 30.0, jnp.float32)
+               for _ in range(3)))
+    d_np = rng.randn(3, n).astype(np.float32)
+    d_np /= np.linalg.norm(d_np, axis=0, keepdims=True)
+    d = Vec3(*(jnp.asarray(x) for x in d_np))
+    return o, d
+
+
+class TestClusterBuilder:
+    def test_order_is_permutation_and_bounds_contain(self):
+        rng = np.random.RandomState(0)
+        centers = (rng.rand(300, 3) - 0.5) * 10
+        radii = 0.1 + rng.rand(300)
+        bmin, bmax = clu.sphere_bounds(centers, radii)
+        order, cl = clu.build_clusters(bmin, bmax)
+        assert sorted(order.tolist()) == list(range(300))
+        covered = []
+        for off, cnt, mn, mx in cl:
+            idx = order[off:off + cnt]
+            covered.extend(idx.tolist())
+            if mn is not None:
+                assert (bmin[idx] >= np.asarray(mn) - 1e-5).all()
+                assert (bmax[idx] <= np.asarray(mx) + 1e-5).all()
+            assert cnt <= clu.LEAF_SIZE or mn is None
+        assert sorted(covered) == list(range(300))
+
+    def test_huge_outlier_split_out(self):
+        centers = np.zeros((80, 3))
+        centers[:, 0] = np.arange(80)
+        radii = np.full((80,), 0.5)
+        radii[7] = 500.0  # scene-scale outlier
+        order, cl = clu.build_clusters(*clu.sphere_bounds(centers, radii))
+        off, cnt, mn, mx = cl[0]
+        assert mn is None and cnt == 1 and order[off] == 7
+
+    def test_small_tables_not_clustered(self):
+        rng = np.random.RandomState(1)
+        b = _random_sphere_builder(rng, n=20)
+        scene = b.finalize()
+        assert scene.sph_clusters == ()
+
+
+def _assert_same_hits(brute, clustered):
+    """Culling must keep the same nearest hits. Bit equality does NOT hold
+    between the paths on CPU: the cluster branch bodies compile as one
+    XLA unit (lax.cond) whose fma fusion rounds differently from the
+    op-by-op brute loop — same sphere/triangle, last-bit t differences.
+    Assert identical winners (mat) and t to float32 tolerance."""
+    np.testing.assert_array_equal(np.asarray(brute.mat), np.asarray(clustered.mat))
+    np.testing.assert_allclose(np.asarray(brute.t), np.asarray(clustered.t),
+                               rtol=2e-5, atol=1e-4)
+
+
+class TestClusteredIntersectEquivalence:
+    @pytest.mark.parametrize("huge", [True, False])
+    def test_spheres_match_brute(self, huge):
+        rng = np.random.RandomState(2)
+        scene = _random_sphere_builder(rng, n=150, huge=huge).finalize()
+        assert len(scene.sph_clusters) > 1
+        o, d = _rays(rng)
+        shape = o.x.shape
+        best = lambda: isect.Hit(
+            jnp.full(shape, isect.F32_MAX), jnp.zeros(shape, jnp.int32),
+            Vec3(jnp.zeros(shape), jnp.zeros(shape), jnp.zeros(shape)))
+        brute = isect.intersect_spheres(scene, o, d, best())
+        isect._tracing_pallas_kernel = True
+        try:
+            clustered = isect.intersect_spheres(scene, o, d, best())
+        finally:
+            isect._tracing_pallas_kernel = False
+        _assert_same_hits(brute, clustered)
+
+    def test_triangles_match_brute(self):
+        rng = np.random.RandomState(3)
+        scene = _random_tri_builder(rng, n=200).finalize()
+        assert len(scene.tri_clusters) > 1
+        o, d = _rays(rng)
+        shape = o.x.shape
+        best = lambda: isect.Hit(
+            jnp.full(shape, isect.F32_MAX), jnp.zeros(shape, jnp.int32),
+            Vec3(jnp.zeros(shape), jnp.zeros(shape), jnp.zeros(shape)))
+        brute = isect.intersect_triangles_brute(scene, o, d, best())
+        isect._tracing_pallas_kernel = True
+        try:
+            clustered = isect.intersect_triangles_brute(scene, o, d, best())
+        finally:
+            isect._tracing_pallas_kernel = False
+        _assert_same_hits(brute, clustered)
+
+
+class TestWindowedMaterialLookup:
+    def _scene(self, n_mats):
+        rng = np.random.RandomState(4)
+        b = WorldBuilder()
+        for k in range(n_mats):
+            b.add_material(albedo=tuple(rng.rand(3)), emit=tuple(rng.rand(3)),
+                           metalness=float(rng.rand()),
+                           roughness=float(rng.rand()),
+                           ior=float(1 + rng.rand()),
+                           albedo_idx=int(rng.randint(0, 5)))
+        b.add_sphere((0, 0, 0), 1.0, 0)
+        return b.finalize()
+
+    @pytest.mark.parametrize("n_mats", [129, 424, 1100])
+    def test_matches_sweep(self, n_mats):
+        from pathtracer_tpu.render import integrator as integ
+        scene = self._scene(n_mats)
+        rng = np.random.RandomState(5)
+        mat = jnp.asarray(rng.randint(0, n_mats, (16, 128)), jnp.int32)
+        win = integ._material_lookup_windowed(scene, mat)
+        ref = integ._material_lookup(scene, mat.reshape(-1))
+        for k, v in win.items():
+            r = ref[k]
+            if isinstance(v, Vec3):
+                for a, b in zip(v, r):
+                    np.testing.assert_array_equal(
+                        np.asarray(a).reshape(-1), np.asarray(b))
+            else:
+                np.testing.assert_array_equal(
+                    np.asarray(v).reshape(-1), np.asarray(r))
+
+
+class TestTexelSortPermutation:
+    def test_perm_is_valid_and_neutral(self):
+        """The texel sort must be a permutation; neutrality on real scenes
+        is covered by the world-1 interpret-mode equivalence tests."""
+        from pathtracer_tpu.render.pallas_backend import _texel_sort
+        from pathtracer_tpu.render.renderer import RenderConfig
+        from pathtracer_tpu.scene.worlds import finalize_world
+        import pathtracer_tpu.scene.textures as tex_mod
+        scene, camera = finalize_world(0, 64, 36)
+        if not scene.tex_combined:
+            pytest.skip("world 1 textures unavailable")
+        cfg = RenderConfig(width=64, height=36, pp=2)
+        pix = jnp.arange(64 * 36, dtype=jnp.int32)
+        perm = np.asarray(_texel_sort(scene, camera, cfg, pix))
+        assert sorted(perm.tolist()) == list(range(64 * 36))
