@@ -13,7 +13,10 @@ The reference itself publishes no numbers (BASELINE.md).
 
 Flags: --spp N (default 64 measured samples), --full (render the whole
 1024-spp north-star workload and also report wall-clock), --world K,
---size WxH.
+--size WxH, --verify (render the same chunk with the compiled Pallas
+kernel AND the XLA wavefront driver on the current device and gate their
+agreement — the machine check for pallas_backend.py's documented flip
+tolerance; VERDICT round 1 item 4).
 """
 
 from __future__ import annotations
@@ -37,7 +40,13 @@ def main(argv=None) -> int:
     ap.add_argument("--size", default="1280x720")
     ap.add_argument("--sharded", action="store_true",
                     help="shard over all devices (default: single chip)")
+    ap.add_argument("--verify", action="store_true",
+                    help="gate compiled-Pallas vs XLA-wavefront agreement "
+                         "instead of benchmarking")
     args = ap.parse_args(argv)
+
+    if args.verify:
+        return verify(args)
 
     import jax
     from pathtracer_tpu.render.renderer import (
@@ -90,6 +99,66 @@ def main(argv=None) -> int:
         "vs_baseline": round(mrays / target, 4),
     }))
     return 0
+
+
+def verify(args) -> int:
+    """Compiled-TPU Pallas equivalence gate (the docstring claim in
+    render/pallas_backend.py, machine-checked): render one small chunk with
+    the compiled kernel and with the XLA wavefront driver, compare resolved
+    linear radiance per pixel. The two backends evaluate the SAME integrator
+    functions, so differences are limited to fma/reassociation rounding
+    (which can flip a discrete choice at a geometric boundary and resolve
+    to a legitimately different sample — unbiased per-sample noise).
+
+    Gates (per pallas_backend.py + BENCH.md round-2 world-1 measurement):
+      >= 50% of pixels bit-equal, < 1% of pixels with |diff| > 1e-3,
+      < 0.1% with |diff| > 0.1. Untextured scenes sit far inside these.
+    Prints one JSON line and exits nonzero on failure.
+    """
+    from pathtracer_tpu.render.renderer import (
+        RenderConfig, init_accum, render_chunk, resolve,
+    )
+    from pathtracer_tpu.render.pallas_backend import supports
+    from pathtracer_tpu.scene.worlds import finalize_world
+    from pathtracer_tpu.utils import prng
+
+    w, h = (int(x) for x in args.size.split("x"))
+    if args.size == "1280x720":
+        w, h = 320, 180  # verify default: small, compiles fast
+    spp = min(args.spp, 16)
+    pp = int(round(max(1, spp) ** 0.5))
+    scene, camera = finalize_world(args.world - 1, w, h)
+    key = prng.base_key(0)
+
+    cfg_p = RenderConfig(width=w, height=h, pp=pp, seed=0, backend="pallas")
+    if not supports(scene, cfg_p):
+        print(json.dumps({"metric": "pallas_verify", "world": args.world,
+                          "skipped": "scene unsupported by the kernel"}))
+        return 0
+    cfg_x = RenderConfig(width=w, height=h, pp=pp, seed=0, backend="xla")
+
+    imgs = {}
+    for name, cfg in (("pallas", cfg_p), ("xla", cfg_x)):
+        st = render_chunk(scene, camera, cfg, key, np.int32(0), cfg.spp,
+                          init_accum(w * h))
+        imgs[name] = np.asarray(resolve(st, cfg))
+
+    a, b = imgs["pallas"], imgs["xla"]
+    diff = np.abs(a - b).max(axis=2)
+    n_pix = diff.size
+    bit_equal = float((diff == 0.0).sum()) / n_pix
+    f_1e3 = float((diff > 1e-3).sum()) / n_pix
+    f_1e1 = float((diff > 0.1).sum()) / n_pix
+    ok = bit_equal >= 0.5 and f_1e3 < 0.01 and f_1e1 < 0.001
+    print(json.dumps({
+        "metric": "pallas_verify", "world": args.world,
+        "size": f"{w}x{h}", "spp": pp * pp,
+        "bit_equal_frac": round(bit_equal, 4),
+        "frac_gt_1e-3": round(f_1e3, 5),
+        "frac_gt_0.1": round(f_1e1, 6),
+        "ok": ok,
+    }))
+    return 0 if ok else 1
 
 
 if __name__ == "__main__":

@@ -1,14 +1,19 @@
 // Standalone image comparison tool — the ImageCompare.exe role
 // (reference src/image_compare.c, built by build.bat:4).
 //
-// Reads two 32-bit bottom-up DIB BMPs (the renderer's byte-identical output
-// format, io/bmp.py / win32_main.cpp:358-391) and prints the reference's
-// "Percentage Similarity" metric (image_compare.c:79-103) plus RMSE (the
-// BASELINE.json gate). The reference's Magnitude has a bug (uses v.a twice
-// and never v.r, image_compare.c:121-124); the fixed metric is the default
-// and --legacy reproduces the bug bit-for-bit for parity checks.
+// Reads two images — 24/32-bit DIB BMPs (the renderer's byte-identical
+// output format, io/bmp.py / win32_main.cpp:358-391) or 8-bit PNGs
+// (decoded here with zlib; gray/RGB/palette/alpha, non-interlaced) — and
+// prints the reference's "Percentage Similarity" metric
+// (image_compare.c:79-103) plus RMSE (the BASELINE.json gate). The
+// reference accepts anything stb_image reads (image_compare.c:37,47); BMP
+// + PNG covers every format this renderer and its tests emit. Rows are
+// normalized to top-down on load so cross-format comparisons align.
+// The reference's Magnitude has a bug (uses v.a twice and never v.r,
+// image_compare.c:121-124); the fixed metric is the default and --legacy
+// reproduces the bug bit-for-bit for parity checks.
 //
-// Usage: image_compare img1.bmp img2.bmp [--legacy] [--threshold X]
+// Usage: image_compare img1 img2 [--legacy] [--threshold X]
 // Exit: 0 ok (and RMSE <= threshold if given), 1 over threshold, -1 error.
 
 #include <cmath>
@@ -18,11 +23,15 @@
 #include <cstring>
 #include <vector>
 
+#include <zlib.h>
+
 namespace {
+
+#ifndef PT_NO_MAIN  // loaders are only needed by the standalone tool
 
 struct Image {
     int w = 0, h = 0;
-    std::vector<uint32_t> px;  // BGRA packed, row 0 = bottom (as stored)
+    std::vector<uint32_t> px;  // BGRA packed, row 0 = TOP (normalized)
 };
 
 bool load_bmp(const char* path, Image* out) {
@@ -35,21 +44,156 @@ bool load_bmp(const char* path, Image* out) {
         return static_cast<uint32_t>(hdr[o]) | (hdr[o + 1] << 8) |
                (hdr[o + 2] << 16) | (static_cast<uint32_t>(hdr[o + 3]) << 24);
     };
-    if (u16(0) != 0x4D42 || u16(28) != 32) { std::fclose(f); return false; }
+    const uint32_t bpp = u16(28);
+    if (u16(0) != 0x4D42 || (bpp != 32 && bpp != 24)) { std::fclose(f); return false; }
     const uint32_t offset = u32(10);
     const int32_t w = static_cast<int32_t>(u32(18));
     const int32_t h = static_cast<int32_t>(u32(22));
+    const bool bottom_up = h >= 0;
     out->w = w;
     out->h = h < 0 ? -h : h;
     out->px.resize(static_cast<size_t>(out->w) * out->h);
-    if (std::fseek(f, static_cast<long>(offset), SEEK_SET) != 0 ||
-        std::fread(out->px.data(), 4, out->px.size(), f) != out->px.size()) {
-        std::fclose(f);
-        return false;
+    const size_t row_bytes = ((static_cast<size_t>(w) * bpp / 8) + 3) & ~size_t(3);
+    std::vector<unsigned char> row(row_bytes);
+    bool ok = std::fseek(f, static_cast<long>(offset), SEEK_SET) == 0;
+    for (int y = 0; ok && y < out->h; ++y) {
+        ok = std::fread(row.data(), 1, row_bytes, f) == row_bytes;
+        if (!ok) break;
+        const int dst_y = bottom_up ? out->h - 1 - y : y;  // normalize top-down
+        uint32_t* dst = out->px.data() + static_cast<size_t>(dst_y) * w;
+        for (int x = 0; x < w; ++x) {
+            const unsigned char* p = row.data() + static_cast<size_t>(x) * bpp / 8;
+            const uint32_t a = bpp == 32 ? p[3] : 0xFF;
+            dst[x] = static_cast<uint32_t>(p[0]) | (p[1] << 8) |
+                     (static_cast<uint32_t>(p[2]) << 16) | (a << 24);
+        }
     }
     std::fclose(f);
+    return ok;
+}
+
+// --- minimal PNG decode (the stbi role): 8-bit depth, color types
+// 0/2/3/4/6, non-interlaced, filters 0-4, zlib IDAT ------------------------
+
+int paeth(int a, int b, int c) {
+    const int p = a + b - c, pa = std::abs(p - a), pb = std::abs(p - b),
+              pc = std::abs(p - c);
+    if (pa <= pb && pa <= pc) return a;
+    return pb <= pc ? b : c;
+}
+
+bool load_png(const char* path, Image* out) {
+    FILE* f = std::fopen(path, "rb");
+    if (!f) return false;
+    std::fseek(f, 0, SEEK_END);
+    const long fsize = std::ftell(f);
+    std::fseek(f, 0, SEEK_SET);
+    std::vector<unsigned char> data(static_cast<size_t>(fsize));
+    const bool read_ok =
+        std::fread(data.data(), 1, data.size(), f) == data.size();
+    std::fclose(f);
+    static const unsigned char sig[8] = {137, 80, 78, 71, 13, 10, 26, 10};
+    if (!read_ok || data.size() < 8 || std::memcmp(data.data(), sig, 8) != 0)
+        return false;
+
+    auto be32 = [&](size_t o) {
+        return (static_cast<uint32_t>(data[o]) << 24) | (data[o + 1] << 16) |
+               (data[o + 2] << 8) | data[o + 3];
+    };
+    uint32_t w = 0, h = 0;
+    int color_type = -1;
+    std::vector<unsigned char> idat, plte;
+    for (size_t off = 8; off + 8 <= data.size();) {
+        const uint32_t len = be32(off);
+        if (off + 12 + len > data.size()) return false;
+        const char* type = reinterpret_cast<const char*>(&data[off + 4]);
+        const unsigned char* body = &data[off + 8];
+        if (!std::memcmp(type, "IHDR", 4)) {
+            w = be32(off + 8);
+            h = be32(off + 12);
+            const int depth = body[8], interlace = body[12];
+            color_type = body[9];
+            if (depth != 8 || interlace != 0) return false;
+        } else if (!std::memcmp(type, "PLTE", 4)) {
+            plte.assign(body, body + len);
+        } else if (!std::memcmp(type, "IDAT", 4)) {
+            idat.insert(idat.end(), body, body + len);
+        } else if (!std::memcmp(type, "IEND", 4)) {
+            break;
+        }
+        off += 12 + len;
+    }
+    static const int kChannels[] = {1, 0, 3, 1, 2, 0, 4};
+    if (!w || !h || color_type < 0 || color_type > 6 ||
+        kChannels[color_type] == 0)
+        return false;
+    const int ch = kChannels[color_type];
+    const size_t stride = static_cast<size_t>(w) * ch;
+    std::vector<unsigned char> raw((stride + 1) * h);
+    uLongf raw_len = raw.size();
+    if (uncompress(raw.data(), &raw_len, idat.data(), idat.size()) != Z_OK ||
+        raw_len != raw.size())
+        return false;
+
+    out->w = static_cast<int>(w);
+    out->h = static_cast<int>(h);
+    out->px.resize(static_cast<size_t>(w) * h);
+    std::vector<unsigned char> prev(stride, 0), cur(stride);
+    for (uint32_t y = 0; y < h; ++y) {
+        const unsigned char* src = &raw[(stride + 1) * y];
+        const int filter = src[0];
+        ++src;
+        for (size_t i = 0; i < stride; ++i) {
+            const int x = src[i];
+            const int a = i >= static_cast<size_t>(ch) ? cur[i - ch] : 0;
+            const int b = prev[i];
+            const int c = i >= static_cast<size_t>(ch) ? prev[i - ch] : 0;
+            int v = x;
+            switch (filter) {
+                case 1: v = x + a; break;
+                case 2: v = x + b; break;
+                case 3: v = x + (a + b) / 2; break;
+                case 4: v = x + paeth(a, b, c); break;
+                default: break;
+            }
+            cur[i] = static_cast<unsigned char>(v & 0xFF);
+        }
+        uint32_t* dst = out->px.data() + static_cast<size_t>(y) * w;
+        for (uint32_t x = 0; x < w; ++x) {
+            const unsigned char* p = &cur[static_cast<size_t>(x) * ch];
+            unsigned r, g, b2, a2 = 0xFF;
+            switch (color_type) {
+                case 0: r = g = b2 = p[0]; break;
+                case 4: r = g = b2 = p[0]; a2 = p[1]; break;
+                case 3: {
+                    const size_t pi = static_cast<size_t>(p[0]) * 3;
+                    if (pi + 2 >= plte.size()) return false;
+                    r = plte[pi]; g = plte[pi + 1]; b2 = plte[pi + 2];
+                    break;
+                }
+                case 6: a2 = p[3];  // fallthrough
+                default: r = p[0]; g = p[1]; b2 = p[2]; break;
+            }
+            dst[x] = b2 | (g << 8) | (r << 16) |
+                     (static_cast<uint32_t>(a2) << 24);
+        }
+        prev.swap(cur);
+    }
     return true;
 }
+
+bool load_image(const char* path, Image* out) {
+    FILE* f = std::fopen(path, "rb");
+    if (!f) return false;
+    unsigned char magic[2] = {0, 0};
+    const size_t got = std::fread(magic, 1, 2, f);
+    std::fclose(f);
+    if (got != 2) return false;
+    if (magic[0] == 137 && magic[1] == 'P') return load_png(path, out);
+    return load_bmp(path, out);
+}
+
+#endif  // PT_NO_MAIN
 
 // ColorDistance (image_compare.c:105-134). The packed layout here is BGRA
 // (b in the low byte); the reference unpacks stbi RGBA — channel ROLES match
@@ -110,8 +254,8 @@ int main(int argc, char** argv) {
         return 1;
     }
     Image a, b;
-    if (!load_bmp(p1, &a)) { std::printf("Error: '%s' is an invalid file path\n", p1); return -1; }
-    if (!load_bmp(p2, &b)) { std::printf("Error: '%s' is an invalid file path\n", p2); return -1; }
+    if (!load_image(p1, &a)) { std::printf("Error: '%s' is an invalid file path\n", p1); return -1; }
+    if (!load_image(p2, &b)) { std::printf("Error: '%s' is an invalid file path\n", p2); return -1; }
     if (a.w != b.w) {
         std::printf("Error: Images must have same width but they are %d and %d\n", a.w, b.w);
         return -1;

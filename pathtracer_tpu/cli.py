@@ -81,8 +81,8 @@ def print_help():
     print("\th       - Print this help menu.")
     print("\nTPU extensions: --size WxH --out PATH --png PATH --debug MODE "
           "--seed N --checkpoint PATH --chunk N --profile DIR --single-chip "
-          "--rr --mode auto|unrolled|wavefront --preview PATH --probe-pixel X,Y "
-          "--exposure F")
+          "--rr --mode auto|unrolled|wavefront --preview PATH --live "
+          "--probe-pixel X,Y --exposure F")
 
 
 def main(argv=None):
@@ -111,6 +111,9 @@ def main(argv=None):
     ap.add_argument("--preview", default=None,
                     help="write a progressive preview PNG at each --chunk "
                          "boundary (the live-viewer role, win32_main.cpp:252-274)")
+    ap.add_argument("--live", action="store_true",
+                    help="draw the progressive image in the terminal each "
+                         "chunk (ANSI half-block; the blit-loop role)")
     ap.add_argument("--exposure", type=float, default=1.0,
                     help="linear exposure multiplier before the tonemap "
                          "(the reference's unrealized camera TODO)")
@@ -180,20 +183,33 @@ def main(argv=None):
             print(f"Resuming from {args.checkpoint}: "
                   f"{float(np.asarray(state.count).max()):.0f} samples done.")
 
+    live = None
+    if args.live:
+        from .io.term import LiveView, supports_color
+        if supports_color():
+            live = LiveView()
+        else:
+            print("(--live: stdout is not a color terminal; disabled)")
+
     def progress(s_done, s_total, st):
-        if s_total > args.chunk:
+        if s_total > args.chunk and live is None:
             print(f"  {s_done}/{s_total} samples "
                   f"({float(np.asarray(st.rays_cast)) / 1e6:.1f} Mrays)")
         if args.checkpoint:
             from .render.progressive import save_checkpoint
             save_checkpoint(args.checkpoint, st)
-        if args.preview and int(st.count.shape[0]) == w * h:
-            # (the sharded path carries padding lanes mid-render; preview
-            # only on exact-size states)
+        if args.preview or live is not None:
+            # the sharded path carries mesh-padding lanes mid-render; trim
+            # before finalizing (parallel/shard.trim_accum)
+            from .parallel.shard import trim_accum
             from .render.renderer import finalize as _finalize
-            from PIL import Image
-            pk = np.asarray(_finalize(st, cfg))
-            Image.fromarray(packed_to_rgb(pk)[::-1]).save(args.preview)
+            pk = np.asarray(_finalize(trim_accum(st, w * h), cfg))
+            rgb = packed_to_rgb(pk)[::-1]
+            if args.preview:
+                from PIL import Image
+                Image.fromarray(rgb).save(args.preview)
+            if live is not None:
+                live.update(rgb, status=f"  {s_done}/{s_total} samples")
 
     with timer.phase("render"), profiler_trace(args.profile):
         t0 = time.perf_counter()

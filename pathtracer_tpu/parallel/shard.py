@@ -156,7 +156,19 @@ def render_image_sharded(
         if progress_cb is not None:
             progress_cb(s0, total, state)
 
-    trimmed = AccumState(
+    trimmed = trim_accum(state, n_pix)
+    img = resolve(trimmed, config)
+    packed = finalize(trimmed, config)
+    return img, packed, trimmed
+
+
+def trim_accum(state: AccumState, n_pix: int) -> AccumState:
+    """Drop the mesh-padding tail lanes (duplicates of pixel 0) so a
+    mid-render sharded state can be previewed/finalized exactly like a
+    single-chip one."""
+    if state.count.shape[0] == n_pix:
+        return state
+    return AccumState(
         sum=Vec3(state.sum.x[:n_pix], state.sum.y[:n_pix], state.sum.z[:n_pix]),
         sum_sq=Vec3(state.sum_sq.x[:n_pix], state.sum_sq.y[:n_pix],
                     state.sum_sq.z[:n_pix]),
@@ -165,6 +177,3 @@ def render_image_sharded(
         rays_cast=state.rays_cast,
         samples_done=state.samples_done,
     )
-    img = resolve(trimmed, config)
-    packed = finalize(trimmed, config)
-    return img, packed, trimmed

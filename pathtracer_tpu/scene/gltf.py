@@ -1,8 +1,15 @@
-"""Minimal GLB (glTF 2.0 binary) ingestion — the LoadGltf role.
+"""glTF 2.0 ingestion (GLB binary + text .gltf) — the LoadGltf role.
 
 Hand-rolled parser (no gltf library in the image) reproducing exactly what
-the reference extracts via cgltf (win32_main.cpp:1454-1593):
+the reference extracts via cgltf (win32_main.cpp:1454-1593). cgltf itself
+(include/external/cgltf.h) accepts text .gltf with external/base64 buffers
+and sparse accessors as well as GLB; this module covers the same input
+class:
 
+- GLB container or JSON .gltf document;
+- buffers resolved per the spec: GLB BIN chunk (buffer 0 without uri),
+  external files relative to the document, and ``data:`` base64 URIs;
+- sparse accessors (base view or zeros, overlaid with sparse values);
 - DFS over scene nodes via an explicit stack (push scene roots in order,
   pop LIFO, push children in order) — node ORDER is preserved because it
   determines material table order;
@@ -20,9 +27,12 @@ the reference extracts via cgltf (win32_main.cpp:1454-1593):
 
 from __future__ import annotations
 
+import base64
 import json
+import os
 import struct
-from typing import Optional, Tuple
+import urllib.parse
+from typing import List, Optional, Tuple
 
 import numpy as np
 
@@ -64,38 +74,111 @@ def parse_glb(path: str) -> Tuple[dict, bytes]:
     return doc, blob
 
 
-def read_accessor(doc: dict, blob: bytes, accessor_idx: int) -> np.ndarray:
-    """Unpack an accessor to (count, components) — cgltf_accessor_unpack_*."""
+def _resolve_buffer(buf: dict, base_dir: str, glb_blob: bytes) -> bytes:
+    """One doc["buffers"] entry -> bytes (cgltf_load_buffers semantics)."""
+    uri = buf.get("uri")
+    if uri is None:
+        return glb_blob  # GLB-stored buffer
+    if uri.startswith("data:"):
+        comma = uri.find(",")
+        if comma < 0:
+            raise ValueError("malformed data URI in glTF buffer")
+        meta, payload = uri[:comma], uri[comma + 1:]
+        if ";base64" in meta:
+            return base64.b64decode(payload)
+        return urllib.parse.unquote_to_bytes(payload)
+    fname = urllib.parse.unquote(uri)
+    with open(os.path.join(base_dir, fname), "rb") as f:
+        return f.read()
+
+
+def parse_gltf(path: str) -> Tuple[dict, List[bytes]]:
+    """Load a .glb OR text .gltf into (doc, per-buffer bytes).
+
+    Dispatches on content, not extension (cgltf_parse sniffs the GLB
+    magic): files starting with the 'glTF' magic are containers, anything
+    else is parsed as JSON.
+    """
+    with open(path, "rb") as f:
+        head = f.read(4)
+    if head == b"glTF":
+        doc, blob = parse_glb(path)
+    else:
+        with open(path, "rb") as f:
+            doc = json.loads(f.read().decode("utf-8"))
+        blob = b""
+    base_dir = os.path.dirname(os.path.abspath(path))
+    buffers = [_resolve_buffer(b, base_dir, blob)
+               for b in doc.get("buffers", [])]
+    return doc, buffers
+
+
+def _read_view(doc: dict, buffers: List[bytes], view_idx: int, *,
+               byte_offset: int, count: int, ncomp: int, dtype) -> np.ndarray:
+    bv = doc["bufferViews"][view_idx]
+    blob = buffers[bv.get("buffer", 0)]
+    base = bv.get("byteOffset", 0) + byte_offset
+    elem_size = ncomp * np.dtype(dtype).itemsize
+    stride = bv.get("byteStride", 0) or elem_size
+    if stride == elem_size:
+        out = np.frombuffer(blob, dtype=dtype, count=count * ncomp, offset=base)
+        return out.reshape(count, ncomp)
+    out = np.zeros((count, ncomp), dtype)
+    for i in range(count):
+        out[i] = np.frombuffer(blob, dtype=dtype, count=ncomp,
+                               offset=base + i * stride)
+    return out
+
+
+def read_accessor(doc: dict, buffers, accessor_idx: int) -> np.ndarray:
+    """Unpack an accessor to (count, components) — cgltf_accessor_unpack_*.
+
+    ``buffers`` is the list from parse_gltf; a single bytes blob is also
+    accepted (treated as buffer 0) for GLB-era callers. Handles sparse
+    accessors (spec 3.6.2.3: base data or zeros, overlaid at the sparse
+    indices) and accessors without a bufferView (all zeros).
+    """
+    if isinstance(buffers, (bytes, bytearray, memoryview)):
+        buffers = [bytes(buffers)]
     acc = doc["accessors"][accessor_idx]
     ncomp = _TYPE_COUNTS[acc["type"]]
     dtype = _COMPONENT_DTYPES[acc["componentType"]]
     count = acc["count"]
-    bv = doc["bufferViews"][acc["bufferView"]]
-    base = bv.get("byteOffset", 0) + acc.get("byteOffset", 0)
-    stride = bv.get("byteStride", 0) or ncomp * np.dtype(dtype).itemsize
-    elem_size = ncomp * np.dtype(dtype).itemsize
-    if stride == elem_size:
-        out = np.frombuffer(blob, dtype=dtype, count=count * ncomp, offset=base)
-        out = out.reshape(count, ncomp)
+    if "bufferView" in acc:
+        out = _read_view(doc, buffers, acc["bufferView"],
+                         byte_offset=acc.get("byteOffset", 0),
+                         count=count, ncomp=ncomp, dtype=dtype)
     else:
         out = np.zeros((count, ncomp), dtype)
-        for i in range(count):
-            out[i] = np.frombuffer(blob, dtype=dtype, count=ncomp,
-                                   offset=base + i * stride)
+    sparse = acc.get("sparse")
+    if sparse:
+        n = sparse["count"]
+        sidx = sparse["indices"]
+        idx = _read_view(doc, buffers, sidx["bufferView"],
+                         byte_offset=sidx.get("byteOffset", 0), count=n,
+                         ncomp=1,
+                         dtype=_COMPONENT_DTYPES[sidx["componentType"]])
+        sval = sparse["values"]
+        vals = _read_view(doc, buffers, sval["bufferView"],
+                          byte_offset=sval.get("byteOffset", 0), count=n,
+                          ncomp=ncomp, dtype=dtype)
+        out = out.copy()
+        out[idx.reshape(-1).astype(np.int64)] = vals
     if acc.get("normalized"):
         info = np.iinfo(dtype)
         out = out.astype(np.float32) / info.max
     return out
 
 
-def load_glb_triangles(path: str, builder) -> Tuple[Optional[np.ndarray], Optional[np.ndarray]]:
+def load_gltf_triangles(path: str, builder) -> Tuple[Optional[np.ndarray], Optional[np.ndarray]]:
     """LoadGltf (win32_main.cpp:1454-1593): returns (points (T*3,3) float32,
     mat_indices (T*3,) int32) appending any new materials to ``builder``.
-    Returns (None, None) when the file is absent/unreadable (the reference
-    silently no-ops on parse failure, win32_main.cpp:1464-1465)."""
+    Accepts .glb or text .gltf. Returns (None, None) when the file is
+    absent/unreadable (the reference silently no-ops on parse failure,
+    win32_main.cpp:1464-1465)."""
     try:
-        doc, blob = parse_glb(path)
-    except (OSError, ValueError):
+        doc, buffers = parse_gltf(path)
+    except (OSError, ValueError, KeyError, json.JSONDecodeError):
         return None, None
 
     points_out = []
@@ -129,9 +212,9 @@ def load_glb_triangles(path: str, builder) -> Tuple[Optional[np.ndarray], Option
                 attrs = prim.get("attributes", {})
                 if "POSITION" not in attrs:
                     continue
-                pos = read_accessor(doc, blob, attrs["POSITION"]).astype(np.float32)
+                pos = read_accessor(doc, buffers, attrs["POSITION"]).astype(np.float32)
                 if "indices" in prim:
-                    idx = read_accessor(doc, blob, prim["indices"]).reshape(-1).astype(np.int64)
+                    idx = read_accessor(doc, buffers, prim["indices"]).reshape(-1).astype(np.int64)
                     tri_pts = pos[idx]  # (3*ntris, 3)
                 else:
                     tri_pts = pos[: (len(pos) // 3) * 3]
@@ -143,3 +226,25 @@ def load_glb_triangles(path: str, builder) -> Tuple[Optional[np.ndarray], Option
     if not points_out:
         return None, None
     return np.concatenate(points_out, 0), np.concatenate(mats_out, 0)
+
+
+# GLB-era name; worlds.py and external callers may use either.
+load_glb_triangles = load_gltf_triangles
+
+
+def split_glb(glb_path: str, out_gltf: str, out_bin: Optional[str] = None) -> None:
+    """Convert a .glb container to text .gltf + external .bin (the inverse
+    packing; useful for tests and asset pipelines). Buffer entries without
+    a uri gain one pointing at the written .bin."""
+    doc, blob = parse_glb(glb_path)
+    if out_bin is None:
+        out_bin = os.path.splitext(out_gltf)[0] + ".bin"
+    with open(out_bin, "wb") as f:
+        f.write(blob)
+    rel = os.path.basename(out_bin)
+    doc = json.loads(json.dumps(doc))  # deep copy
+    for buf in doc.get("buffers", []):
+        if "uri" not in buf:
+            buf["uri"] = rel
+    with open(out_gltf, "w", encoding="utf-8") as f:
+        json.dump(doc, f)

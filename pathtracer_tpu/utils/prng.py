@@ -13,8 +13,10 @@ Consequences:
 - values are independent of batch shape / tiling / sharding, so a multi-chip
   render is bit-identical to single-chip;
 - the CPU scalar oracle (pathtracer_tpu/reference) consumes the *same*
-  stream (this module is the single source of truth), which is what lets
-  golden tests gate at RMSE ~ float32 noise instead of Monte-Carlo noise.
+  stream from an INDEPENDENT pure-numpy reimplementation (same constants,
+  written separately; bit-equality asserted in tests/test_math.py), which
+  is what lets golden tests gate at RMSE ~ float32 noise instead of
+  Monte-Carlo noise while still covering this module itself.
 
 Generator: PCG4D (Jarzynski & Olano, "Hash Functions for GPU Rendering",
 JCGT 2020) — the standard counter hash for production GPU path tracers.
@@ -35,6 +37,7 @@ Slot layout per bounce (BOUNCE_SLOTS uniforms in [0,1)):
 
 from __future__ import annotations
 
+import math
 from typing import NamedTuple
 
 import jax
@@ -154,6 +157,18 @@ def bounce_uniforms(stream: PathStream, bounce):
     a0, a1, a2, a3 = _draw4(stream, base)
     b0, b1, _, _ = _draw4(stream, base + jnp.uint32(1))
     return a0, a1, a2, a3, b0, b1
+
+
+def normal_from_uniforms(u1, u2, stddev=1.0):
+    """Gaussian-distributed sample from two counter uniforms — the
+    RandomNormal role (ray_math.hpp:278-296; unused by the reference's
+    render path). The reference draws from a static mt19937 behind
+    std::normal_distribution; the counter-based scheme instead maps two
+    uniforms through Box-Muller, keeping the no-shared-state discipline.
+    u1 is clamped away from 0 (log(0) = -inf)."""
+    u1 = jnp.maximum(u1, jnp.float32(1.0 / (1 << 24)))
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    return stddev * r * jnp.cos(jnp.float32(2.0 * math.pi) * u2)
 
 
 # Vectorized aliases (same functions — PathStream broadcasts naturally).

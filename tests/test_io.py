@@ -100,6 +100,98 @@ class TestGltf:
         assert pts is None and mats is None and len(b.materials) == 0
 
 
+class TestGltfText:
+    """Text .gltf coverage (cgltf parity: win32_main.cpp:1454-1593 accepts
+    whatever cgltf parses — text documents, external .bin, data URIs,
+    sparse accessors)."""
+
+    def test_split_glb_roundtrips_mario(self, tmp_path):
+        from pathtracer_tpu.scene.gltf import split_glb, load_gltf_triangles
+        out = str(tmp_path / "mario.gltf")
+        split_glb(MARIO, out)
+        b_glb, b_txt = WorldBuilder(), WorldBuilder()
+        pts_glb, mats_glb = load_glb_triangles(MARIO, b_glb)
+        pts_txt, mats_txt = load_gltf_triangles(out, b_txt)
+        np.testing.assert_array_equal(pts_glb, pts_txt)
+        np.testing.assert_array_equal(mats_glb, mats_txt)
+        assert [m.albedo for m in b_glb.materials] == \
+               [m.albedo for m in b_txt.materials]
+
+    def _doc_with_buffer(self, pos, idx=None, sparse=None):
+        import base64 as b64
+        blob = np.asarray(pos, np.float32).tobytes()
+        views = [{"buffer": 0, "byteOffset": 0, "byteLength": len(blob)}]
+        accessors = [{"bufferView": 0, "componentType": 5126,
+                      "count": len(pos), "type": "VEC3"}]
+        prim = {"attributes": {"POSITION": 0}}
+        if sparse is not None:
+            s_idx, s_val = sparse
+            ib = np.asarray(s_idx, np.uint32).tobytes()
+            vb = np.asarray(s_val, np.float32).tobytes()
+            views.append({"buffer": 0, "byteOffset": len(blob),
+                          "byteLength": len(ib)})
+            views.append({"buffer": 0, "byteOffset": len(blob) + len(ib),
+                          "byteLength": len(vb)})
+            blob += ib + vb
+            accessors[0]["sparse"] = {
+                "count": len(s_idx),
+                "indices": {"bufferView": 1, "componentType": 5125},
+                "values": {"bufferView": 2},
+            }
+        doc = {
+            "asset": {"version": "2.0"},
+            "scenes": [{"nodes": [0]}],
+            "nodes": [{"mesh": 0}],
+            "meshes": [{"primitives": [prim]}],
+            "buffers": [{"byteLength": len(blob),
+                         "uri": "data:application/octet-stream;base64,"
+                                + b64.b64encode(blob).decode()}],
+            "bufferViews": views,
+            "accessors": accessors,
+        }
+        return doc
+
+    def test_data_uri_buffer(self, tmp_path):
+        from pathtracer_tpu.scene.gltf import load_gltf_triangles
+        pos = np.arange(9, dtype=np.float32).reshape(3, 3)
+        doc = self._doc_with_buffer(pos)
+        p = str(tmp_path / "tri.gltf")
+        import json
+        with open(p, "w") as f:
+            json.dump(doc, f)
+        pts, mats = load_gltf_triangles(p, WorldBuilder())
+        np.testing.assert_array_equal(pts, pos)
+        assert (mats == 1).all()  # reference default material
+
+    def test_sparse_accessor_overlay(self, tmp_path):
+        from pathtracer_tpu.scene.gltf import load_gltf_triangles
+        pos = np.zeros((6, 3), np.float32)
+        new_rows = np.array([[9, 9, 9], [7, 7, 7]], np.float32)
+        doc = self._doc_with_buffer(pos, sparse=([1, 4], new_rows))
+        p = str(tmp_path / "sparse.gltf")
+        import json
+        with open(p, "w") as f:
+            json.dump(doc, f)
+        pts, _ = load_gltf_triangles(p, WorldBuilder())
+        want = pos.copy()
+        want[[1, 4]] = new_rows
+        np.testing.assert_array_equal(pts, want)
+
+    def test_external_bin_with_escaped_uri(self, tmp_path):
+        from pathtracer_tpu.scene.gltf import load_gltf_triangles
+        pos = np.arange(9, dtype=np.float32).reshape(3, 3)
+        doc = self._doc_with_buffer(pos)
+        blob = np.asarray(pos, np.float32).tobytes()
+        (tmp_path / "my data.bin").write_bytes(blob)
+        doc["buffers"] = [{"byteLength": len(blob), "uri": "my%20data.bin"}]
+        p = str(tmp_path / "ext.gltf")
+        import json
+        with open(p, "w") as f:
+            json.dump(doc, f)
+        pts, _ = load_gltf_triangles(p, WorldBuilder())
+        np.testing.assert_array_equal(pts, pos)
+
+
 class TestCombinedTextureDetection:
     def test_canonical_set_detected(self):
         from pathtracer_tpu.scene.worlds import finalize_world

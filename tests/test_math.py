@@ -149,3 +149,47 @@ class TestPrng:
         ks1 = prng.path_keys(key, jnp.arange(50_000, dtype=jnp.int32), 1)
         v0 = np.asarray(prng.bounce_uniforms_v(ks1, 0)[2])
         assert abs(np.corrcoef(u0, v0)[0, 1]) < 0.02  # sample s vs s+1
+
+
+class TestNormalSampler:
+    def test_moments_and_normality(self):
+        """normal_from_uniforms (the RandomNormal role, ray_math.hpp:278-296)
+        must produce N(0, stddev^2) from counter uniforms."""
+        key = prng.base_key(3)
+        pix = jnp.arange(100_000, dtype=jnp.int32)
+        ks = prng.path_keys(key, pix, 0)
+        u1, u2, *_ = prng.bounce_uniforms_v(ks, 0)
+        x = np.asarray(prng.normal_from_uniforms(u1, u2, stddev=2.5))
+        assert abs(x.mean()) < 0.03
+        assert abs(x.std() - 2.5) < 0.03
+        assert np.isfinite(x).all()
+        # tail mass: |x| > 2 sigma should be ~4.55%
+        frac = (np.abs(x) > 5.0).mean()
+        assert 0.035 < frac < 0.056
+
+
+class TestOraclePrngTwin:
+    """The oracle's pure-numpy PCG4D (reference/cpu_oracle.py) must emit
+    bit-identical streams to the device implementation (utils/prng.py) —
+    this is what extends the golden gates to cover the device PRNG itself."""
+
+    def test_all_streams_bit_identical(self):
+        from pathtracer_tpu.reference import cpu_oracle as orc
+        seed = 7
+        key = prng.base_key(seed)
+        pix = np.arange(10_000, dtype=np.uint32) * 13 + 5
+        for s in (0, 1, 255):
+            ks = prng.path_keys(key, jnp.asarray(pix.astype(np.int32)), s)
+            for jax_u, np_u in (
+                (prng.jitter_uniforms_v(ks),
+                 orc.jitter_uniforms_np(seed, pix, s)),
+                (prng.lens_uniforms_v(ks),
+                 orc.lens_uniforms_np(seed, pix, s)),
+            ):
+                for a, b in zip(jax_u, np_u):
+                    np.testing.assert_array_equal(np.asarray(a), b)
+            for bounce in range(4):
+                ja = prng.bounce_uniforms_v(ks, bounce)
+                na = orc.bounce_uniforms_np(seed, pix, s, bounce)
+                for a, b in zip(ja, na):
+                    np.testing.assert_array_equal(np.asarray(a), b)

@@ -87,6 +87,31 @@ class TestNativeCompare:
         assert "Percentage Similarity: 100.000000 %" in out.stdout
         assert "RMSE: 0.000000" in out.stdout
 
+    def test_exe_reads_png_and_cross_format(self, tmp_path, rng):
+        """Any-format input parity with the stbi-based reference tool
+        (image_compare.c:37,47): the same image as bottom-up BMP and as
+        top-down PNG (plus grayscale and palette PNGs) must compare
+        RMSE 0.0."""
+        from PIL import Image
+        exe = native.compare_exe_path()
+        rgb = rng.randint(0, 255, (9, 17, 3)).astype(np.uint8)
+        packed = (0xFF000000
+                  | (rgb[:, :, 0].astype(np.uint32) << 16)
+                  | (rgb[:, :, 1].astype(np.uint32) << 8)
+                  | rgb[:, :, 2].astype(np.uint32))
+        p_bmp = str(tmp_path / "a.bmp")
+        write_bmp(p_bmp, packed)
+        p_png = str(tmp_path / "a.png")
+        Image.fromarray(rgb[::-1]).save(p_png)  # row 0 = top in PNG
+        out = subprocess.run([exe, p_bmp, p_png], capture_output=True,
+                             text=True)
+        assert out.returncode == 0 and "RMSE: 0.000000" in out.stdout
+        for mode, name in (("L", "g.png"), ("P", "p.png")):
+            p = str(tmp_path / name)
+            Image.fromarray(rgb[::-1]).convert(mode).save(p)
+            out = subprocess.run([exe, p, p], capture_output=True, text=True)
+            assert out.returncode == 0 and "RMSE: 0.000000" in out.stdout
+
     def test_exe_error_paths(self, tmp_path, rng):
         exe = native.compare_exe_path()
         img = rng.randint(0, 2**32, (8, 12), dtype=np.uint64).astype(np.uint32)
