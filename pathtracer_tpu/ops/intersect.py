@@ -206,6 +206,11 @@ def ray_slab_entry(o: Vec3, d: Vec3, mn, mx) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return tmin, (tmax >= tmin) & (tmax >= 0.0)
 
 
+# experiments/cluster_ablation.py: when True every cluster's tests run
+# unconditionally (isolates branch overhead from pruning benefit)
+FORCE_CLUSTERS = False
+
+
 def _intersect_clustered(clusters, test_one, o: Vec3, d: Vec3, best: Hit) -> Hit:
     """Packet-culled nearest hit: per cluster, a vectorized slab test + a
     block-level any-reduce decide whether the cluster's (statically
@@ -220,7 +225,7 @@ def _intersect_clustered(clusters, test_one, o: Vec3, d: Vec3, best: Hit) -> Hit
             for k in range(cnt):
                 h = test_one(off + k, h)
             return h
-        if mn is None:
+        if mn is None or FORCE_CLUSTERS:
             best = tests(best)
         else:
             t_enter, hb = ray_slab_entry(o, d, mn, mx)

@@ -254,6 +254,26 @@ def pdf_to_sphere(world, o, d, center, radius):
     return F32(1.0) / sa if sa > 0 else F32(0.0)
 
 
+def refract_np(d, N, nglass):
+    """Scalar Snell refraction with TIR (None) — the independent twin of
+    ops/shade.find_refraction_direction (win32_main.cpp:1628-1661)."""
+    nair = F32(1.008)
+    if dot(N, d) < 0.0:
+        n1, n2 = nair, nglass
+        Nf = -N
+    else:
+        n1, n2 = nglass, nair
+        Nf = N
+    cos1 = F32(min(max(float(dot(Nf, d)), -1.0), 1.0))
+    theta1 = F32(np.arccos(cos1))
+    lhs = F32(n1 / n2) * F32(np.sin(theta1))
+    if lhs > 1.0:
+        return None
+    theta2 = F32(np.arcsin(lhs))
+    M = normalize(cross(Nf, cross(d, Nf)))
+    return F32(np.cos(theta2)) * Nf + lhs * M
+
+
 def schlick_metal(F0, cos_theta, metalness, surface_color):
     vF0 = np.full(3, F0, F32)
     vF0 = vF0 * (F32(1.0) - F32(metalness)) + np.asarray(surface_color, F32) * F32(metalness)
@@ -319,6 +339,35 @@ def trace_path(world: HostWorld, o, d, u_bounce, just_cosine,
         hitpoint = o + d * t
         pure_bounce = d - N * (F32(2.0) * cos_theta)
         V = -d
+
+        u = u_bounce[b]
+        if mat.transmission > 0.0:
+            # delta dielectric (mirrors integrator.shade_bounce's
+            # any_transmissive branch exactly): Schlick coin on u[0],
+            # refract via the geometric normal, TIR -> reflect,
+            # weight = albedo, RR on the same slot
+            F0t = F32(((N_AIR - mat.ior) / (N_AIR + mat.ior)) ** 2)
+            cos_i = F32(-cos_theta)
+            t1 = F32(1.0) - F32(min(max(float(cos_i), 0.0), 1.0))
+            t2 = t1 * t1
+            t5 = t2 * t2 * t1  # XLA integer_pow(5) expansion order
+            fres = F0t + (F32(1.0) - F0t) * t5
+            refr = refract_np(d, N, F32(mat.ior))
+            L = pure_bounce if (u[0] < fres or refr is None) else refr
+            albedo = np.asarray(mat.albedo, F32)
+            if world.textures and mat.albedo_idx != 0:
+                albedo = bespoke_sample_host(
+                    world.textures[mat.albedo_idx - 1],
+                    hitpoint[0], hitpoint[1])
+            new_thr = throughput * albedo
+            if use_russian_roulette and b >= 1:
+                q = F32(min(max(float(new_thr.max()), 0.05), 1.0))
+                if not (u[4] < q):
+                    return radiance
+                new_thr = new_thr * (F32(1.0) / q)
+            throughput = new_thr
+            o, d = hitpoint, L
+            continue
 
         metalness = F32(mat.metalness)
         roughness = F32(mat.roughness)

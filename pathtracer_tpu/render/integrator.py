@@ -57,7 +57,8 @@ from ..ops.sampling import (
     pdf_cosine, pdf_to_sphere, to_sphere, PI,
 )
 from ..ops.shade import (
-    brdf_specular_scalar, effectively_smooth, schlick_metal,
+    brdf_specular_scalar, effectively_smooth, find_refraction_direction,
+    schlick_metal,
 )
 from ..ops.texture import bespoke_sample
 from ..scene.schema import (
@@ -115,7 +116,7 @@ def _sweep_threshold() -> int:
 
 
 def _material_fields(scene: Scene) -> dict:
-    return dict(
+    fields = dict(
         albedo=scene.mat_albedo, emit=scene.mat_emit,
         metal_color=scene.mat_metal_color,
         metalness=scene.mat_metalness, roughness=scene.mat_roughness,
@@ -125,6 +126,11 @@ def _material_fields(scene: Scene) -> dict:
         roughness_idx=scene.mat_roughness_idx,
         normal_idx=scene.mat_normal_idx,
     )
+    if scene.any_transmissive:
+        # only fetched when a dielectric exists: opaque scenes keep the
+        # exact reference lookup set (and kernel code) unchanged
+        fields["transmission"] = scene.mat_transmission
+    return fields
 
 
 def _material_lookup_windowed(scene: Scene, mat: jnp.ndarray):
@@ -367,6 +373,26 @@ def shade_bounce(
     weight = brdf * (2.0 * inv_px)
 
     cont = surface & front_facing & in_hemisphere & hv_ok & est_valid
+
+    if scene.any_transmissive:
+        # Delta dielectric lobe — finishing the reference's in-progress
+        # refraction (FindRefractionDirection win32_main.cpp:1622-1661; the
+        # F0 "when support refraction again" comment :600-601). Estimator:
+        # pick reflect with probability F (Schlick from the material ior),
+        # else refract (TIR falls back to reflect); each branch's
+        # throughput weight is albedo (the F/F and (1-F)/(1-F) terms
+        # cancel), no x2 correction (single estimator). Transmissive lanes
+        # bypass the front-facing/hemisphere gates: refraction crosses the
+        # surface, and exit hits arrive back-facing by construction.
+        trans = mat["transmission"] > 0.0
+        cos_i = -cos_theta_in  # |cos| of the arriving angle (:596-598)
+        fres = F0 + (1.0 - F0) * (1.0 - jnp.clip(cos_i, 0.0, 1.0)) ** 5
+        refr_dir, refracted = find_refraction_direction(d, N_geom, ior)
+        take_reflect = (u[0] < fres) | ~refracted
+        L_t = vwhere(take_reflect, pure_bounce, refr_dir)
+        L = vwhere(trans, L_t, L)
+        weight = vwhere(trans, albedo, weight)
+        cont = jnp.where(trans, surface, cont)
 
     return BounceOut(
         emit=emit, hitpoint=hitpoint, L=L, weight=weight, cont=cont,

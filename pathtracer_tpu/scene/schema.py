@@ -70,6 +70,8 @@ class Scene:
     mat_metalness: jnp.ndarray
     mat_roughness: jnp.ndarray
     mat_ior: jnp.ndarray
+    # Dielectric transmission fraction (see HostMaterial.transmission).
+    mat_transmission: jnp.ndarray
     # material_t.alpha (ray.hpp:63, default 1): defined by the reference but
     # never read by its render path; stored for struct parity.
     mat_alpha: jnp.ndarray
@@ -179,6 +181,9 @@ class Scene:
     world_kind: int = struct.field(pytree_node=False, default=WORLD_DEFAULT)
     # World 4 forces cosine-only sampling (win32_main.cpp:654-655).
     just_cosine: bool = struct.field(pytree_node=False, default=False)
+    # True iff any material has transmission > 0; static so opaque scenes
+    # compile exactly the reference estimator with no dielectric code.
+    any_transmissive: bool = struct.field(pytree_node=False, default=False)
     n_spheres: int = struct.field(pytree_node=False, default=0)
     n_quads: int = struct.field(pytree_node=False, default=0)
     n_planes: int = struct.field(pytree_node=False, default=0)
@@ -409,7 +414,10 @@ class WorldBuilder:
             mat_metalness=scalar_table([m.metalness for m in mats], M),
             mat_roughness=scalar_table([m.roughness for m in mats], M, fill=1),
             mat_ior=scalar_table([m.ior for m in mats], M, fill=1),
+            mat_transmission=scalar_table(
+                [m.transmission for m in mats], M),
             mat_alpha=scalar_table([m.alpha for m in mats], M, fill=1),
+            any_transmissive=any(m.transmission > 0.0 for m in mats),
             mat_albedo_idx=scalar_table([m.albedo_idx for m in mats], M, i32),
             mat_metalness_idx=scalar_table([m.metalness_idx for m in mats], M, i32),
             mat_roughness_idx=scalar_table([m.roughness_idx for m in mats], M, i32),

@@ -1,0 +1,111 @@
+"""Dielectric transmission (glass) — capability beyond the reference.
+
+The reference lists refraction as in-progress (win32_main.cpp:169 "TODO:
+refraction", FindRefractionDirection :1622-1661 written but never called
+from RayCast, the F0 comment :600-601). pathtracer_tpu finishes it behind
+``HostMaterial.transmission``: a delta reflect/refract lobe driven by a
+Schlick-Fresnel coin, TIR falling back to reflection. Opaque scenes
+(transmission == 0 everywhere) compile exactly the reference estimator —
+``Scene.any_transmissive`` is static.
+
+Correctness anchors: Snell's law unit checks on the refraction helper and
+a glass-sphere golden gate against the independent scalar oracle (which
+implements the same lobe in scalar numpy, cpu_oracle.refract_np).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from pathtracer_tpu import RenderConfig, render_image
+from pathtracer_tpu.ops.shade import find_refraction_direction
+from pathtracer_tpu.reference.cpu_oracle import refract_np, render_oracle
+from pathtracer_tpu.scene.camera import define_camera
+from pathtracer_tpu.scene.schema import WorldBuilder
+from pathtracer_tpu.utils.vec import Vec3
+
+
+def _v(x, y, z):
+    return Vec3(jnp.asarray([x], jnp.float32), jnp.asarray([y], jnp.float32),
+                jnp.asarray([z], jnp.float32))
+
+
+class TestRefractNp:
+    """The oracle twin must agree with the device helper bit-for-bit-ish."""
+
+    @pytest.mark.parametrize("seed", range(5))
+    def test_matches_device_helper(self, seed):
+        rng = np.random.RandomState(seed)
+        d = rng.randn(3).astype(np.float32)
+        d /= np.linalg.norm(d)
+        n = rng.randn(3).astype(np.float32)
+        n /= np.linalg.norm(n)
+        ior = np.float32(1.1 + rng.rand())
+        dev, ok = find_refraction_direction(_v(*d), _v(*n), jnp.float32(ior))
+        host = refract_np(d.astype(np.float32), n.astype(np.float32), ior)
+        if host is None:
+            assert not bool(np.asarray(ok)[0])
+        else:
+            assert bool(np.asarray(ok)[0])
+            got = np.array([np.asarray(c)[0] for c in dev])
+            np.testing.assert_allclose(got, host, rtol=1e-5, atol=1e-6)
+
+    def test_snell_at_interface(self):
+        # straight-down ray into a flat upward-facing surface at 45 deg
+        d = np.array([np.sin(np.pi / 4), 0, -np.cos(np.pi / 4)], np.float32)
+        n = np.array([0, 0, 1], np.float32)
+        out = refract_np(d, n, np.float32(1.5))
+        # Snell: n1 sin(t1) = n2 sin(t2); sin(t2) = 1.008*sin(45)/1.5
+        sin_t2 = 1.008 * np.sin(np.pi / 4) / 1.5
+        got_sin = np.linalg.norm(np.cross(out, -n))
+        np.testing.assert_allclose(got_sin, sin_t2, rtol=1e-5)
+        # refracted ray continues downward
+        assert out[2] < 0
+
+    def test_total_internal_reflection(self):
+        # glass-to-air at a grazing angle: TIR
+        d = np.array([np.sin(0.9), 0, np.cos(0.9)], np.float32)  # ~52 deg
+        n = np.array([0, 0, 1], np.float32)
+        assert refract_np(d, n, np.float32(1.5)) is None
+
+
+def _glass_world():
+    b = WorldBuilder()
+    b.add_material(emit=(0.35, 0.45, 0.6))  # bright sky (lights the glass)
+    light = b.add_material(emit=(8.0, 7.0, 6.0))
+    b.add_sphere((3.0, -2.0, 5.0), 1.0, light)  # spheres[0] = NEE light
+    glass = b.add_material(albedo=(0.95, 0.97, 0.99), ior=1.5,
+                           transmission=1.0)
+    b.add_sphere((0.0, 0.0, 1.2), 1.1, glass)
+    floor = b.add_material(albedo=(0.6, 0.3, 0.2), roughness=0.9)
+    b.add_plane((0, 0, 1), 0.0, floor)
+    return b
+
+
+class TestGlassGolden:
+    def test_glass_sphere_matches_oracle(self):
+        b = _glass_world()
+        w, h, pp = 20, 14, 2
+        cam = define_camera((0, -7, 1.5), (0, 0, 1), 35.0, w, h)
+        scene = b.finalize()
+        assert scene.any_transmissive
+        cfg = RenderConfig(width=w, height=h, pp=pp, seed=5)
+        img, _, _ = render_image(scene, cam, cfg)
+        oracle = render_oracle(b, cam, w, h, pp, seed=5, world_kind=0)
+        img = np.asarray(img)
+        d = np.abs(img - oracle).max(axis=-1)
+        # same robust gate as the built-in worlds: the Fresnel coin and the
+        # TIR boundary are discrete choices that can flip on 1-ulp diffs
+        assert np.median(d) < 1e-4, float(np.median(d))
+        assert (d > 1e-2).mean() < 0.05, float((d > 1e-2).mean())
+        assert np.isfinite(img).all()
+        assert img.max() > 0
+
+    def test_opaque_scene_unchanged_by_flag_plumbing(self):
+        # a transmission=0 scene must not set the static flag (and so
+        # compiles the exact reference estimator)
+        b = WorldBuilder()
+        b.add_material(emit=(0.2, 0.2, 0.2))
+        m = b.add_material(albedo=(0.5, 0.5, 0.5))
+        b.add_sphere((0, 0, 0), 1.0, m)
+        assert not b.finalize().any_transmissive
