@@ -50,15 +50,24 @@ def run(block, sort):
         x1 = (jnp.abs(hp.x * (tex_w * 0.5)).astype(jnp.int32) % tex_w)
         y1 = (jnp.abs(hp.y * (tex_w * 0.5)).astype(jnp.int32) % tex_w)
         tile = np.asarray((y1 >> 3) * tiles_x + (x1 >> 3))
-        distinct = []
+        distinct, spans = [], []
         for i in range(0, n, block):
             m = needs[i:i + block]
-            distinct.append(len(np.unique(tile[i:i + block][m])) if m.any() else 0)
+            if m.any():
+                tt = tile[i:i + block][m]
+                distinct.append(len(np.unique(tt)))
+                spans.append(int(tt.max()) - int(tt.min()) + 1)
+            else:
+                distinct.append(0)
+                spans.append(0)
         distinct = np.array(distinct)
+        spans = np.array(spans)
         n_alive = int(np.asarray(alive).sum())
         print(f"bounce {b}: alive {n_alive/n:.2f} textured {needs.sum()/max(n_alive,1):.2f} "
               f"tiles/block mean {distinct.mean():.0f} p90 {np.percentile(distinct,90):.0f} "
-              f"max {distinct.max()}")
+              f"max {distinct.max()} | span mean {spans.mean():.0f} "
+              f"p50 {np.percentile(spans,50):.0f} p90 {np.percentile(spans,90):.0f} "
+              f"linear<384 {(spans<384).mean():.2f}")
         alive = alive & out.cont
         o, d = out.hitpoint, out.L
 

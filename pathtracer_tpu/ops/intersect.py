@@ -371,11 +371,21 @@ def intersect_triangles_brute(scene: Scene, o: Vec3, d: Vec3, best: Hit) -> Hit:
     the VPU at reference mesh sizes (752 tris)."""
     if scene.tri_clusters and _tracing_pallas_kernel:
         def test_one(i, h):
-            A = Vec3(scene.ctri_a.x[i], scene.ctri_a.y[i], scene.ctri_a.z[i])
-            u = Vec3(scene.ctri_u.x[i], scene.ctri_u.y[i], scene.ctri_u.z[i])
-            v = Vec3(scene.ctri_v.x[i], scene.ctri_v.y[i], scene.ctri_v.z[i])
-            n = normalize(cross(u, v), eps=1e-30)
-            t, hit = ray_planar_triangle(o, d, A, u, v)
+            # precomputed barycentric form (scene/clusters.py
+            # triangle_precompute): no per-test normalize/cross, and every
+            # per-triangle quantity is a baked scalar — the VPU does only
+            # the per-lane dots/compares. Same geometry as
+            # ray_planar_triangle up to f32 rounding (tests/test_clusters).
+            n = Vec3(scene.ctri_n.x[i], scene.ctri_n.y[i], scene.ctri_n.z[i])
+            e1 = Vec3(scene.ctri_e1.x[i], scene.ctri_e1.y[i], scene.ctri_e1.z[i])
+            e2 = Vec3(scene.ctri_e2.x[i], scene.ctri_e2.y[i], scene.ctri_e2.z[i])
+            denom = dot(n, d)
+            valid = (denom < -TOLERANCE) | (denom > TOLERANCE)
+            t = (scene.ctri_d[i] - dot(n, o)) / jnp.where(valid, denom, 1.0)
+            alpha = (dot(e1, o) - scene.ctri_a0[i]) + t * dot(e1, d)
+            beta = (dot(e2, o) - scene.ctri_b0[i]) + t * dot(e2, d)
+            inside = (alpha >= 0.0) & (beta >= 0.0) & ((alpha + beta) <= 1.0)
+            hit = valid & inside & (t > MIN_HIT_DISTANCE)
             take = hit & (t < h.t)
             return Hit(
                 jnp.where(take, t, h.t),

@@ -200,6 +200,7 @@ def bespoke_sample_combined_windowed(scene: Scene, tab_ref, u, v, needs,
 
     shape = u.shape
     tiles_x = scene.tex_tiles_x
+    n_rows = int(tab_ref.shape[0])
     x1, y1, x2, y2, s, t = _combined_coords(scene, u, v)
     BIG = jnp.int32(1 << 30)
 
@@ -214,18 +215,44 @@ def bespoke_sample_combined_windowed(scene: Scene, tab_ref, u, v, needs,
     wins = [jnp.where(needs, tile_of(y, x), BIG) for (y, x) in corners]
     offs = [off_of(y, x) for (y, x) in corners]
 
-    # Tiles are visited in increasing id order, so no done-masks are needed:
-    # a corner fires exactly when its tile id equals the current tid, and
-    # the next tid is the min over ids strictly greater than tid. The next
-    # tid is computed BEFORE the gathers (software pipelining): the serial
-    # dependency chain is then compare -> min-reduce only; the row slice
-    # and lane-LUT gathers hang off the chain (~40% faster per tile,
-    # experiments/window_iter_micro.py).
+    # The loop's cost is SERIAL LATENCY per distinct tile (the min-reduce
+    # chain), not gather throughput. Splitting the block into one
+    # independent chain per (8, 128) register tile lets Mosaic overlap C
+    # reduce chains: each 8-row group iterates its own outstanding tile
+    # set, and total iterations drop toward max-per-group.
+    C = shape[0] // 8 if (shape[0] % 8 == 0 and shape[0] > 8) else 1
+    rows_per = shape[0] // C
+
+    def chain_min(arr):
+        """Per-8-row-group min, broadcast back to (R, 128)."""
+        if C == 1:
+            return jnp.broadcast_to(jnp.min(arr), shape)
+        return jnp.concatenate(
+            [jnp.broadcast_to(jnp.min(arr[c * rows_per:(c + 1) * rows_per]),
+                              (rows_per, shape[1]))
+             for c in range(C)], axis=0)
+
+    # Tiles are visited in increasing id order per chain, so no done-masks
+    # are needed: a corner fires exactly when its tile id equals its
+    # chain's current tid, and the next tid is the min over ids strictly
+    # greater. The next tid is computed BEFORE the gathers (software
+    # pipelining): the serial dependency chain is then compare ->
+    # chain-min only; the row slices and lane-LUT gathers hang off it
+    # (~40% faster per tile, experiments/window_iter_micro.py).
     def nxt_tid(tid):
         cand = [jnp.where(w_ > tid, w_, BIG) for w_ in wins]
-        return jnp.broadcast_to(
-            jnp.min(jnp.minimum(jnp.minimum(cand[0], cand[1]),
-                                jnp.minimum(cand[2], cand[3]))), shape)
+        return chain_min(jnp.minimum(jnp.minimum(cand[0], cand[1]),
+                                     jnp.minimum(cand[2], cand[3])))
+
+    def fetch_rows(tid_b):
+        """One table row per chain (exhausted chains clamp to row 0 and
+        match no lanes), stacked back to (R, 128)."""
+        parts = []
+        for c in range(C):
+            tid_c = jnp.minimum(tid_b[c * rows_per, 0], n_rows - 1)
+            parts.append(jnp.broadcast_to(
+                tab_ref[pl.ds(tid_c, 1), :], (rows_per, shape[1])))
+        return parts[0] if C == 1 else jnp.concatenate(parts, axis=0)
 
     def cond(c):
         return jnp.any(c[0] != BIG)
@@ -233,10 +260,12 @@ def bespoke_sample_combined_windowed(scene: Scene, tab_ref, u, v, needs,
     def body(c):
         tid_b, acc_a, acc_b = c
         nxt = nxt_tid(tid_b)
-        row = jnp.broadcast_to(tab_ref[pl.ds(tid_b[0, 0], 1), :], shape)
+        row = fetch_rows(tid_b)
         new_a, new_b = [], []
         for w_, o, aa, bb in zip(wins, offs, acc_a, acc_b):
-            hit = w_ == tid_b
+            # the != BIG guard keeps sentinel lanes zero after their chain
+            # exhausts (tid parks at BIG while other chains still run)
+            hit = (w_ == tid_b) & (w_ != BIG)
             ga = jnp.take_along_axis(row, o, axis=1)
             gb = jnp.take_along_axis(row, o + 1, axis=1)
             new_a.append(jnp.where(hit, ga, aa))

@@ -82,6 +82,10 @@ DEBUG_KINDS = (REGULAR, PRIMARY_RAY_NORMALS, BOUNCE_COUNT,
 class TraceStats(NamedTuple):
     """Per-batch instrumentation for the Mrays/sec metric."""
     rays_cast: jnp.ndarray  # scalar: total intersect invocations over live lanes
+    # per-lane cast counts (sums to rays_cast over the REAL lanes; the
+    # Pallas lockstep driver needs the per-lane split so mesh-padding
+    # lanes can be trimmed before the metric is accumulated)
+    lane_casts: jnp.ndarray = ()
 
 
 class BounceOut(NamedTuple):
@@ -437,6 +441,7 @@ def trace(
     throughput = splat((1.0, 1.0, 1.0), shape)
     alive = jnp.ones(shape, bool)
     rays_cast = jnp.zeros((), jnp.float32)
+    lane_casts = zeros()
 
     # debug-mode carries
     primary_n = zvec()
@@ -447,6 +452,7 @@ def trace(
 
     for b in range(MAX_BOUNCE_COUNT):
         rays_cast = rays_cast + jnp.sum(alive.astype(jnp.float32))
+        lane_casts = lane_casts + alive.astype(jnp.float32)
         hit = intersect_scene(scene, o, d)
         is_terminal_depth = b == MAX_BOUNCE_COUNT - 1
 
@@ -508,4 +514,4 @@ def trace(
     elif debug_kind == TERMINATION_CONDITION:
         radiance = cond_color
 
-    return radiance, TraceStats(rays_cast=rays_cast)
+    return radiance, TraceStats(rays_cast=rays_cast, lane_casts=lane_casts)

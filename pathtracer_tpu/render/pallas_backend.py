@@ -193,6 +193,81 @@ def _wave_loop(scene: Scene, camera: Camera, config: RenderConfig,
     return acc_sum, acc_sq, count, nan_c, rays
 
 
+def _lockstep_loop(scene: Scene, camera: Camera, config: RenderConfig,
+                   key, s0, n_samples: int, pixel_idx: jnp.ndarray):
+    """Bounce-SYNCHRONIZED sample loop — the kernel driver for textured
+    scenes. Path regeneration (_wave_loop) keeps every lane busy but mixes
+    bounce depths within a block, which destroys exactly the coherence the
+    windowed texture fetch feeds on: the texel-sorted pixel order makes
+    bounce-0 fetches span a handful of contiguous tiles, but a regen block
+    blends them with scattered bounce-2 tiles every iteration. Here all
+    lanes advance through one sample's bounces in lockstep (the single-
+    sourced integrator.trace unroll): each bounce's fetch sees only that
+    bounce's tiles, and dead lanes contribute no tiles at all (a sky
+    block's fetch costs zero). Idle-lane waste is bounded by
+    the scene's mean path length; for textured scenes the fetch latency
+    dominates that waste by an order of magnitude (BENCH.md round 2)."""
+    from .integrator import trace
+
+    shape = pixel_idx.shape
+    zeros = lambda: pixel_idx.astype(jnp.float32) * 0.0
+
+    def primary(s_abs):
+        if camera.use_pinhole:
+            i, j = s_abs // config.pp, s_abs % config.pp
+            stream = prng.PathStream(
+                jnp.broadcast_to(jnp.uint32(key), shape),
+                pixel_idx.astype(jnp.uint32), s_abs.astype(jnp.uint32))
+            jit_u = prng.jitter_uniforms_v(stream)
+            return raygen.pinhole_rays(camera, config.width, config.height,
+                                       config.pp, i, j, jit_u, pixel_idx)
+        ray_index, ray_index2 = s_abs // config.pp, s_abs % config.pp
+        lens_stream = prng.PathStream(
+            jnp.broadcast_to(jnp.uint32(key), shape),
+            pixel_idx.astype(jnp.uint32), ray_index.astype(jnp.uint32))
+        lens_u = prng.lens_uniforms_v(lens_stream)
+        return raygen.thin_lens_rays(camera, config.width, config.height,
+                                     config.pp, ray_index, ray_index2,
+                                     lens_u, pixel_idx)
+
+    def cond(carry):
+        return jnp.any(carry[0] < n_samples)
+
+    def body(carry):
+        (s_rel, acc_sum, acc_sq, count, nan_c, rays) = carry
+        s_abs = s0 + s_rel
+        o, d = primary(s_abs)
+        stream = prng.PathStream(
+            jnp.broadcast_to(jnp.uint32(key), shape),
+            pixel_idx.astype(jnp.uint32), s_abs.astype(jnp.uint32))
+        radiance, stats = trace(
+            scene, o, d, stream, debug_kind=config.debug_kind,
+            use_russian_roulette=config.use_russian_roulette)
+        # NaN policy: mask & count (renderer._one_sample)
+        bad = (jnp.isnan(radiance.x) | jnp.isnan(radiance.y)
+               | jnp.isnan(radiance.z))
+        ok = ~bad
+        okf = ok.astype(jnp.float32)
+        rx = jnp.where(ok, radiance.x, 0.0)
+        ry = jnp.where(ok, radiance.y, 0.0)
+        rz = jnp.where(ok, radiance.z, 0.0)
+        return (
+            s_rel + 1,
+            Vec3(acc_sum.x + rx, acc_sum.y + ry, acc_sum.z + rz),
+            Vec3(acc_sq.x + rx * rx, acc_sq.y + ry * ry, acc_sq.z + rz * rz),
+            count + okf,
+            nan_c + bad.astype(jnp.float32),
+            rays + stats.lane_casts,
+        )
+
+    zvec = lambda: Vec3(zeros(), zeros(), zeros())
+    izeros = lambda: pixel_idx * 0
+    init = (izeros(), zvec(), zvec(), zeros(), zeros(), zeros())
+    carry = jax.lax.while_loop(cond, body, init)
+    (_, acc_sum, acc_sq, count, nan_c, rays) = carry
+    return acc_sum, acc_sq, count, nan_c, rays
+
+
 @functools.lru_cache(maxsize=32)
 def _tile_perm_np(width: int, height: int, rows: int):
     """Static pixel permutation grouping (128 x rows) image tiles, so one
@@ -281,7 +356,9 @@ def render_chunk_pallas(
         p_np, i_np = _tile_perm_np(config.width, config.height, block_rows)
         perm, inv = jnp.asarray(p_np), jnp.asarray(i_np)
         pixel_idx = pixel_idx[perm]
-    sub = _SUB_CHUNK_SAMPLES if coherent else n_samples
+    # textured scenes run the bounce-lockstep driver — every sample is
+    # already synchronized, so sub-chunk restarts would only add dispatches
+    sub = _SUB_CHUNK_SAMPLES if (coherent and not use_sort) else n_samples
 
     n_pad = ((n + block - 1) // block) * block
     pix = jnp.concatenate(
@@ -322,7 +399,8 @@ def render_chunk_pallas(
             if use_tex_ref:
                 _texture_mod.KERNEL_TEX_REF = scene_refs[tex_idx]
             pixel_block = pix_ref[:]
-            acc_sum, acc_sq, count, nan_c, ray_c = _wave_loop(
+            loop = _lockstep_loop if use_tex_ref else _wave_loop
+            acc_sum, acc_sq, count, nan_c, ray_c = loop(
                 scene_local, camera, config, sk_ref[0, 0], ss0_ref[0, 0],
                 ns, pixel_block)
             sumx[:] = acc_sum.x

@@ -119,6 +119,37 @@ def build_clusters(
     return order.astype(np.int64), tuple(clusters)
 
 
+def triangle_precompute(A: np.ndarray, u: np.ndarray, v: np.ndarray):
+    """Precomputed barycentric form for the in-kernel cluster test.
+
+    From vertices A and edges u, v (f32, matching the brute tables):
+      n_unit = normalize(cross(u, v));  d_coef = A . n_unit
+      w  = cross(u, v) / |cross(u, v)|^2
+      e1 = cross(v, w);  a0 = e1 . A      (alpha = e1 . hitpoint - a0)
+      e2 = cross(w, u);  b0 = e2 . A      (beta  = e2 . hitpoint - b0)
+    Algebra: ray_planar_triangle computes alpha = w . cross(p, v) with
+    p = hit - A; the scalar triple product rotates to cross(v, w) . p.
+    Computed in float32 to track the reference formula's rounding.
+
+    Returns dict of f32 arrays: n (N,3), d (N,), e1 (N,3), e2 (N,3),
+    a0 (N,), b0 (N,).
+    """
+    A = np.asarray(A, np.float32)
+    u = np.asarray(u, np.float32)
+    v = np.asarray(v, np.float32)
+    n = np.cross(u, v).astype(np.float32)
+    nn = (n * n).sum(-1).astype(np.float32)
+    inv_len = (1.0 / np.sqrt(np.maximum(nn, 1e-30))).astype(np.float32)
+    n_unit = (n * inv_len[:, None]).astype(np.float32)
+    d_coef = (A * n_unit).sum(-1).astype(np.float32)
+    w = (n / np.maximum(nn, 1e-30)[:, None]).astype(np.float32)
+    e1 = np.cross(v, w).astype(np.float32)
+    e2 = np.cross(w, u).astype(np.float32)
+    a0 = (e1 * A).sum(-1).astype(np.float32)
+    b0 = (e2 * A).sum(-1).astype(np.float32)
+    return dict(n=n_unit, d=d_coef, e1=e1, e2=e2, a0=a0, b0=b0)
+
+
 def sphere_bounds(centers: np.ndarray, radii: np.ndarray):
     """Per-sphere AABBs from (N,3) centers and (N,) radii."""
     c = np.asarray(centers, np.float64)

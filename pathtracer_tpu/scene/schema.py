@@ -115,9 +115,18 @@ class Scene:
     csph_center: Vec3
     csph_radius: jnp.ndarray
     csph_mat: jnp.ndarray
-    ctri_a: Vec3
-    ctri_u: Vec3
-    ctri_v: Vec3
+    # Clustered triangles in PRECOMPUTED barycentric form: unit normal n
+    # and plane offset d_coef give t directly; edge covectors e1/e2 with
+    # offsets a0/b0 give alpha = e1.p - a0, beta = e2.p - b0 (algebraically
+    # equal to ray_planar_triangle's cross-product form, fewer ops and no
+    # per-test normalize on the scalar unit). Derivation: clusters.py
+    # triangle_precompute.
+    ctri_n: Vec3
+    ctri_d: jnp.ndarray
+    ctri_e1: Vec3
+    ctri_e2: Vec3
+    ctri_a0: jnp.ndarray
+    ctri_b0: jnp.ndarray
     ctri_mat: jnp.ndarray
 
     # --- axis-aligned boxes (parity with world_t.aabbs; always empty) -----
@@ -329,16 +338,14 @@ class WorldBuilder:
             csph_r = radii[order]
             csph_m = np.asarray([s[2] for s in self.spheres], i32)[order]
         tri_clusters: tuple = ()
-        ctri_a = np.zeros((1, 3), f32)
-        ctri_u = np.zeros((1, 3), f32)
-        ctri_v = np.zeros((1, 3), f32)
+        ctri = {k: np.zeros((1, 3) if k in ("n", "e1", "e2") else (1,), f32)
+                for k in ("n", "d", "e1", "e2", "a0", "b0")}
         ctri_m = np.zeros((1,), i32)
         if ntri > clu.CLUSTER_MIN:
             order, tri_clusters = clu.build_clusters(
                 *clu.triangle_bounds(self.triangles))
-            ctri_a = tri_a[:ntri][order]
-            ctri_u = tri_u[:ntri][order]
-            ctri_v = tri_v[:ntri][order]
+            ctri = clu.triangle_precompute(
+                tri_a[:ntri][order], tri_u[:ntri][order], tri_v[:ntri][order])
             ctri_m = tri_m[:ntri][order]
 
         # textures: pad to common max extent (mip 0 only on device),
@@ -444,12 +451,15 @@ class WorldBuilder:
                              jnp.asarray(csph_c[:, 2])),
             csph_radius=jnp.asarray(csph_r),
             csph_mat=jnp.asarray(csph_m),
-            ctri_a=Vec3(jnp.asarray(ctri_a[:, 0]), jnp.asarray(ctri_a[:, 1]),
-                        jnp.asarray(ctri_a[:, 2])),
-            ctri_u=Vec3(jnp.asarray(ctri_u[:, 0]), jnp.asarray(ctri_u[:, 1]),
-                        jnp.asarray(ctri_u[:, 2])),
-            ctri_v=Vec3(jnp.asarray(ctri_v[:, 0]), jnp.asarray(ctri_v[:, 1]),
-                        jnp.asarray(ctri_v[:, 2])),
+            ctri_n=Vec3(jnp.asarray(ctri["n"][:, 0]), jnp.asarray(ctri["n"][:, 1]),
+                        jnp.asarray(ctri["n"][:, 2])),
+            ctri_d=jnp.asarray(ctri["d"]),
+            ctri_e1=Vec3(jnp.asarray(ctri["e1"][:, 0]), jnp.asarray(ctri["e1"][:, 1]),
+                         jnp.asarray(ctri["e1"][:, 2])),
+            ctri_e2=Vec3(jnp.asarray(ctri["e2"][:, 0]), jnp.asarray(ctri["e2"][:, 1]),
+                         jnp.asarray(ctri["e2"][:, 2])),
+            ctri_a0=jnp.asarray(ctri["a0"]),
+            ctri_b0=jnp.asarray(ctri["b0"]),
             ctri_mat=jnp.asarray(ctri_m),
             sph_clusters=sph_clusters,
             tri_clusters=tri_clusters,
