@@ -234,6 +234,57 @@ def _intersect_clustered(clusters, test_one, o: Vec3, d: Vec3, best: Hit) -> Hit
     return best
 
 
+def _intersect_clustered_idx(clusters, test_idx, o: Vec3, d: Vec3, best: Hit,
+                             resolve) -> Hit:
+    """Packet-culled nearest hit with DEFERRED attribute resolution: the
+    unrolled per-primitive tests carry only (t, winner index) — two selects
+    per primitive instead of five (t, mat, normal.xyz) — and ``resolve``
+    reconstructs mat/normal ONCE per bounce from the winning index (a
+    windowed lane-LUT over the clustered tables). Same culling structure as
+    _intersect_clustered."""
+    t_run = best.t
+    idx_run = jnp.full(jnp.shape(best.t), -1, jnp.int32)
+    carry = (t_run, idx_run)
+    for (off, cnt, mn, mx) in clusters:
+        def tests(c, off=off, cnt=cnt):
+            t_r, i_r = c
+            for k in range(cnt):
+                t, hitm = test_idx(off + k)
+                take = hitm & (t < t_r)
+                t_r = jnp.where(take, t, t_r)
+                i_r = jnp.where(take, off + k, i_r)
+            return (t_r, i_r)
+        if mn is None or FORCE_CLUSTERS:
+            carry = tests(carry)
+        else:
+            t_enter, hb = ray_slab_entry(o, d, mn, mx)
+            relevant = hb & (t_enter < carry[0])
+            carry = jax.lax.cond(jnp.any(relevant), tests, lambda c: c, carry)
+    t_run, idx_run = carry
+    found = idx_run >= 0
+    return resolve(t_run, idx_run, found, best)
+
+
+def _windowed_lut(tab: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Per-lane lookup tab[idx] via 128-wide static windows +
+    tpu.dynamic_gather (the only vectorized random access on the VPU; same
+    pattern as integrator._material_lookup_windowed). ``idx`` must be
+    in-range; tab's length rounds up to a 128 multiple internally."""
+    n = tab.shape[0]
+    if idx.ndim != 2:
+        # XLA/CPU equivalence-test path (1-D ray batches): a plain gather
+        return tab[jnp.clip(idx, 0, n - 1)]
+    assert n % 128 == 0, "clustered tables pad to 128 (schema.finalize)"
+    acc = None
+    for w in range(n // 128):
+        row = jnp.broadcast_to(tab[w * 128:(w + 1) * 128][None, :],
+                               idx.shape)
+        got = jnp.take_along_axis(row, jnp.clip(idx - w * 128, 0, 127),
+                                  axis=1)
+        acc = got if acc is None else jnp.where(idx >= w * 128, got, acc)
+    return acc
+
+
 # ---------------------------------------------------------------------------
 # Scene-level nearest hit (RayCastIntersect, win32_main.cpp:406-556)
 # ---------------------------------------------------------------------------
@@ -304,18 +355,35 @@ def _scan_table_chunked(n_items, tables, body, init):
 def intersect_spheres(scene: Scene, o: Vec3, d: Vec3, best: Hit) -> Hit:
     if scene.sph_clusters and _tracing_pallas_kernel:
         # packet-culled path over the cluster-reordered copy; values equal
-        # to the plain loop's (tested in tests/test_clusters.py)
-        def test_one(i, h):
+        # to the plain loop's (tested in tests/test_clusters.py). Tests
+        # carry (t, idx) only; mat and normal resolve once per bounce.
+        def test_idx(i):
             center = Vec3(scene.csph_center.x[i], scene.csph_center.y[i],
                           scene.csph_center.z[i])
-            t, hit, n = ray_sphere(o, d, center, scene.csph_radius[i])
-            take = hit & (t < h.t)
+            rel = o - center
+            a = dot(d, d)
+            b = 2.0 * dot(rel, d)
+            c = dot(rel, rel) - scene.csph_radius[i] * scene.csph_radius[i]
+            disc = b * b - 4.0 * a * c
+            root = jnp.sqrt(jnp.maximum(disc, 0.0))
+            t = (-b - root) / (2.0 * a)
+            hit = (disc >= 0.0) & (root > TOLERANCE) & (t > MIN_HIT_DISTANCE)
+            return t, hit
+
+        def resolve(t, idx, found, prior):
+            cx = _windowed_lut(scene.csph_center.x, idx)
+            cy = _windowed_lut(scene.csph_center.y, idx)
+            cz = _windowed_lut(scene.csph_center.z, idx)
+            n = normalize(Vec3(d.x * t + (o.x - cx), d.y * t + (o.y - cy),
+                               d.z * t + (o.z - cz)), eps=1e-30)
             return Hit(
-                jnp.where(take, t, h.t),
-                jnp.where(take, scene.csph_mat[i], h.mat),
-                vwhere(take, n, h.normal),
+                t,
+                jnp.where(found, _windowed_lut(scene.csph_mat, idx),
+                          prior.mat),
+                vwhere(found, n, prior.normal),
             )
-        return _intersect_clustered(scene.sph_clusters, test_one, o, d, best)
+        return _intersect_clustered_idx(scene.sph_clusters, test_idx, o, d,
+                                        best, resolve)
 
     tables = dict(
         cx=scene.sph_center.x, cy=scene.sph_center.y, cz=scene.sph_center.z,
@@ -370,7 +438,7 @@ def intersect_triangles_brute(scene: Scene, o: Vec3, d: Vec3, best: Hit) -> Hit:
     divergent DDA walks measured ~70x slower than chunked brute force on
     the VPU at reference mesh sizes (752 tris)."""
     if scene.tri_clusters and _tracing_pallas_kernel:
-        def test_one(i, h):
+        def test_idx(i):
             # precomputed barycentric form (scene/clusters.py
             # triangle_precompute): no per-test normalize/cross, and every
             # per-triangle quantity is a baked scalar — the VPU does only
@@ -386,13 +454,20 @@ def intersect_triangles_brute(scene: Scene, o: Vec3, d: Vec3, best: Hit) -> Hit:
             beta = (dot(e2, o) - scene.ctri_b0[i]) + t * dot(e2, d)
             inside = (alpha >= 0.0) & (beta >= 0.0) & ((alpha + beta) <= 1.0)
             hit = valid & inside & (t > MIN_HIT_DISTANCE)
-            take = hit & (t < h.t)
+            return t, hit
+
+        def resolve(t, idx, found, prior):
+            n = Vec3(_windowed_lut(scene.ctri_n.x, idx),
+                     _windowed_lut(scene.ctri_n.y, idx),
+                     _windowed_lut(scene.ctri_n.z, idx))
             return Hit(
-                jnp.where(take, t, h.t),
-                jnp.where(take, scene.ctri_mat[i], h.mat),
-                vwhere(take, n, h.normal),
+                t,
+                jnp.where(found, _windowed_lut(scene.ctri_mat, idx),
+                          prior.mat),
+                vwhere(found, n, prior.normal),
             )
-        return _intersect_clustered(scene.tri_clusters, test_one, o, d, best)
+        return _intersect_clustered_idx(scene.tri_clusters, test_idx, o, d,
+                                        best, resolve)
 
     tables = dict(
         ax=scene.tri_a.x, ay=scene.tri_a.y, az=scene.tri_a.z,

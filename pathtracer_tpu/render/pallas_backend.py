@@ -1,9 +1,12 @@
 """Pallas TPU backend: the fused wavefront render kernel.
 
 One `pl.pallas_call` renders a whole sample budget: the grid tiles the pixel
-batch into VMEM-resident blocks; for each block the kernel runs the SAME
-path-regeneration loop as render/wavefront.py — regenerate, intersect,
-shade, fold — entirely on-chip. The XLA wavefront driver carries ~25 (N,)
+batch into VMEM-resident blocks; for each block the kernel runs one of two
+drivers entirely on-chip. Untextured scenes use the SAME path-regeneration
+loop as render/wavefront.py (_wave_loop — every lane busy every iteration);
+textured scenes use a bounce-LOCKSTEP sample loop (_lockstep_loop — all
+lanes at the same bounce, which is what keeps the windowed texel fetch's
+per-block tile sets small). The XLA wavefront driver carries ~25 (N,)
 arrays through HBM on every `lax.while_loop` iteration; here the state never
 leaves VMEM and only the final per-pixel accumulator block is written back.
 
@@ -51,14 +54,18 @@ from .renderer import AccumState, RenderConfig
 # grow sublinearly with lanes while the per-visit ops grow linearly, so
 # fewer rows win once the fetch dominates (swept on world 1).
 _BLOCK_ROWS = 32
-_BLOCK_ROWS_TEXTURED = 16
+# Textured scenes run the bounce-lockstep driver whose per-distinct-tile
+# serial fetch cost amortizes over the whole block — bigger blocks win
+# because distinct tiles grow sublinearly with lanes. Swept 16/32/64/128
+# on world 1: 34/43/56/64 Mrays/s (BENCH.md round 2b).
+_BLOCK_ROWS_TEXTURED = 128
 _LANES = 128
 BLOCK = _BLOCK_ROWS * _LANES
-# Samples per kernel dispatch on coherence-dependent scenes (clusters /
-# textures): short dispatches restart all lanes in (sample, bounce)
-# lockstep, which is what keeps packet culling and tile-windowed fetches
-# effective (see render_chunk_pallas). Swept {4,8,16,64} on worlds 1/4/5.
-_SUB_CHUNK_SAMPLES = 8
+# Samples per kernel dispatch on clustered (untextured) scenes. Measured
+# on world 5: short lockstep-restart dispatches do NOT pay for their
+# dispatch overhead (sub 4/8/16/64 -> 27.1/28.9/1.3*/29.7 Mrays/s), so
+# dispatches stay long. (*outlier run)
+_SUB_CHUNK_SAMPLES = 64
 
 
 def _block_rows(scene: Scene) -> int:

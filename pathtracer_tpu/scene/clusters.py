@@ -33,9 +33,10 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-# Primitives per leaf cluster. Swept on worlds 4/5 (see BENCH.md): small
-# leaves prune more but pay one ~0.3us block-reduce + branch per cluster.
-LEAF_SIZE = 32
+# Primitives per leaf cluster. Swept on worlds 4/5 (see BENCH.md round
+# 2b): small leaves prune more but pay one block-reduce + branch per
+# cluster; at world-5 scale 64-tri leaves beat 16/32/128.
+LEAF_SIZE = 64
 # Tables at or below this size stay on the plain unrolled path: a handful
 # of always-tested primitives is cheaper than any culling overhead.
 CLUSTER_MIN = 64
@@ -61,6 +62,7 @@ def build_clusters(
     bmax: np.ndarray,
     leaf_size: Optional[int] = None,
     huge_frac: Optional[float] = None,
+    sort_origin=None,
 ) -> Tuple[np.ndarray, tuple]:
     """Cluster primitives by their AABBs.
 
@@ -68,6 +70,10 @@ def build_clusters(
       bmin, bmax: (N, 3) float per-primitive AABB corners.
       leaf_size: max primitives per conditional cluster.
       huge_frac: scene-diagonal fraction above which a primitive is "huge".
+      sort_origin: optional (3,) point (the camera); leaf clusters are
+        ordered near-to-far from it so primary-ray blocks shrink best.t
+        early and later clusters fail the t_enter < best.t cull. Nearest-
+        hit results are order independent — this is purely a perf hint.
 
     Returns:
       (order, clusters): ``order`` is an (N,) permutation — the primitive
@@ -104,6 +110,11 @@ def build_clusters(
 
     if len(rest_idx):
         split(rest_idx)
+
+    if sort_origin is not None and leaves:
+        org = np.asarray(sort_origin, np.float64)
+        leaves.sort(key=lambda idx: float(
+            np.linalg.norm(centroids[idx].mean(axis=0) - org)))
 
     order = np.concatenate([huge_idx] + leaves) if (len(huge_idx) or leaves) \
         else np.zeros((0,), np.int64)

@@ -282,8 +282,10 @@ class WorldBuilder:
                  use_normal_maps: bool = True,
                  use_metalness_maps: bool = True,
                  use_roughness_maps: bool = True,
-                 grid=None) -> Scene:
-        """Compile host lists into a padded device Scene."""
+                 grid=None, view_origin=None) -> Scene:
+        """Compile host lists into a padded device Scene. ``view_origin``
+        (the camera position, when known) orders packet-culling clusters
+        near-to-far for the primary-ray t cull (scene/clusters.py)."""
         f32, i32 = np.float32, np.int32
 
         def vec_table(rows, pad_to):
@@ -333,20 +335,33 @@ class WorldBuilder:
             centers = np.asarray([s[0] for s in self.spheres], f32)
             radii = np.asarray([s[1] for s in self.spheres], f32)
             order, sph_clusters = clu.build_clusters(
-                *clu.sphere_bounds(centers, radii))
+                *clu.sphere_bounds(centers, radii), sort_origin=view_origin)
             csph_c = centers[order]
             csph_r = radii[order]
             csph_m = np.asarray([s[2] for s in self.spheres], i32)[order]
+            # pad to a 128 multiple: the deferred-resolution LUT
+            # (ops/intersect._windowed_lut) slices 128-lane windows
+            pad = -len(csph_r) % 128
+            if pad:
+                csph_c = np.concatenate([csph_c, np.zeros((pad, 3), f32)])
+                csph_r = np.concatenate([csph_r, np.zeros((pad,), f32)])
+                csph_m = np.concatenate([csph_m, np.zeros((pad,), i32)])
         tri_clusters: tuple = ()
         ctri = {k: np.zeros((1, 3) if k in ("n", "e1", "e2") else (1,), f32)
                 for k in ("n", "d", "e1", "e2", "a0", "b0")}
         ctri_m = np.zeros((1,), i32)
         if ntri > clu.CLUSTER_MIN:
             order, tri_clusters = clu.build_clusters(
-                *clu.triangle_bounds(self.triangles))
+                *clu.triangle_bounds(self.triangles), sort_origin=view_origin)
             ctri = clu.triangle_precompute(
                 tri_a[:ntri][order], tri_u[:ntri][order], tri_v[:ntri][order])
             ctri_m = tri_m[:ntri][order]
+            pad = -ntri % 128
+            if pad:
+                ctri = {k: np.concatenate(
+                    [v, np.zeros((pad,) + v.shape[1:], f32)])
+                    for k, v in ctri.items()}
+                ctri_m = np.concatenate([ctri_m, np.zeros((pad,), i32)])
 
         # textures: pad to common max extent (mip 0 only on device),
         # packed RGB8 per texel (values are 8-bit-grid floats, textures.py)

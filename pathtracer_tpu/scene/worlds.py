@@ -248,6 +248,7 @@ def finalize_world(
         use_metalness_maps=use_metalness_maps,
         use_roughness_maps=use_roughness_maps,
         grid=grid,
+        view_origin=cam.pos,
     )
     camera = define_camera(
         cam.pos, cam.target, cam.fov, image_width, image_height,

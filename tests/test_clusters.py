@@ -164,6 +164,37 @@ class TestWindowedMaterialLookup:
                     np.asarray(v).reshape(-1), np.asarray(r))
 
 
+class TestManyMaterialsGolden:
+    def test_1100_material_scene_matches_oracle(self):
+        """A >=1024-material scene must render correctly end-to-end: the
+        XLA driver takes the gather path, the kernel (interpret) takes the
+        windowed lane-LUT path, and both must match the scalar oracle."""
+        from pathtracer_tpu.render.renderer import RenderConfig, render_image
+        from pathtracer_tpu.reference.cpu_oracle import render_oracle
+        from pathtracer_tpu.scene.camera import define_camera
+        rng = np.random.RandomState(11)
+        b = WorldBuilder()
+        b.add_material(emit=(0.2, 0.25, 0.3))  # sky
+        light = b.add_material(emit=(5.0, 4.5, 4.0))
+        b.add_sphere((3, -3, 5), 1.0, light)
+        mats = [b.add_material(albedo=tuple(rng.rand(3)),
+                               roughness=float(rng.rand()))
+                for _ in range(1100)]
+        for k in range(24):
+            b.add_sphere(tuple((rng.rand(3) - 0.5) * 8), 0.4 + rng.rand() * 0.6,
+                         mats[rng.randint(len(mats))])
+        w, h, pp = 16, 12, 2
+        cam = define_camera((0, -12, 1), (0, 0, 0), 35.0, w, h)
+        scene = b.finalize()
+        assert scene.n_materials >= 1024 and scene.mat_roughness.shape[0] % 128 == 0
+        cfg = RenderConfig(width=w, height=h, pp=pp, seed=3)
+        img, _, _ = render_image(scene, cam, cfg)
+        oracle = render_oracle(b, cam, w, h, pp, seed=3, world_kind=0)
+        d = np.abs(np.asarray(img) - oracle).max(axis=-1)
+        assert np.median(d) < 1e-4, float(np.median(d))
+        assert (d > 1e-2).mean() < 0.05, float((d > 1e-2).mean())
+
+
 class TestTexelSortPermutation:
     def test_perm_is_valid_and_neutral(self):
         """The texel sort must be a permutation; neutrality on real scenes
