@@ -5,8 +5,11 @@ MODE: on | off   (scene/clusters.py packet culling vs plain unrolled)
 
 Scene: NTRIS random small triangles uniformly in a 20-unit cube (the
 spatial regime clustering likes least — no large occluders), a sky light,
-an emissive NEE sphere, a ground plane. 640x360 render through the fused
-Pallas kernel. Prints synced Mrays/s; BENCH.md records the crossover.
+an emissive NEE sphere, a ground plane. 640x360 render, backend="auto":
+clustered scenes take the fused kernel (static unroll <= 1024 tris, the
+streamed tier above), mode=off falls to the XLA wavefront driver exactly
+as production would. Prints synced Mrays/s; BENCH.md records the
+crossover.
 """
 import sys
 import time
@@ -42,7 +45,7 @@ W, H = 640, 360
 scene = b.finalize()
 camera = define_camera((0, -30, 4), (0, 0, 0), 35.0, W, H)
 pp = int(round(spp ** 0.5))
-cfg = RenderConfig(width=W, height=H, pp=pp, backend="pallas")
+cfg = RenderConfig(width=W, height=H, pp=pp, backend="auto")
 _, _, st = render_image(scene, camera, cfg)
 float(np.asarray(st.rays_cast))
 t0 = time.perf_counter()

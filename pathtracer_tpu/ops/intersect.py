@@ -265,6 +265,105 @@ def _intersect_clustered_idx(clusters, test_idx, o: Vec3, d: Vec3, best: Hit,
     return resolve(t_run, idx_run, found, best)
 
 
+def _intersect_triangles_streamed(scene: Scene, o: Vec3, d: Vec3,
+                                  best: Hit) -> Hit:
+    """Streamed mesh tier: packet culling with DYNAMIC record reads.
+
+    Meshes above the static-unroll budget (scene.tri_streamed,
+    clusters.STREAM_MIN) loop a `lax.fori_loop` over clusters: the
+    cluster's AABB row and each triangle's 13-field record are read by
+    dynamic row index (`pl.ds` on the VMEM ref — the sublane axis slides
+    fine; it is the LANE axis that cannot) and broadcast to the block by a
+    constant-index lane LUT. Code size is O(1) in mesh size; per-triangle
+    cost is ~2x the static unroll's (the extraction tax), which the
+    pruning repays at scale (BENCH.md: crossover study). Resolution is
+    deferred exactly as in _intersect_clustered_idx; the ctri_* tables
+    hold the matching cluster-padded layout."""
+    from jax.experimental import pallas as pl
+    from ..scene import clusters as clu
+
+    shape = jnp.shape(o.x)
+    leaf = scene.stream_leaf
+    per = clu.STREAM_TRIS_PER_ROW
+    F = clu.STREAM_FIELDS
+
+    def row_bcast(tab, i):
+        # refs (compiled OR interpret kernels) slide the sublane axis with
+        # pl.ds; plain arrays (XLA equivalence-test path) use dynamic_slice
+        if "Ref" in type(jax.typeof(tab)).__name__:
+            r = tab[pl.ds(i, 1), :]
+        else:
+            r = jax.lax.dynamic_slice_in_dim(tab, i, 1, axis=0)
+        return jnp.broadcast_to(r, shape)
+
+    def lane(rowb, j):
+        idx = jnp.broadcast_to(jnp.asarray(j, jnp.int32), shape)
+        return jnp.take_along_axis(rowb, idx, axis=-1)
+
+    t_init = best.t
+    idx_init = jnp.full(shape, -1, jnp.int32)
+
+    def cluster_body(c, carry):
+        t_r, i_r = carry
+        brow = row_bcast(scene.mtri_bounds, c)
+        mn = [lane(brow, k) for k in range(3)]
+        mx = [lane(brow, 3 + k) for k in range(3)]
+        inv = Vec3(1.0 / jnp.where(d.x != 0.0, d.x, 1e-30),
+                   1.0 / jnp.where(d.y != 0.0, d.y, 1e-30),
+                   1.0 / jnp.where(d.z != 0.0, d.z, 1e-30))
+        t0x = (mn[0] - o.x) * inv.x
+        t1x = (mx[0] - o.x) * inv.x
+        t0y = (mn[1] - o.y) * inv.y
+        t1y = (mx[1] - o.y) * inv.y
+        t0z = (mn[2] - o.z) * inv.z
+        t1z = (mx[2] - o.z) * inv.z
+        tmin = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                       jnp.minimum(t0y, t1y)),
+                           jnp.minimum(t0z, t1z))
+        tmax = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                       jnp.maximum(t0y, t1y)),
+                           jnp.maximum(t0z, t1z))
+        relevant = (tmax >= tmin) & (tmax >= 0.0) & (tmin < t_r)
+
+        def tri_body(k, cc):
+            t_r2, i_r2 = cc
+            g = c * leaf + k
+            trow = row_bcast(scene.mtri_pack, g // per)
+            base = (g % per) * F
+            f = lambda j: lane(trow, base + j)
+            n = Vec3(f(0), f(1), f(2))
+            e1 = Vec3(f(4), f(5), f(6))
+            e2 = Vec3(f(8), f(9), f(10))
+            denom = dot(n, d)
+            valid = (denom < -TOLERANCE) | (denom > TOLERANCE)
+            t = (f(3) - dot(n, o)) / jnp.where(valid, denom, 1.0)
+            alpha = (dot(e1, o) - f(7)) + t * dot(e1, d)
+            beta = (dot(e2, o) - f(11)) + t * dot(e2, d)
+            inside = (alpha >= 0.0) & (beta >= 0.0) & ((alpha + beta) <= 1.0)
+            hit = valid & inside & (t > MIN_HIT_DISTANCE)
+            take = hit & (t < t_r2)
+            return (jnp.where(take, t, t_r2),
+                    jnp.where(take, g, i_r2))
+
+        def run(cc):
+            return jax.lax.fori_loop(0, leaf, tri_body, cc)
+
+        return jax.lax.cond(jnp.any(relevant), run, lambda cc: cc,
+                            (t_r, i_r))
+
+    t_run, idx_run = jax.lax.fori_loop(
+        0, scene.n_stream_clusters, cluster_body, (t_init, idx_init))
+    found = idx_run >= 0
+    n = Vec3(_windowed_lut(scene.ctri_n.x, idx_run),
+             _windowed_lut(scene.ctri_n.y, idx_run),
+             _windowed_lut(scene.ctri_n.z, idx_run))
+    return Hit(
+        t_run,
+        jnp.where(found, _windowed_lut(scene.ctri_mat, idx_run), best.mat),
+        vwhere(found, n, best.normal),
+    )
+
+
 def _windowed_lut(tab: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """Per-lane lookup tab[idx] via 128-wide static windows +
     tpu.dynamic_gather (the only vectorized random access on the VPU; same
@@ -437,6 +536,9 @@ def intersect_triangles_brute(scene: Scene, o: Vec3, d: Vec3, best: Hit) -> Hit:
     changes the nearest hit. The default triangle path on TPU: per-lane
     divergent DDA walks measured ~70x slower than chunked brute force on
     the VPU at reference mesh sizes (752 tris)."""
+    if scene.tri_streamed and _tracing_pallas_kernel:
+        return _intersect_triangles_streamed(scene, o, d, best)
+
     if scene.tri_clusters and _tracing_pallas_kernel:
         def test_idx(i):
             # precomputed barycentric form (scene/clusters.py

@@ -88,8 +88,10 @@ def supports(scene: Scene, config: RenderConfig) -> bool:
     return (
         (scene.n_textures == 0 or scene.tex_combined)
         and (scene.n_tris == 0 or scene.grid_res == 0)
-        and max(scene.n_spheres, scene.n_quads, scene.n_planes,
-                scene.n_tris) <= _UNROLL_MAX_KERNEL
+        and max(scene.n_spheres, scene.n_quads, scene.n_planes) <= _UNROLL_MAX_KERNEL
+        # meshes: static unroll up to the Mosaic budget, then the streamed
+        # tier (dynamic record reads, ops/intersect streamed branch)
+        and (scene.n_tris <= _UNROLL_MAX_KERNEL or scene.tri_streamed)
         and config.debug_kind in (REGULAR, VARIANCE)
         and not config.just_importance
     )
@@ -384,11 +386,16 @@ def render_chunk_pallas(
             tex_comb_b=jnp.zeros((1,), jnp.int32),
         )
     scene_leaves, scene_def = jax.tree_util.tree_flatten(scene)
-    # tex_tile stays a REF inside the kernel (dynamic row slices need the
-    # memref, not a loaded value); locate its leaf slot by identity
+    # tex_tile (and the streamed-mesh tables) stay REFS inside the kernel
+    # (dynamic row slices need the memref, not a loaded value); locate
+    # their leaf slots by identity
     tex_idx = next(
         (i for i, l in enumerate(scene_leaves) if l is scene.tex_tile), None)
     use_tex_ref = scene.tex_combined and scene.n_textures > 0
+    ref_slots = {tex_idx} if use_tex_ref else set()
+    if scene.tri_streamed:
+        ref_slots |= {i for i, l in enumerate(scene_leaves)
+                      if l is scene.mtri_bounds or l is scene.mtri_pack}
     sk = jnp.asarray(key, jnp.uint32).reshape(1, 1)
 
     from ..ops import intersect as _intersect_mod
@@ -400,7 +407,7 @@ def render_chunk_pallas(
             scene_refs = refs[: len(scene_leaves)]
             outs = refs[len(scene_leaves):]
             (sumx, sumy, sumz, sqx, sqy, sqz, cnt, nanc, rays) = outs
-            vals = [r if (use_tex_ref and i == tex_idx) else r[:]
+            vals = [r if i in ref_slots else r[:]
                     for i, r in enumerate(scene_refs)]
             scene_local = jax.tree_util.tree_unflatten(scene_def, vals)
             if use_tex_ref:

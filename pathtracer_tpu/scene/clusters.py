@@ -35,8 +35,9 @@ import numpy as np
 
 # Primitives per leaf cluster. Swept on worlds 4/5 (see BENCH.md round
 # 2b): small leaves prune more but pay one block-reduce + branch per
-# cluster; at world-5 scale 64-tri leaves beat 16/32/128.
-LEAF_SIZE = 64
+# cluster; at world-5 scale (752 tris) the sweep reads
+# 16/32/64/96/128 -> 41.6/52.8/54-59/62.3/57.7 Mrays/s.
+LEAF_SIZE = 96
 # Tables at or below this size stay on the plain unrolled path: a handful
 # of always-tested primitives is cheaper than any culling overhead.
 CLUSTER_MIN = 64
@@ -111,6 +112,9 @@ def build_clusters(
     if len(rest_idx):
         split(rest_idx)
 
+    import os
+    if os.environ.get("PT_NO_CAM_SORT"):  # perf-ablation knob
+        sort_origin = None
     if sort_origin is not None and leaves:
         org = np.asarray(sort_origin, np.float64)
         leaves.sort(key=lambda idx: float(
@@ -159,6 +163,64 @@ def triangle_precompute(A: np.ndarray, u: np.ndarray, v: np.ndarray):
     a0 = (e1 * A).sum(-1).astype(np.float32)
     b0 = (e2 * A).sum(-1).astype(np.float32)
     return dict(n=n_unit, d=d_coef, e1=e1, e2=e2, a0=a0, b0=b0)
+
+
+# Streamed mesh tier (ops/intersect streamed branch): meshes too large to
+# statically unroll in the kernel (> ~1024 tris) pack their precomputed
+# records into 128-lane rows read by DYNAMIC row index — code size is
+# O(1) in mesh size. 9 triangles x 13 fields = 117 lanes per row.
+STREAM_FIELDS = 13  # n(3) d(1) e1(3) a0(1) e2(3) b0(1) mat(1)
+STREAM_TRIS_PER_ROW = 9
+# Meshes above this switch from the statically-unrolled cluster path to
+# the streamed tier (the Mosaic straight-line unroll budget,
+# ops/intersect._UNROLL_MAX_KERNEL).
+STREAM_MIN = 1024
+# VMEM budget cap for the streamed tables (~8 MB of pack rows).
+STREAM_MAX = 131072
+
+
+def pack_stream_clusters(pre: dict, mats: np.ndarray,
+                         clusters: tuple, leaf: int):
+    """Build the streamed-tier tables from triangle_precompute output.
+
+    Every cluster pads to exactly ``leaf`` records (degenerate padding
+    tris have n=0 -> |denom| < TOLERANCE -> never hit), so the kernel's
+    inner loop has a static trip count. Returns
+    (bounds (nc, 128) f32 rows [mn3 mx3 ...], pack (n_rows, 128) f32).
+    ``pre``/``mats`` must already be in cluster order (reordered by
+    ``order``); ``clusters`` indexes that order. Also returns the
+    cluster-PADDED flat record array (nc*leaf, 13) — the deferred-
+    resolution LUT tables must use this same padded indexing.
+    """
+    recs = []
+    bounds = []
+    for (off, cnt, mn, mx) in clusters:
+        rows = np.zeros((leaf, STREAM_FIELDS), np.float32)
+        sl = slice(off, off + cnt)
+        rows[:cnt, 0:3] = pre["n"][sl]
+        rows[:cnt, 3] = pre["d"][sl]
+        rows[:cnt, 4:7] = pre["e1"][sl]
+        rows[:cnt, 7] = pre["a0"][sl]
+        rows[:cnt, 8:11] = pre["e2"][sl]
+        rows[:cnt, 11] = pre["b0"][sl]
+        rows[:cnt, 12] = mats[sl].astype(np.float32)
+        recs.append(rows)
+        if mn is None:  # huge cluster: unbounded -> always-hit slab
+            mn = (-1e30, -1e30, -1e30)
+            mx = (1e30, 1e30, 1e30)
+        brow = np.zeros((128,), np.float32)
+        brow[0:3] = mn
+        brow[3:6] = mx
+        bounds.append(brow)
+    flat = np.concatenate(recs, axis=0)  # (nc*leaf, 13)
+    n = len(flat)
+    per = STREAM_TRIS_PER_ROW
+    n_rows = (n + per - 1) // per
+    pack = np.zeros((n_rows, 128), np.float32)
+    pad = np.zeros((n_rows * per - n, STREAM_FIELDS), np.float32)
+    allr = np.concatenate([flat, pad], axis=0).reshape(n_rows, per * STREAM_FIELDS)
+    pack[:, : per * STREAM_FIELDS] = allr
+    return np.stack(bounds), pack, flat
 
 
 def sphere_bounds(centers: np.ndarray, radii: np.ndarray):

@@ -129,6 +129,16 @@ class Scene:
     ctri_b0: jnp.ndarray
     ctri_mat: jnp.ndarray
 
+    # --- streamed mesh tier (ntri > clusters.STREAM_MIN) ------------------
+    # Meshes too large to statically unroll in the kernel: per-cluster
+    # AABB rows + 9-triangle packed record rows, both read by DYNAMIC row
+    # index inside the kernel (code size O(1) in mesh size). When active
+    # (tri_streamed), the ctri_* tables above hold the cluster-PADDED
+    # record layout for deferred resolution. See clusters.py
+    # pack_stream_clusters and ops/intersect streamed branch.
+    mtri_bounds: jnp.ndarray      # (n_clusters, 128) f32: mn3 mx3 pad
+    mtri_pack: jnp.ndarray        # (n_rows, 128) f32: 9 tris x 13 fields
+
     # --- axis-aligned boxes (parity with world_t.aabbs; always empty) -----
     box_min: Vec3
     box_max: Vec3
@@ -187,6 +197,10 @@ class Scene:
     # clustering (small tables run the plain unrolled loops).
     sph_clusters: tuple = struct.field(pytree_node=False, default=())
     tri_clusters: tuple = struct.field(pytree_node=False, default=())
+    # streamed mesh tier statics (see mtri_* above)
+    tri_streamed: bool = struct.field(pytree_node=False, default=False)
+    stream_leaf: int = struct.field(pytree_node=False, default=0)
+    n_stream_clusters: int = struct.field(pytree_node=False, default=0)
     world_kind: int = struct.field(pytree_node=False, default=WORLD_DEFAULT)
     # World 4 forces cosine-only sampling (win32_main.cpp:654-655).
     just_cosine: bool = struct.field(pytree_node=False, default=False)
@@ -350,16 +364,36 @@ class WorldBuilder:
         ctri = {k: np.zeros((1, 3) if k in ("n", "e1", "e2") else (1,), f32)
                 for k in ("n", "d", "e1", "e2", "a0", "b0")}
         ctri_m = np.zeros((1,), i32)
+        mtri_bounds = np.zeros((1, 128), f32)
+        mtri_pack = np.zeros((1, 128), f32)
+        tri_streamed = False
+        stream_leaf = 0
+        n_stream_clusters = 0
         if ntri > clu.CLUSTER_MIN:
             order, tri_clusters = clu.build_clusters(
                 *clu.triangle_bounds(self.triangles), sort_origin=view_origin)
             ctri = clu.triangle_precompute(
                 tri_a[:ntri][order], tri_u[:ntri][order], tri_v[:ntri][order])
             ctri_m = tri_m[:ntri][order]
-            pad = -ntri % 128
+            if clu.STREAM_MIN < ntri <= clu.STREAM_MAX:
+                # streamed tier: dynamic row reads instead of a static
+                # unroll; resolve tables switch to the cluster-padded
+                # record layout
+                stream_leaf = max(c[1] for c in tri_clusters)
+                mtri_bounds, mtri_pack, flat = clu.pack_stream_clusters(
+                    ctri, ctri_m, tri_clusters, stream_leaf)
+                n_stream_clusters = len(tri_clusters)
+                tri_streamed = True
+                tri_clusters = ()
+                ctri = {"n": flat[:, 0:3], "d": flat[:, 3],
+                        "e1": flat[:, 4:7], "a0": flat[:, 7],
+                        "e2": flat[:, 8:11], "b0": flat[:, 11]}
+                ctri_m = flat[:, 12].astype(i32)
+            pad = -len(ctri_m) % 128
             if pad:
                 ctri = {k: np.concatenate(
-                    [v, np.zeros((pad,) + v.shape[1:], f32)])
+                    [np.asarray(v, f32),
+                     np.zeros((pad,) + np.asarray(v).shape[1:], f32)])
                     for k, v in ctri.items()}
                 ctri_m = np.concatenate([ctri_m, np.zeros((pad,), i32)])
 
@@ -476,6 +510,11 @@ class WorldBuilder:
             ctri_a0=jnp.asarray(ctri["a0"]),
             ctri_b0=jnp.asarray(ctri["b0"]),
             ctri_mat=jnp.asarray(ctri_m),
+            mtri_bounds=jnp.asarray(mtri_bounds),
+            mtri_pack=jnp.asarray(mtri_pack),
+            tri_streamed=tri_streamed,
+            stream_leaf=stream_leaf,
+            n_stream_clusters=n_stream_clusters,
             sph_clusters=sph_clusters,
             tri_clusters=tri_clusters,
             box_min=vec_table([], 8),

@@ -164,6 +164,93 @@ class TestWindowedMaterialLookup:
                     np.asarray(v).reshape(-1), np.asarray(r))
 
 
+class TestStreamedMeshTier:
+    """Meshes above clusters.STREAM_MIN take the dynamically-indexed
+    streamed path in the kernel; it must produce the same nearest hits as
+    the brute scan."""
+
+    def _scene(self, n):
+        rng = np.random.RandomState(6)
+        b = WorldBuilder()
+        b.add_material(emit=(0.1, 0.2, 0.3))
+        m = b.add_material(albedo=(0.6, 0.5, 0.4))
+        m2 = b.add_material(albedo=(0.2, 0.6, 0.3))
+        base = (rng.rand(n, 1, 3) - 0.5) * 20.0
+        tris = base + (rng.rand(n, 3, 3) - 0.5) * 1.2
+        mats = np.where(rng.rand(n) < 0.5, m, m2).astype(np.int32)
+        b.set_mesh(tris.reshape(-1, 3).astype(np.float32),
+                   np.repeat(mats, 3))
+        return b.finalize(), rng
+
+    def test_streamed_flag_and_tables(self):
+        scene, _ = self._scene(2000)
+        assert scene.tri_streamed and scene.tri_clusters == ()
+        assert scene.n_stream_clusters >= 2000 // clu.LEAF_SIZE
+        assert scene.mtri_bounds.shape[0] == scene.n_stream_clusters
+        # resolve tables use the cluster-padded layout
+        assert scene.ctri_mat.shape[0] % 128 == 0
+        assert scene.ctri_mat.shape[0] >= 2000
+
+    def test_streamed_matches_brute(self):
+        scene, rng = self._scene(2000)
+        o1, d1 = _rays(rng, n=1024)
+        # kernel-shaped (R, 128) blocks
+        rs = lambda a: a.reshape(8, 128)
+        o = Vec3(rs(o1.x), rs(o1.y), rs(o1.z))
+        d = Vec3(rs(d1.x), rs(d1.y), rs(d1.z))
+        shape = o.x.shape
+        best = lambda: isect.Hit(
+            jnp.full(shape, isect.F32_MAX), jnp.zeros(shape, jnp.int32),
+            Vec3(jnp.zeros(shape), jnp.zeros(shape), jnp.zeros(shape)))
+        brute = isect.intersect_triangles_brute(scene, o, d, best())
+        isect._tracing_pallas_kernel = True
+        try:
+            streamed = isect.intersect_triangles_brute(scene, o, d, best())
+        finally:
+            isect._tracing_pallas_kernel = False
+        _assert_same_hits(brute, streamed)
+
+    def test_supports_includes_streamed(self):
+        from pathtracer_tpu.render.pallas_backend import supports
+        from pathtracer_tpu.render.renderer import RenderConfig
+        scene, _ = self._scene(2000)
+        assert supports(scene, RenderConfig(width=8, height=8, pp=1))
+
+    def test_streamed_render_matches_oracle(self):
+        """End-to-end: a 1200-tri scene through the interpret-mode kernel
+        vs the scalar oracle."""
+        from pathtracer_tpu.render.renderer import (
+            RenderConfig, init_accum, render_chunk, resolve,
+        )
+        from pathtracer_tpu.reference.cpu_oracle import render_oracle
+        from pathtracer_tpu.scene.camera import define_camera
+        rng = np.random.RandomState(9)
+        b = WorldBuilder()
+        b.add_material(emit=(0.3, 0.35, 0.45))
+        light = b.add_material(emit=(6.0, 5.5, 5.0))
+        b.add_sphere((6, -5, 9), 1.2, light)
+        m = b.add_material(albedo=(0.6, 0.45, 0.35), roughness=0.8)
+        base = (rng.rand(1200, 1, 3) - 0.5) * 16.0
+        tris = base + (rng.rand(1200, 3, 3) - 0.5) * 1.0
+        b.set_mesh(tris.reshape(-1, 3).astype(np.float32),
+                   np.full((3600,), m, np.int32))
+        scene = b.finalize()
+        assert scene.tri_streamed
+        w, h, pp = 16, 8, 2
+        cam = define_camera((0, -24, 2), (0, 0, 0), 35.0, w, h)
+        cfg = RenderConfig(width=w, height=h, pp=pp, seed=2,
+                           backend="pallas-interpret")
+        key = __import__("pathtracer_tpu.utils.prng", fromlist=["prng"]) \
+            .base_key(2)
+        st = render_chunk(scene, cam, cfg, key, np.int32(0), cfg.spp,
+                          init_accum(w * h))
+        img = np.asarray(resolve(st, cfg))
+        oracle = render_oracle(b, cam, w, h, pp, seed=2, world_kind=0)
+        dmax = np.abs(img - oracle).max(axis=-1)
+        assert np.median(dmax) < 1e-4, float(np.median(dmax))
+        assert (dmax > 1e-2).mean() < 0.05, float((dmax > 1e-2).mean())
+
+
 class TestManyMaterialsGolden:
     def test_1100_material_scene_matches_oracle(self):
         """A >=1024-material scene must render correctly end-to-end: the
