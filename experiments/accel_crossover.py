@@ -52,6 +52,8 @@ t0 = time.perf_counter()
 _, _, st2 = render_image(scene, camera, cfg)
 rays = float(np.asarray(st2.rays_cast))
 dt = time.perf_counter() - t0
-print(f"ntris={ntris} mode={mode} spp={spp} "
-      f"clusters={len(scene.tri_clusters)} {rays/dt/1e6:.1f} Mrays/s",
-      flush=True)
+n_cl = scene.n_stream_clusters if scene.tri_streamed \
+    else len(scene.tri_clusters)
+tier = "streamed" if scene.tri_streamed else ("static" if n_cl else "brute")
+print(f"ntris={ntris} mode={mode} spp={spp} tier={tier} "
+      f"clusters={n_cl} {rays/dt/1e6:.1f} Mrays/s", flush=True)
