@@ -110,9 +110,14 @@ def verify(args) -> int:
     (which can flip a discrete choice at a geometric boundary and resolve
     to a legitimately different sample — unbiased per-sample noise).
 
-    Gates (per pallas_backend.py + BENCH.md round-2 world-1 measurement):
-      >= 50% of pixels bit-equal, < 1% of pixels with |diff| > 1e-3,
-      < 0.1% with |diff| > 0.1. Untextured scenes sit far inside these.
+    Gates (per pallas_backend.py + BENCH.md round-2 measurements):
+      < 1% of pixels with |diff| > 1e-3, < 0.1% with |diff| > 0.1, and —
+      only when the kernel evaluates the IDENTICAL expression graph (no
+      clusters, no streamed tier, no textures) — >= 50% bit-equal pixels.
+      Clustered/textured scenes use algebraically-equal but differently
+      rounded primitive forms (precomputed barycentric, deferred
+      resolution, windowed fetch), so bit equality is not expected there;
+      the flip-fraction gates are.
     Prints one JSON line and exits nonzero on failure.
     """
     from pathtracer_tpu.render.renderer import (
@@ -149,13 +154,17 @@ def verify(args) -> int:
     bit_equal = float((diff == 0.0).sum()) / n_pix
     f_1e3 = float((diff > 1e-3).sum()) / n_pix
     f_1e1 = float((diff > 0.1).sum()) / n_pix
-    ok = bit_equal >= 0.5 and f_1e3 < 0.01 and f_1e1 < 0.001
+    same_graph = (not scene.sph_clusters and not scene.tri_clusters
+                  and not scene.tri_streamed and scene.n_textures == 0)
+    ok = f_1e3 < 0.01 and f_1e1 < 0.001 and (
+        bit_equal >= 0.5 or not same_graph)
     print(json.dumps({
         "metric": "pallas_verify", "world": args.world,
         "size": f"{w}x{h}", "spp": pp * pp,
         "bit_equal_frac": round(bit_equal, 4),
         "frac_gt_1e-3": round(f_1e3, 5),
         "frac_gt_0.1": round(f_1e1, 6),
+        "identical_graph": same_graph,
         "ok": ok,
     }))
     return 0 if ok else 1
