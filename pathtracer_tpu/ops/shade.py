@@ -92,14 +92,17 @@ def find_refraction_direction(ray_dir: Vec3, N: Vec3, nglass: jnp.ndarray
         jnp.where(into, -N.z, N.z),
     )
     cos1 = jnp.clip(dot(Nf, ray_dir), -1.0, 1.0)
-    theta1 = jnp.arccos(cos1)
-    lhs = n1 / n2 * jnp.sin(theta1)
+    # trig-free Snell (sin(acos(x)) = sqrt(1-x^2), cos(asin(x)) =
+    # sqrt(1-x^2) on the relevant branches) — Mosaic has no acos/asin
+    sin1 = jnp.sqrt(jnp.maximum(1.0 - cos1 * cos1, 0.0))
+    lhs = n1 / n2 * sin1
     ok = lhs <= 1.0
-    theta2 = jnp.arcsin(jnp.clip(lhs, 0.0, 1.0))
+    lhs_c = jnp.clip(lhs, 0.0, 1.0)
+    cos2 = jnp.sqrt(jnp.maximum(1.0 - lhs_c * lhs_c, 0.0))
     M = normalize(cross(Nf, cross(ray_dir, Nf)), eps=1e-30)
     out = Vec3(
-        jnp.cos(theta2) * Nf.x + lhs * M.x,
-        jnp.cos(theta2) * Nf.y + lhs * M.y,
-        jnp.cos(theta2) * Nf.z + lhs * M.z,
+        cos2 * Nf.x + lhs * M.x,
+        cos2 * Nf.y + lhs * M.y,
+        cos2 * Nf.z + lhs * M.z,
     )
     return out, ok

@@ -265,13 +265,14 @@ def refract_np(d, N, nglass):
         n1, n2 = nglass, nair
         Nf = N
     cos1 = F32(min(max(float(dot(Nf, d)), -1.0), 1.0))
-    theta1 = F32(np.arccos(cos1))
-    lhs = F32(n1 / n2) * F32(np.sin(theta1))
+    # trig-free Snell, mirroring ops/shade.find_refraction_direction
+    sin1 = F32(np.sqrt(max(F32(1.0) - cos1 * cos1, F32(0.0))))
+    lhs = F32(n1 / n2) * sin1
     if lhs > 1.0:
         return None
-    theta2 = F32(np.arcsin(lhs))
+    cos2 = F32(np.sqrt(max(F32(1.0) - lhs * lhs, F32(0.0))))
     M = normalize(cross(Nf, cross(d, Nf)))
-    return F32(np.cos(theta2)) * Nf + lhs * M
+    return cos2 * Nf + lhs * M
 
 
 def schlick_metal(F0, cos_theta, metalness, surface_color):

@@ -396,7 +396,9 @@ def shade_bounce(
         L_t = vwhere(take_reflect, pure_bounce, refr_dir)
         L = vwhere(trans, L_t, L)
         weight = vwhere(trans, albedo, weight)
-        cont = jnp.where(trans, surface, cont)
+        # boolean select (a where on i1 operands fails Mosaic lowering:
+        # "unsupported target bitwidth for truncation")
+        cont = (trans & surface) | (~trans & cont)
 
     return BounceOut(
         emit=emit, hitpoint=hitpoint, L=L, weight=weight, cont=cont,

@@ -413,7 +413,12 @@ def render_chunk_pallas(
             if use_tex_ref:
                 _texture_mod.KERNEL_TEX_REF = scene_refs[tex_idx]
             pixel_block = pix_ref[:]
-            loop = _lockstep_loop if use_tex_ref else _wave_loop
+            import os
+            clustered = bool(scene.sph_clusters or scene.tri_clusters
+                             or scene.tri_streamed)
+            use_lockstep = use_tex_ref or (
+                clustered and os.environ.get("PT_LOCKSTEP_CLUSTERED"))
+            loop = _lockstep_loop if use_lockstep else _wave_loop
             acc_sum, acc_sq, count, nan_c, ray_c = loop(
                 scene_local, camera, config, sk_ref[0, 0], ss0_ref[0, 0],
                 ns, pixel_block)
