@@ -64,6 +64,68 @@ def test_random_scene_matches_oracle(seed):
     assert np.isfinite(img).all()
 
 
+@pytest.mark.parametrize("seed", [17, 99])
+def test_random_scene_with_glass_matches_oracle(seed):
+    # dielectric lanes mixed with the full estimator set, RR on: the
+    # transmission branch (integrator/oracle twins) must stay in lockstep
+    # on the shared uniform streams
+    rng = np.random.RandomState(seed)
+    b = _random_world(seed)
+    glass = b.add_material(albedo=tuple(0.9 + 0.1 * rng.rand(3)),
+                           ior=float(1.3 + 0.4 * rng.rand()),
+                           transmission=1.0)
+    b.add_sphere(rng.uniform(-2, 2, 3), 0.6 + rng.rand() * 0.8, glass)
+    w, h, pp = 16, 12, 2
+    cam = define_camera((0, -8, 1), (0, 0, 0), 35.0, w, h)
+    scene = b.finalize()
+    assert scene.any_transmissive
+    cfg = RenderConfig(width=w, height=h, pp=pp, seed=seed,
+                       use_russian_roulette=True)
+    img, _, _ = render_image(scene, cam, cfg)
+    oracle = render_oracle(b, cam, w, h, pp, seed=seed, world_kind=0,
+                           use_russian_roulette=True)
+    img = np.asarray(img)
+    d = np.abs(img - oracle).max(axis=-1)
+    assert np.median(d) < 1e-4, (seed, float(np.median(d)))
+    assert (d > 1e-2).mean() < 0.05, (seed, float((d > 1e-2).mean()))
+
+
+def test_textured_mesh_scene_kernel_equivalence():
+    """Interaction coverage: a scene with BOTH the combined texture set
+    (lockstep driver + windowed fetch) and a clustered mesh (packet
+    culling) through the interpret-mode kernel vs the XLA driver."""
+    from pathtracer_tpu.scene import textures as T
+    from pathtracer_tpu.scene.gltf import load_gltf_triangles
+    rng = np.random.RandomState(3)
+    b = WorldBuilder()
+    b.add_material(emit=(0.3, 0.35, 0.45))
+    light = b.add_material(emit=(5.0, 4.5, 4.0))
+    b.add_sphere((3, -3, 6), 1.0, light)
+    for t in T.load_bespoke_textures():
+        b.add_texture(t)
+    ground = b.add_material(albedo_idx=1, metalness_idx=2, roughness_idx=3,
+                            normal_idx=4)
+    b.add_plane((0, 0, 1), 0.0, ground)
+    pts, mats = load_gltf_triangles("/root/reference/res/mario.glb", b)
+    if pts is None:
+        pytest.skip("mario.glb unavailable")
+    b.set_mesh(pts * 1.5 + np.float32([0, 0, 1.0]), mats)
+    scene = b.finalize()
+    assert scene.tex_combined and len(scene.tri_clusters) > 0
+    w, h, pp = 32, 18, 2
+    cam = define_camera((0, -6, 2), (0, 0, 1), 35.0, w, h)
+    base = RenderConfig(width=w, height=h, pp=pp, seed=1, backend="xla")
+    kern = RenderConfig(width=w, height=h, pp=pp, seed=1,
+                        backend="pallas-interpret")
+    img_x, _, _ = render_image(scene, cam, base)
+    img_k, _, _ = render_image(scene, cam, kern)
+    d = np.abs(np.asarray(img_x) - np.asarray(img_k)).max(axis=-1)
+    # interpret-mode windowed-fetch tolerance (see
+    # bespoke_sample_combined_windowed docstring) + cluster fma class
+    assert np.median(d) < 1e-3, float(np.median(d))
+    assert (d > 5e-2).mean() < 0.02, float((d > 5e-2).mean())
+
+
 @pytest.mark.parametrize("seed", [42])
 def test_random_scene_with_rr_matches_oracle(seed):
     # Russian roulette consumes slot-4 uniforms identically in renderer and
