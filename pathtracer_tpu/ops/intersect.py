@@ -276,9 +276,9 @@ def _intersect_triangles_streamed(scene: Scene, o: Vec3, d: Vec3,
     fine; it is the LANE axis that cannot) and broadcast to the block by a
     constant-index lane LUT. Code size is O(1) in mesh size; per-triangle
     cost is ~2x the static unroll's (the extraction tax), which the
-    pruning repays at scale (BENCH.md: crossover study). Resolution is
-    deferred exactly as in _intersect_clustered_idx; the ctri_* tables
-    hold the matching cluster-padded layout."""
+    pruning repays at scale (BENCH.md: crossover study). Winner
+    attributes resolve INLINE from the loaded record (not the windowed
+    post-LUT the static tier uses — that unrolls O(n/128) windows)."""
     from jax.experimental import pallas as pl
     from ..scene import clusters as clu
 
@@ -301,10 +301,9 @@ def _intersect_triangles_streamed(scene: Scene, o: Vec3, d: Vec3,
         return jnp.take_along_axis(rowb, idx, axis=-1)
 
     t_init = best.t
-    idx_init = jnp.full(shape, -1, jnp.int32)
 
     def cluster_body(c, carry):
-        t_r, i_r = carry
+        t_r = carry[0]
         brow = row_bcast(scene.mtri_bounds, c)
         mn = [lane(brow, k) for k in range(3)]
         mx = [lane(brow, 3 + k) for k in range(3)]
@@ -326,7 +325,11 @@ def _intersect_triangles_streamed(scene: Scene, o: Vec3, d: Vec3,
         relevant = (tmax >= tmin) & (tmax >= 0.0) & (tmin < t_r)
 
         def tri_body(k, cc):
-            t_r2, i_r2 = cc
+            # winner attributes (normal, mat) resolve INLINE from the
+            # already-loaded record row: a windowed post-LUT would unroll
+            # O(n_tris/128) windows — fine for the static tier's <= 1024
+            # rows, code-size explosion at this tier's 32k-131k
+            t_r2, nx, ny, nz, mf = cc
             g = c * leaf + k
             trow = row_bcast(scene.mtri_pack, g // per)
             base = (g % per) * F
@@ -343,24 +346,27 @@ def _intersect_triangles_streamed(scene: Scene, o: Vec3, d: Vec3,
             hit = valid & inside & (t > MIN_HIT_DISTANCE)
             take = hit & (t < t_r2)
             return (jnp.where(take, t, t_r2),
-                    jnp.where(take, g, i_r2))
+                    jnp.where(take, n.x, nx),
+                    jnp.where(take, n.y, ny),
+                    jnp.where(take, n.z, nz),
+                    jnp.where(take, f(12), mf))
 
         def run(cc):
             return jax.lax.fori_loop(0, leaf, tri_body, cc)
 
-        return jax.lax.cond(jnp.any(relevant), run, lambda cc: cc,
-                            (t_r, i_r))
+        return jax.lax.cond(jnp.any(relevant), run, lambda cc: cc, carry)
 
-    t_run, idx_run = jax.lax.fori_loop(
-        0, scene.n_stream_clusters, cluster_body, (t_init, idx_init))
-    found = idx_run >= 0
-    n = Vec3(_windowed_lut(scene.ctri_n.x, idx_run),
-             _windowed_lut(scene.ctri_n.y, idx_run),
-             _windowed_lut(scene.ctri_n.z, idx_run))
+    zero = o.x * 0.0
+    mat_sentinel = zero - 1.0  # f32 mat carry; >= 0 marks a real winner
+    init = (t_init, zero, zero, zero, mat_sentinel)
+    carry = jax.lax.fori_loop(
+        0, scene.n_stream_clusters, cluster_body, init)
+    t_run, nx, ny, nz, mf = carry
+    found = mf >= 0.0
     return Hit(
         t_run,
-        jnp.where(found, _windowed_lut(scene.ctri_mat, idx_run), best.mat),
-        vwhere(found, n, best.normal),
+        jnp.where(found, mf.astype(jnp.int32), best.mat),
+        vwhere(found, Vec3(nx, ny, nz), best.normal),
     )
 
 

@@ -385,6 +385,16 @@ def render_chunk_pallas(
             tex_comb_a=jnp.zeros((1,), jnp.int32),
             tex_comb_b=jnp.zeros((1,), jnp.int32),
         )
+    if scene.tri_streamed:
+        # the streamed tier reads only mtri_bounds/mtri_pack; the brute
+        # triangle tables are dead weight in the kernel (~4 MB VMEM at
+        # 100k tris) — the XLA drivers keep using the ORIGINAL scene
+        zv = Vec3(jnp.zeros((1,)), jnp.zeros((1,)), jnp.zeros((1,)))
+        scene = scene.replace(
+            tri_a=zv, tri_u=zv, tri_v=zv,
+            tri_mat=jnp.zeros((1,), jnp.int32),
+            tri_mask=jnp.zeros((1,), bool),
+        )
     scene_leaves, scene_def = jax.tree_util.tree_flatten(scene)
     # tex_tile (and the streamed-mesh tables) stay REFS inside the kernel
     # (dynamic row slices need the memref, not a loaded value); locate

@@ -385,10 +385,13 @@ class WorldBuilder:
                 n_stream_clusters = len(tri_clusters)
                 tri_streamed = True
                 tri_clusters = ()
-                ctri = {"n": flat[:, 0:3], "d": flat[:, 3],
-                        "e1": flat[:, 4:7], "a0": flat[:, 7],
-                        "e2": flat[:, 8:11], "b0": flat[:, 11]}
-                ctri_m = flat[:, 12].astype(i32)
+                # the streamed tier resolves winner attributes inline from
+                # the pack rows; the flat ctri tables would only waste
+                # VMEM (O(n_tris) loaded per kernel) — keep dummies
+                ctri = {k: np.zeros((1, 3) if k in ("n", "e1", "e2")
+                                    else (1,), f32)
+                        for k in ("n", "d", "e1", "e2", "a0", "b0")}
+                ctri_m = np.zeros((1,), i32)
             pad = -len(ctri_m) % 128
             if pad:
                 ctri = {k: np.concatenate(
