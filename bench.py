@@ -76,15 +76,26 @@ def main(argv=None) -> int:
         rays = float(np.asarray(state.rays_cast))
     else:
         # compile the measured chunk size on a throwaway accumulator, then
-        # time the steady-state dispatch (donated state, single device call)
-        n_meas = config.spp
+        # time the steady-state dispatches (donated state). World 3 runs
+        # its full budget in ONE dispatch (~1s); slower worlds chunk at
+        # 256 samples so a 1024-spp run cannot outlast the runtime
+        # watchdog (world 1 would be a single ~20s dispatch otherwise).
+        if args.world == 3 or config.spp <= 256:
+            n_meas = config.spp
+        else:  # equal chunks -> one jit signature, no mid-timing compile
+            n_div = -(-config.spp // 256)
+            n_meas = -(-config.spp // n_div)
         warm = render_chunk(scene, camera, config, key, np.int32(0), n_meas,
                             init_accum(w * h))
         float(np.asarray(warm.rays_cast))  # hard sync: compile + first run done
         state = init_accum(w * h)
         t0 = time.perf_counter()
-        state = render_chunk(
-            scene, camera, config, key, np.int32(0), n_meas, state)
+        s0 = 0
+        while s0 < config.spp:
+            n = min(n_meas, config.spp - s0)
+            state = render_chunk(
+                scene, camera, config, key, np.int32(s0), n, state)
+            s0 += n
         # hard sync via value fetch (block_until_ready can return early on
         # tunneled platforms)
         rays = float(np.asarray(state.rays_cast))
