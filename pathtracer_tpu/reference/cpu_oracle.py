@@ -354,7 +354,11 @@ def trace_path(world: HostWorld, o, d, u_bounce, just_cosine,
             t5 = t2 * t2 * t1  # XLA integer_pow(5) expansion order
             fres = F0t + (F32(1.0) - F0t) * t5
             refr = refract_np(d, N, F32(mat.ior))
-            L = pure_bounce if (u[0] < fres or refr is None) else refr
+            # sign-safe true mirror (pure_bounce is only a mirror for front
+            # faces; interior TIR hits are back-facing) — twin of the
+            # integrator's `mirror`
+            mirror = d - N * (F32(2.0) * dot(N, d))
+            L = mirror if (u[0] < fres or refr is None) else refr
             albedo = np.asarray(mat.albedo, F32)
             if world.textures and mat.albedo_idx != 0:
                 albedo = bespoke_sample_host(

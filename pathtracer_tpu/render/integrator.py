@@ -390,10 +390,20 @@ def shade_bounce(
         # surface, and exit hits arrive back-facing by construction.
         trans = mat["transmission"] > 0.0
         cos_i = -cos_theta_in  # |cos| of the arriving angle (:596-598)
+        # Approximation kept from the reference's Schlick setup: F0 uses the
+        # air-side ior and cos_i is the incident-side angle even when exiting
+        # the denser medium (the exact curve would rise to 1 at the critical
+        # angle). TIR itself is handled exactly by the refract branch below.
         fres = F0 + (1.0 - F0) * (1.0 - jnp.clip(cos_i, 0.0, 1.0)) ** 5
         refr_dir, refracted = find_refraction_direction(d, N_geom, ior)
+        # True sign-safe mirror. pure_bounce (above) folds in the sign-flipped
+        # cos_theta_in and is only a mirror for FRONT faces (fine for the
+        # opaque estimators, which gate on front_facing); interior glass hits
+        # arrive back-facing, where d - 2(N.d)N is the correct reflection —
+        # pure_bounce there would send TIR OUT through the surface.
+        mirror = d - N_geom * (2.0 * dot(N_geom, d))
         take_reflect = (u[0] < fres) | ~refracted
-        L_t = vwhere(take_reflect, pure_bounce, refr_dir)
+        L_t = vwhere(take_reflect, mirror, refr_dir)
         L = vwhere(trans, L_t, L)
         weight = vwhere(trans, albedo, weight)
         # boolean select (a where on i1 operands fails Mosaic lowering:

@@ -69,6 +69,54 @@ class TestRefractNp:
         assert refract_np(d, n, np.float32(1.5)) is None
 
 
+class TestTIRMirror:
+    """Total internal reflection must stay on the incident side with a unit
+    direction. pure_bounce's sign-flipped cosine is only a mirror for front
+    faces; the transmissive branch must use the sign-safe d - 2(N.d)N
+    (advisor finding, round 2)."""
+
+    def test_tir_reflects_back_inside(self):
+        from pathtracer_tpu.ops.intersect import Hit
+        from pathtracer_tpu.render.integrator import shade_bounce
+        from pathtracer_tpu.utils import prng
+
+        b = _glass_world()
+        scene = b.finalize()
+        glass_mat = 2  # _glass_world adds sky(0), light(1), glass(2)
+
+        # ray travelling upward inside the glass, hitting the interior
+        # surface (outward normal +z) at ~52 deg — past the critical angle
+        # for ior 1.5, so TIR is forced regardless of the Fresnel coin
+        s, c = np.sin(0.9), np.cos(0.9)
+        d = _v(s, 0.0, c)
+        o = _v(0.0, 0.0, 0.0)
+        hit = Hit(t=jnp.asarray([1.0], jnp.float32),
+                  mat=jnp.asarray([glass_mat], jnp.int32),
+                  normal=_v(0.0, 0.0, 1.0))
+        # u[0] = 0.9 > any plausible Fresnel: would pick refract if it could
+        u = tuple(jnp.asarray([v], jnp.float32)
+                  for v in (0.9, 0.5, 0.5, 0.5, 0.5))
+        out = shade_bounce(scene, o, d, hit, u)
+        L = np.array([float(np.asarray(out.L.x)[0]),
+                      float(np.asarray(out.L.y)[0]),
+                      float(np.asarray(out.L.z)[0])])
+        # unit length and on the incident side (back down into the glass)
+        np.testing.assert_allclose(np.linalg.norm(L), 1.0, rtol=1e-6)
+        assert L[2] < 0.0
+        np.testing.assert_allclose(L, [s, 0.0, -c], atol=1e-6)
+
+    def test_oracle_mirror_matches(self):
+        # oracle twin: same back-face TIR geometry through refract_np + the
+        # mirror formula used in trace_path
+        s, c = np.float32(np.sin(0.9)), np.float32(np.cos(0.9))
+        d = np.array([s, 0, c], np.float32)
+        n = np.array([0, 0, 1], np.float32)
+        assert refract_np(d, n, np.float32(1.5)) is None
+        mirror = d - n * (np.float32(2.0) * float(d @ n))
+        np.testing.assert_allclose(np.linalg.norm(mirror), 1.0, rtol=1e-6)
+        assert mirror[2] < 0
+
+
 def _glass_world():
     b = WorldBuilder()
     b.add_material(emit=(0.35, 0.45, 0.6))  # bright sky (lights the glass)
