@@ -1,9 +1,12 @@
 """Golden-image gates: the wavefront renderer vs the independent CPU oracle.
 
-Because both implementations consume identical threefry streams
-(utils/prng.py), every path makes the same decisions and the images agree
-to float32 rounding — RMSE here is ~1e-6, far below the 1e-3 gate from
-BASELINE.json. Tiny resolutions keep the scalar oracle fast.
+Both implementations derive every random number from the same PCG4D
+counter scheme (seed, pixel, sample, bounce, slot) — but through two
+INDEPENDENT implementations: the renderer via utils/prng.py (jax), the
+oracle via its own pure-numpy twin (cpu_oracle.py). Every path therefore
+makes the same decisions and the images agree to float32 rounding — RMSE
+here is ~1e-6, far below the 1e-3 gate from BASELINE.json. Tiny
+resolutions keep the scalar oracle fast.
 """
 
 import numpy as np
@@ -69,7 +72,7 @@ class TestGolden:
                         textured=True) < 5e-3
 
     def test_world_mario_triangles(self):
-        # GLTF mesh + grid traversal (config 5)
+        # GLTF mesh via the clustered intersector (config 5)
         assert _compare(WORLD_MARIO, 16, 12, 2) < 1e-4
 
     def test_world1_thin_lens(self):
