@@ -75,11 +75,17 @@ def _render_chunk_sharded(
             import jax as _jax
             from ..render.pallas_backend import render_chunk_pallas, supports
             from ..render.wavefront import render_chunk_wavefront
-            if (config.backend == "pallas" or (
+            if (config.backend in ("pallas", "pallas-interpret") or (
                     config.backend == "auto" and supports(scene, config)
                     and _jax.default_backend() != "cpu")):
-                st = render_chunk_pallas(scene, camera, config, key, s0,
-                                         n_samples, st, pixel_shard)
+                # "pallas-interpret" forces the kernel under shard_map on
+                # the CPU test mesh — the CI path for the production
+                # multi-chip configuration (kernel x shard_map), which
+                # hardware with one chip cannot otherwise exercise
+                st = render_chunk_pallas(
+                    scene, camera, config, key, s0, n_samples, st,
+                    pixel_shard,
+                    interpret=(config.backend == "pallas-interpret"))
             else:
                 st = render_chunk_wavefront(scene, camera, config, key, s0,
                                             n_samples, st, pixel_shard)
