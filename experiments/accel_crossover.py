@@ -1,11 +1,16 @@
 """Measure the clustered-vs-brute crossover on synthetic meshes.
 
-Usage: python experiments/accel_crossover.py NTRIS MODE [SPP]
+Usage: python experiments/accel_crossover.py NTRIS MODE [SPP] [SHAPE]
 MODE: on | off   (scene/clusters.py packet culling vs plain unrolled)
+SHAPE: cloud (default) | sphere
 
-Scene: NTRIS random small triangles uniformly in a 20-unit cube (the
-spatial regime clustering likes least — no large occluders), a sky light,
-an emissive NEE sphere, a ground plane. 640x360 render, backend="auto":
+Scenes: "cloud" = NTRIS random small triangles uniformly in a 20-unit
+cube — the spatial regime packet culling likes LEAST (every scattered
+bounce's block-union of ray corridors spans most clusters; an octree
+degrades here too). "sphere" = an NTRIS-triangle tessellated sphere
+SURFACE — the production regime (every reference mesh is a surface with
+empty interior/exterior, win32_main.cpp LoadGLTF). A sky light, an
+emissive NEE sphere, a ground plane. 640x360 render, backend="auto":
 clustered scenes take the fused kernel (static unroll <= 1024 tris, the
 streamed tier above), mode=off falls to the XLA wavefront driver exactly
 as production would. Prints synced Mrays/s; BENCH.md records the
@@ -19,6 +24,7 @@ import numpy as np
 ntris = int(sys.argv[1])
 mode = sys.argv[2]
 spp = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+shape = sys.argv[4] if len(sys.argv) > 4 else "cloud"
 
 from pathtracer_tpu.scene import clusters as clu
 
@@ -35,14 +41,40 @@ b.add_material(emit=(0.3, 0.4, 0.5))
 light = b.add_material(emit=(6.0, 5.5, 5.0))
 b.add_sphere((8.0, -6.0, 12.0), 1.5, light)
 m = b.add_material(albedo=(0.6, 0.5, 0.4), roughness=0.8)
-base = (rng.rand(ntris, 1, 3) - 0.5) * 20.0
-tris = (base + (rng.rand(ntris, 3, 3) - 0.5) * 0.8).astype(np.float32)
+def tessellated_sphere(n_target, radius=8.0, center=(0.0, 0.0, 0.0)):
+    """Lat-long tessellation with ~n_target triangles (a SURFACE mesh)."""
+    nlat = max(4, int(np.sqrt(n_target / 4.0)))
+    nlon = 2 * nlat
+    th = np.linspace(0, np.pi, nlat + 1)
+    ph = np.linspace(0, 2 * np.pi, nlon + 1)
+    P = np.zeros((nlat + 1, nlon + 1, 3), np.float32)
+    P[..., 0] = radius * np.outer(np.sin(th), np.cos(ph)) + center[0]
+    P[..., 1] = radius * np.outer(np.sin(th), np.sin(ph)) + center[1]
+    P[..., 2] = radius * np.outer(np.cos(th), np.ones_like(ph)) + center[2]
+    out = []
+    for i in range(nlat):
+        for j in range(nlon):
+            a, bb, c, dd = P[i, j], P[i + 1, j], P[i + 1, j + 1], P[i, j + 1]
+            out.append([a, bb, c])
+            out.append([a, c, dd])
+    return np.asarray(out, np.float32)
+
+
+if shape == "cloud":
+    base = (rng.rand(ntris, 1, 3) - 0.5) * 20.0
+    tris = (base + (rng.rand(ntris, 3, 3) - 0.5) * 0.8).astype(np.float32)
+else:
+    tris = tessellated_sphere(ntris)
+    ntris = len(tris)
 b.set_mesh(tris.reshape(-1, 3), np.full((ntris * 3,), m, np.int32))
 floor = b.add_material(albedo=(0.4, 0.4, 0.45), roughness=0.9)
 b.add_plane((0, 0, 1), 10.0, floor)
 
 W, H = 640, 360
-scene = b.finalize()
+# view_origin engages the camera-ordered t-cull exactly as production
+# does (worlds.finalize_world passes cam.pos); round-2 numbers omitted it
+# and under-measured the shipping configuration
+scene = b.finalize(view_origin=(0, -30, 4))
 camera = define_camera((0, -30, 4), (0, 0, 0), 35.0, W, H)
 pp = int(round(spp ** 0.5))
 cfg = RenderConfig(width=W, height=H, pp=pp, backend="auto")

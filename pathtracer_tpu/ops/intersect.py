@@ -211,37 +211,20 @@ def ray_slab_entry(o: Vec3, d: Vec3, mn, mx) -> Tuple[jnp.ndarray, jnp.ndarray]:
 FORCE_CLUSTERS = False
 
 
-def _intersect_clustered(clusters, test_one, o: Vec3, d: Vec3, best: Hit) -> Hit:
-    """Packet-culled nearest hit: per cluster, a vectorized slab test + a
-    block-level any-reduce decide whether the cluster's (statically
-    unrolled) primitive tests run at all. lax.cond is a REAL branch under
-    Mosaic (measured: skipped clusters cost ~0.3us of reduce+branch,
-    experiments/cond_skip_micro.py). Nearest-hit semantics are order
-    independent (strict < keeps the closest; exact float ties between
-    DIFFERENT primitives are the only divergence from reference iteration
-    order)."""
-    for (off, cnt, mn, mx) in clusters:
-        def tests(h, off=off, cnt=cnt):
-            for k in range(cnt):
-                h = test_one(off + k, h)
-            return h
-        if mn is None or FORCE_CLUSTERS:
-            best = tests(best)
-        else:
-            t_enter, hb = ray_slab_entry(o, d, mn, mx)
-            relevant = hb & (t_enter < best.t)
-            best = jax.lax.cond(jnp.any(relevant), tests, lambda h: h, best)
-    return best
-
-
 def _intersect_clustered_idx(clusters, test_idx, o: Vec3, d: Vec3, best: Hit,
                              resolve) -> Hit:
-    """Packet-culled nearest hit with DEFERRED attribute resolution: the
-    unrolled per-primitive tests carry only (t, winner index) — two selects
-    per primitive instead of five (t, mat, normal.xyz) — and ``resolve``
+    """Packet-culled nearest hit with DEFERRED attribute resolution: per
+    cluster, a vectorized slab test + a block-level any-reduce decide
+    whether the cluster's (statically unrolled) primitive tests run at all.
+    lax.cond is a REAL branch under Mosaic (measured: skipped clusters cost
+    ~0.3us of reduce+branch, experiments/cond_skip_micro.py). The unrolled
+    per-primitive tests carry only (t, winner index) — two selects per
+    primitive instead of five (t, mat, normal.xyz) — and ``resolve``
     reconstructs mat/normal ONCE per bounce from the winning index (a
-    windowed lane-LUT over the clustered tables). Same culling structure as
-    _intersect_clustered."""
+    windowed lane-LUT over the clustered tables). Nearest-hit semantics are
+    order independent (strict < keeps the closest; exact float ties between
+    DIFFERENT primitives are the only divergence from reference iteration
+    order)."""
     t_run = best.t
     idx_run = jnp.full(jnp.shape(best.t), -1, jnp.int32)
     carry = (t_run, idx_run)
@@ -286,6 +269,7 @@ def _intersect_triangles_streamed(scene: Scene, o: Vec3, d: Vec3,
     leaf = scene.stream_leaf
     per = clu.STREAM_TRIS_PER_ROW
     F = clu.STREAM_FIELDS
+    rpc = clu.stream_rows_per_cluster(leaf)  # static rows per cluster
 
     def row_bcast(tab, i):
         # refs (compiled OR interpret kernels) slide the sublane axis with
@@ -301,15 +285,16 @@ def _intersect_triangles_streamed(scene: Scene, o: Vec3, d: Vec3,
         return jnp.take_along_axis(rowb, idx, axis=-1)
 
     t_init = best.t
+    # loop-invariant per bounce: hoisted out of the cluster loop
+    inv = Vec3(1.0 / jnp.where(d.x != 0.0, d.x, 1e-30),
+               1.0 / jnp.where(d.y != 0.0, d.y, 1e-30),
+               1.0 / jnp.where(d.z != 0.0, d.z, 1e-30))
 
     def cluster_body(c, carry):
         t_r = carry[0]
         brow = row_bcast(scene.mtri_bounds, c)
         mn = [lane(brow, k) for k in range(3)]
         mx = [lane(brow, 3 + k) for k in range(3)]
-        inv = Vec3(1.0 / jnp.where(d.x != 0.0, d.x, 1e-30),
-                   1.0 / jnp.where(d.y != 0.0, d.y, 1e-30),
-                   1.0 / jnp.where(d.z != 0.0, d.z, 1e-30))
         t0x = (mn[0] - o.x) * inv.x
         t1x = (mx[0] - o.x) * inv.x
         t0y = (mn[1] - o.y) * inv.y
@@ -324,43 +309,69 @@ def _intersect_triangles_streamed(scene: Scene, o: Vec3, d: Vec3,
                            jnp.maximum(t0z, t1z))
         relevant = (tmax >= tmin) & (tmax >= 0.0) & (tmin < t_r)
 
-        def tri_body(k, cc):
-            # winner attributes (normal, mat) resolve INLINE from the
-            # already-loaded record row: a windowed post-LUT would unroll
-            # O(n_tris/128) windows — fine for the static tier's <= 1024
-            # rows, code-size explosion at this tier's 32k-131k
-            t_r2, nx, ny, nz, mf = cc
-            g = c * leaf + k
-            trow = row_bcast(scene.mtri_pack, g // per)
-            base = (g % per) * F
-            f = lambda j: lane(trow, base + j)
-            n = Vec3(f(0), f(1), f(2))
-            e1 = Vec3(f(4), f(5), f(6))
-            e2 = Vec3(f(8), f(9), f(10))
-            denom = dot(n, d)
-            valid = (denom < -TOLERANCE) | (denom > TOLERANCE)
-            t = (f(3) - dot(n, o)) / jnp.where(valid, denom, 1.0)
-            alpha = (dot(e1, o) - f(7)) + t * dot(e1, d)
-            beta = (dot(e2, o) - f(11)) + t * dot(e2, d)
-            inside = (alpha >= 0.0) & (beta >= 0.0) & ((alpha + beta) <= 1.0)
-            hit = valid & inside & (t > MIN_HIT_DISTANCE)
-            take = hit & (t < t_r2)
-            return (jnp.where(take, t, t_r2),
-                    jnp.where(take, n.x, nx),
-                    jnp.where(take, n.y, ny),
-                    jnp.where(take, n.z, nz),
-                    jnp.where(take, f(12), mf))
+        def row_body(r, cc):
+            # ONE dynamic row read per 9 triangles; record fields extract
+            # at STATIC lane offsets (clusters are row-aligned,
+            # clusters.pack_stream_clusters). Winner attributes (normal,
+            # mat) resolve INLINE from the loaded row: a windowed post-LUT
+            # would unroll O(n_tris/128) windows — fine for the static
+            # tier's <= 1024 rows, code-size explosion at this tier's
+            # 32k-131k. Padding records have n=0 -> invalid -> never hit.
+            trow = row_bcast(scene.mtri_pack, c * rpc + r)
+            for jj in range(per):  # static 9-way unroll
+                t_r2, nx, ny, nz, mf = cc
+                base = jj * F
+                f = lambda j, base=base: lane(trow, base + j)
+                n = Vec3(f(0), f(1), f(2))
+                e1 = Vec3(f(4), f(5), f(6))
+                e2 = Vec3(f(8), f(9), f(10))
+                denom = dot(n, d)
+                valid = (denom < -TOLERANCE) | (denom > TOLERANCE)
+                t = (f(3) - dot(n, o)) / jnp.where(valid, denom, 1.0)
+                alpha = (dot(e1, o) - f(7)) + t * dot(e1, d)
+                beta = (dot(e2, o) - f(11)) + t * dot(e2, d)
+                inside = (alpha >= 0.0) & (beta >= 0.0) & ((alpha + beta) <= 1.0)
+                hit = valid & inside & (t > MIN_HIT_DISTANCE)
+                take = hit & (t < t_r2)
+                cc = (jnp.where(take, t, t_r2),
+                      jnp.where(take, n.x, nx),
+                      jnp.where(take, n.y, ny),
+                      jnp.where(take, n.z, nz),
+                      jnp.where(take, f(12), mf))
+            return cc
 
         def run(cc):
-            return jax.lax.fori_loop(0, leaf, tri_body, cc)
+            return jax.lax.fori_loop(0, rpc, row_body, cc)
 
         return jax.lax.cond(jnp.any(relevant), run, lambda cc: cc, carry)
 
     zero = o.x * 0.0
     mat_sentinel = zero - 1.0  # f32 mat carry; >= 0 marks a real winner
     init = (t_init, zero, zero, zero, mat_sentinel)
-    carry = jax.lax.fori_loop(
-        0, scene.n_stream_clusters, cluster_body, init)
+    if scene.stream_parents:
+        # Two-level hierarchy (the TPU analog of the reference octree's
+        # log-depth descent, win32_main.cpp:476-526): parent AABBs are
+        # STATIC immediates, so each parent's slab test is straight-line
+        # vector code — no dynamic row read, no lane extraction. Only hit
+        # parents descend into the dynamic cluster loop; the serial
+        # reduce+branch chain shrinks from O(n_clusters) to O(n_parents)
+        # plus the descended work. Parents and their leaves are camera-
+        # ordered, so early descents shrink best.t and cull later parents.
+        carry = init
+        for (pstart, pcnt, pmn, pmx) in scene.stream_parents:
+            def descend(cc, pstart=pstart, pcnt=pcnt):
+                return jax.lax.fori_loop(pstart, pstart + pcnt,
+                                         cluster_body, cc)
+            if pmn is None:
+                carry = descend(carry)
+            else:
+                t_enter, hb = ray_slab_entry(o, d, pmn, pmx)
+                relevant = hb & (t_enter < carry[0])
+                carry = jax.lax.cond(jnp.any(relevant), descend,
+                                     lambda cc: cc, carry)
+    else:
+        carry = jax.lax.fori_loop(
+            0, scene.n_stream_clusters, cluster_body, init)
     t_run, nx, ny, nz, mf = carry
     found = mf >= 0.0
     return Hit(

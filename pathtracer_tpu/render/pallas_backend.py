@@ -356,7 +356,13 @@ def render_chunk_pallas(
     # that restart every lane at (sample, bounce 0) lockstep — measured on
     # world 5: 29 Mrays/s at 64-sample dispatches vs ~90 at 4.
     use_sort = bool(scene.tex_combined and scene.n_textures)
-    coherent = use_sort or bool(scene.sph_clusters or scene.tri_clusters)
+    # tri_streamed matters here: streamed scenes have tri_clusters == ()
+    # (the descriptors live in stream_parents/mtri_bounds), and omitting
+    # them made streamed blocks full-width scanline strips whose frustum
+    # crossed the whole mesh — no cluster could ever be culled (round-3
+    # fix; the round-2 crossover numbers above 1024 tris paid this).
+    coherent = use_sort or bool(scene.sph_clusters or scene.tri_clusters
+                                or scene.tri_streamed)
     perm = inv = None
     if use_sort:
         perm = _texel_sort(scene, camera, config, pixel_idx)

@@ -46,15 +46,12 @@ CLUSTER_MIN = 64
 HUGE_FRAC = 0.3
 
 
-class Cluster(Tuple):
-    """(offset, count, bounds_min, bounds_max); bounds are None for the
-    unconditional (huge-primitive) cluster. Plain tuple subtype so it stays
-    hashable inside Scene's static (pytree_node=False) fields."""
-
-
 def _bounds_of(bmin: np.ndarray, bmax: np.ndarray, idx) -> tuple:
-    mn = bmin[idx].min(axis=0)
-    mx = bmax[idx].max(axis=0)
+    """Cluster AABB, rounded OUTWARD when lowered from the f64 build math to
+    the f32 immediates baked into the kernel's slab test — nearest rounding
+    could shrink a face by 1 ulp and falsely cull a grazing hit."""
+    mn = np.nextafter(bmin[idx].min(axis=0).astype(np.float32), np.float32(-np.inf))
+    mx = np.nextafter(bmax[idx].max(axis=0).astype(np.float32), np.float32(np.inf))
     return (tuple(float(v) for v in mn), tuple(float(v) for v in mx))
 
 
@@ -82,7 +79,9 @@ def build_clusters(
       tuple of (offset, count, mn3 | None, mx3 | None) entries indexing the
       REORDERED tables. The huge cluster (bounds None), if any, comes first.
     """
-    leaf_size = LEAF_SIZE if leaf_size is None else leaf_size
+    import os
+    if leaf_size is None:  # perf-sweep knob (experiments/accel_crossover.py)
+        leaf_size = int(os.environ.get("PT_LEAF_SIZE", LEAF_SIZE))
     huge_frac = HUGE_FRAC if huge_frac is None else huge_frac
     bmin = np.asarray(bmin, np.float64)
     bmax = np.asarray(bmax, np.float64)
@@ -165,6 +164,88 @@ def triangle_precompute(A: np.ndarray, u: np.ndarray, v: np.ndarray):
     return dict(n=n_unit, d=d_coef, e1=e1, e2=e2, a0=a0, b0=b0)
 
 
+# Leaf clusters per parent AABB in the two-level streamed hierarchy (the
+# TPU-shaped analog of the reference octree's log-depth descent,
+# win32_main.cpp:1395-1440 AdoptChildren merge + :476-526 stack walk).
+# Parents are STATIC immediates in the kernel: all parent slab tests are
+# straight-line vector code, so a block pays O(n_parents) cheap tests +
+# O(hit parents x their leaves) dynamic cluster iterations instead of the
+# flat O(n_clusters) serial sweep.
+PARENT_GROUP = 16
+
+
+def build_parents(clusters: tuple, group_size: Optional[int] = None,
+                  sort_origin=None) -> Tuple[np.ndarray, tuple]:
+    """Group leaf clusters under parent AABBs (two-level hierarchy).
+
+    Args:
+      clusters: build_clusters output — (offset, count, mn3|None, mx3|None)
+        tuples; a bounds-None "huge" cluster, if present, is first.
+      group_size: max leaf clusters per parent.
+      sort_origin: optional camera position; parents (and leaves within a
+        parent) order near-to-far so early descents shrink best.t fastest.
+
+    Returns:
+      (perm, parents): ``perm`` permutes CLUSTER indices (the caller must
+      reorder ``clusters`` as [clusters[i] for i in perm] before packing —
+      parent ranges index the REORDERED cluster list); ``parents`` is a
+      tuple of (start, count, mn3|None, mx3|None) in cluster units. The
+      huge cluster keeps bounds None (unconditional descent). Pure
+      pruning: any permutation of clusters preserves nearest-hit results
+      (strict-< updates are order independent up to exact float ties).
+    """
+    import os
+    if group_size is None:  # perf-sweep knob
+        group_size = int(os.environ.get("PT_PARENT_GROUP", PARENT_GROUP))
+    n = len(clusters)
+    huge = [i for i, c in enumerate(clusters) if c[2] is None]
+    rest = [i for i, c in enumerate(clusters) if c[2] is not None]
+    assert len(huge) <= 1, "at most one unconditional cluster"
+
+    cent = np.array([[(a + b) * 0.5 for a, b in zip(clusters[i][2],
+                                                    clusters[i][3])]
+                     for i in rest], np.float64).reshape(len(rest), 3)
+    groups: list[np.ndarray] = []
+
+    def split(idx: np.ndarray):
+        if len(idx) <= group_size:
+            groups.append(idx)
+            return
+        c = cent[idx]
+        axis = int(np.argmax(c.max(axis=0) - c.min(axis=0)))
+        half = len(idx) // 2
+        part = np.argpartition(c[:, axis], half)
+        split(idx[part[:half]])
+        split(idx[part[half:]])
+
+    if rest:
+        split(np.arange(len(rest)))
+
+    if sort_origin is not None and groups:
+        org = np.asarray(sort_origin, np.float64)
+        groups.sort(key=lambda idx: float(
+            np.linalg.norm(cent[idx].mean(axis=0) - org)))
+        for g in groups:
+            d = np.linalg.norm(cent[g] - org, axis=1)
+            g[:] = g[np.argsort(d, kind="stable")]
+
+    perm = list(huge)
+    parents = []
+    if huge:
+        parents.append((0, 1, None, None))
+    pos = len(huge)
+    for g in groups:
+        mnv = np.array([clusters[rest[i]][2] for i in g], np.float32)
+        mxv = np.array([clusters[rest[i]][3] for i in g], np.float32)
+        mn = tuple(float(v) for v in mnv.min(axis=0))
+        mx = tuple(float(v) for v in mxv.max(axis=0))
+        parents.append((pos, int(len(g)), mn, mx))
+        perm.extend(rest[i] for i in g)
+        pos += int(len(g))
+    assert len(perm) == n
+    return np.asarray(perm, np.int64), tuple(parents)
+
+
 # Streamed mesh tier (ops/intersect streamed branch): meshes too large to
 # statically unroll in the kernel (> ~1024 tris) pack their precomputed
 # records into 128-lane rows read by DYNAMIC row index — code size is
@@ -179,23 +260,33 @@ STREAM_MIN = 1024
 STREAM_MAX = 131072
 
 
+def stream_rows_per_cluster(leaf: int) -> int:
+    """Pack rows per cluster: each cluster is ROW-ALIGNED so the kernel
+    reads one row per 9 triangles (static unroll within the row) instead
+    of re-reading per triangle with a dynamic in-row offset."""
+    return -(-leaf // STREAM_TRIS_PER_ROW)
+
+
 def pack_stream_clusters(pre: dict, mats: np.ndarray,
                          clusters: tuple, leaf: int):
     """Build the streamed-tier tables from triangle_precompute output.
 
-    Every cluster pads to exactly ``leaf`` records (degenerate padding
-    tris have n=0 -> |denom| < TOLERANCE -> never hit), so the kernel's
-    inner loop has a static trip count. Returns
-    (bounds (nc, 128) f32 rows [mn3 mx3 ...], pack (n_rows, 128) f32).
+    Every cluster pads to exactly ``stream_rows_per_cluster(leaf)`` FULL
+    rows of 9 records (degenerate padding tris have n=0 -> |denom| <
+    TOLERANCE -> never hit), so cluster c's rows are the static range
+    [c*rpc, (c+1)*rpc) and the kernel's inner loop reads each row ONCE and
+    extracts its 9 records at STATIC lane offsets. Returns
+    (bounds (nc, 128) f32 rows [mn3 mx3 ...], pack (nc*rpc, 128) f32,
+    flat (nc*rpc*9, 13) row-aligned records).
     ``pre``/``mats`` must already be in cluster order (reordered by
-    ``order``); ``clusters`` indexes that order. Also returns the
-    cluster-PADDED flat record array (nc*leaf, 13) — the deferred-
-    resolution LUT tables must use this same padded indexing.
+    ``order``); ``clusters`` indexes that order.
     """
+    per = STREAM_TRIS_PER_ROW
+    rpc = stream_rows_per_cluster(leaf)
     recs = []
     bounds = []
     for (off, cnt, mn, mx) in clusters:
-        rows = np.zeros((leaf, STREAM_FIELDS), np.float32)
+        rows = np.zeros((rpc * per, STREAM_FIELDS), np.float32)
         sl = slice(off, off + cnt)
         rows[:cnt, 0:3] = pre["n"][sl]
         rows[:cnt, 3] = pre["d"][sl]
@@ -212,14 +303,9 @@ def pack_stream_clusters(pre: dict, mats: np.ndarray,
         brow[0:3] = mn
         brow[3:6] = mx
         bounds.append(brow)
-    flat = np.concatenate(recs, axis=0)  # (nc*leaf, 13)
-    n = len(flat)
-    per = STREAM_TRIS_PER_ROW
-    n_rows = (n + per - 1) // per
-    pack = np.zeros((n_rows, 128), np.float32)
-    pad = np.zeros((n_rows * per - n, STREAM_FIELDS), np.float32)
-    allr = np.concatenate([flat, pad], axis=0).reshape(n_rows, per * STREAM_FIELDS)
-    pack[:, : per * STREAM_FIELDS] = allr
+    flat = np.concatenate(recs, axis=0)  # (nc*rpc*9, 13)
+    pack = np.zeros((len(flat) // per, 128), np.float32)
+    pack[:, : per * STREAM_FIELDS] = flat.reshape(-1, per * STREAM_FIELDS)
     return np.stack(bounds), pack, flat
 
 

@@ -201,6 +201,13 @@ class Scene:
     tri_streamed: bool = struct.field(pytree_node=False, default=False)
     stream_leaf: int = struct.field(pytree_node=False, default=0)
     n_stream_clusters: int = struct.field(pytree_node=False, default=0)
+    # Two-level hierarchy over the streamed clusters: static
+    # (start, count, mn3 | None, mx3 | None) parent descriptors in CLUSTER
+    # units (clusters.build_parents). Parent bounds bake into the kernel as
+    # immediates — all parent slab tests are straight-line vector code; only
+    # hit parents descend into the dynamic per-cluster loop. Empty = flat
+    # cluster sweep (small meshes).
+    stream_parents: tuple = struct.field(pytree_node=False, default=())
     world_kind: int = struct.field(pytree_node=False, default=WORLD_DEFAULT)
     # World 4 forces cosine-only sampling (win32_main.cpp:654-655).
     just_cosine: bool = struct.field(pytree_node=False, default=False)
@@ -369,6 +376,7 @@ class WorldBuilder:
         tri_streamed = False
         stream_leaf = 0
         n_stream_clusters = 0
+        stream_parents: tuple = ()
         if ntri > clu.CLUSTER_MIN:
             order, tri_clusters = clu.build_clusters(
                 *clu.triangle_bounds(self.triangles), sort_origin=view_origin)
@@ -378,7 +386,13 @@ class WorldBuilder:
             if clu.STREAM_MIN < ntri <= clu.STREAM_MAX:
                 # streamed tier: dynamic row reads instead of a static
                 # unroll; resolve tables switch to the cluster-padded
-                # record layout
+                # record layout. Clusters regroup under parent AABBs
+                # (two-level hierarchy) — a pure permutation of the
+                # cluster list; (off, cnt) still index the order-reordered
+                # primitive arrays.
+                cperm, stream_parents = clu.build_parents(
+                    tri_clusters, sort_origin=view_origin)
+                tri_clusters = tuple(tri_clusters[i] for i in cperm)
                 stream_leaf = max(c[1] for c in tri_clusters)
                 mtri_bounds, mtri_pack, flat = clu.pack_stream_clusters(
                     ctri, ctri_m, tri_clusters, stream_leaf)
@@ -518,6 +532,7 @@ class WorldBuilder:
             tri_streamed=tri_streamed,
             stream_leaf=stream_leaf,
             n_stream_clusters=n_stream_clusters,
+            stream_parents=stream_parents,
             sph_clusters=sph_clusters,
             tri_clusters=tri_clusters,
             box_min=vec_table([], 8),

@@ -1,6 +1,6 @@
 """Packet-culling clusters + windowed material lookup (round 2 accel).
 
-The cluster path (scene/clusters.py + ops/intersect._intersect_clustered)
+The cluster path (scene/clusters.py + ops/intersect._intersect_clustered_idx)
 must be a pure pruning optimization: identical nearest hits to the brute
 loops on every ray. The windowed material lookup must be a pure lookup:
 identical records to the select sweep.
@@ -162,6 +162,53 @@ class TestWindowedMaterialLookup:
             else:
                 np.testing.assert_array_equal(
                     np.asarray(v).reshape(-1), np.asarray(r))
+
+
+class TestBuildParents:
+    """Two-level hierarchy invariants: perm is a cluster permutation,
+    parent ranges tile the permuted list, parent bounds contain every
+    child cluster's bounds."""
+
+    def _clusters(self, n=500, huge=True, seed=3):
+        rng = np.random.RandomState(seed)
+        centers = (rng.rand(n, 3) - 0.5) * 40
+        radii = 0.05 + rng.rand(n) * 0.4
+        if huge:
+            centers[0] = (0, 0, 0)
+            radii[0] = 100.0
+        bmin, bmax = clu.sphere_bounds(centers, radii)
+        _, cl = clu.build_clusters(bmin, bmax, leaf_size=8)
+        return cl
+
+    @pytest.mark.parametrize("huge", [True, False])
+    def test_invariants(self, huge):
+        cl = self._clusters(huge=huge)
+        perm, parents = clu.build_parents(cl, group_size=4,
+                                          sort_origin=(0, -30, 5))
+        assert sorted(perm.tolist()) == list(range(len(cl)))
+        permuted = [cl[i] for i in perm]
+        # parent ranges tile [0, n_clusters) exactly, in order
+        pos = 0
+        for (start, cnt, mn, mx) in parents:
+            assert start == pos and cnt >= 1
+            pos += cnt
+            if mn is None:
+                assert all(permuted[start + k][2] is None for k in range(cnt))
+                continue
+            for k in range(cnt):
+                cmn, cmx = permuted[start + k][2], permuted[start + k][3]
+                assert all(p <= c for p, c in zip(mn, cmn))
+                assert all(p >= c for p, c in zip(mx, cmx))
+        assert pos == len(cl)
+        # the huge cluster (bounds None) lives in a bounds-None parent
+        none_parents = [p for p in parents if p[2] is None]
+        assert len(none_parents) == (1 if huge else 0)
+
+    def test_group_size_bounds_parent_fanout(self):
+        cl = self._clusters(huge=False)
+        _, parents = clu.build_parents(cl, group_size=8)
+        assert all(p[1] <= 8 for p in parents)
+        assert len(parents) >= len(cl) // 8
 
 
 class TestStreamedMeshTier:
