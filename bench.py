@@ -37,15 +37,25 @@ def main(argv=None) -> int:
     ap.add_argument("--full", action="store_true",
                     help="run the full 1024-spp north-star workload")
     ap.add_argument("--world", type=int, default=3, help="1-based world number")
-    ap.add_argument("--size", default="1280x720")
+    ap.add_argument("--size", default=None,
+                    help="WxH; defaults to 1280x720 (bench) / 320x180 (verify)")
     ap.add_argument("--sharded", action="store_true",
                     help="shard over all devices (default: single chip)")
     ap.add_argument("--verify", action="store_true",
                     help="gate compiled-Pallas vs XLA-wavefront agreement "
                          "instead of benchmarking")
+    ap.add_argument("--json", action="store_true",
+                    help="with --verify: run ALL kernel worlds and print one "
+                         "combined JSON artifact (VERIFY_r{N}.json); exits "
+                         "nonzero on any gate miss")
+    ap.add_argument("--rr", action="store_true",
+                    help="bench with Russian roulette enabled (the north "
+                         "star names RR; reference TODO win32_main.cpp:187)")
     args = ap.parse_args(argv)
 
     if args.verify:
+        if args.json:
+            return verify_all(args)
         return verify(args)
 
     import jax
@@ -55,13 +65,14 @@ def main(argv=None) -> int:
     from pathtracer_tpu.scene.worlds import finalize_world
     from pathtracer_tpu.utils import prng
 
-    w, h = (int(x) for x in args.size.split("x"))
+    w, h = (int(x) for x in (args.size or "1280x720").split("x"))
     world = args.world - 1
     scene, camera = finalize_world(world, w, h)
 
     spp = 1024 if args.full else args.spp
     pp = int(round(spp ** 0.5))
-    config = RenderConfig(width=w, height=h, pp=pp, seed=0)
+    config = RenderConfig(width=w, height=h, pp=pp, seed=0,
+                          use_russian_roulette=args.rr)
     key = prng.base_key(0)
 
     if args.sharded and len(jax.devices()) > 1:
@@ -131,6 +142,15 @@ def verify(args) -> int:
       the flip-fraction gates are.
     Prints one JSON line and exits nonzero on failure.
     """
+    # verify default: small, compiles fast; an EXPLICIT --size is honored
+    w, h = (int(x) for x in (args.size or "320x180").split("x"))
+    result = _verify_world(args.world, w, h, min(args.spp, 16))
+    print(json.dumps(result))
+    return 0 if result.get("ok", True) else 1
+
+
+def _verify_world(world: int, w: int, h: int, spp: int) -> dict:
+    """One world's compiled-kernel-vs-XLA gate; returns the result record."""
     from pathtracer_tpu.render.renderer import (
         RenderConfig, init_accum, render_chunk, resolve,
     )
@@ -138,19 +158,14 @@ def verify(args) -> int:
     from pathtracer_tpu.scene.worlds import finalize_world
     from pathtracer_tpu.utils import prng
 
-    w, h = (int(x) for x in args.size.split("x"))
-    if args.size == "1280x720":
-        w, h = 320, 180  # verify default: small, compiles fast
-    spp = min(args.spp, 16)
     pp = int(round(max(1, spp) ** 0.5))
-    scene, camera = finalize_world(args.world - 1, w, h)
+    scene, camera = finalize_world(world - 1, w, h)
     key = prng.base_key(0)
 
     cfg_p = RenderConfig(width=w, height=h, pp=pp, seed=0, backend="pallas")
     if not supports(scene, cfg_p):
-        print(json.dumps({"metric": "pallas_verify", "world": args.world,
-                          "skipped": "scene unsupported by the kernel"}))
-        return 0
+        return {"metric": "pallas_verify", "world": world,
+                "skipped": "scene unsupported by the kernel"}
     cfg_x = RenderConfig(width=w, height=h, pp=pp, seed=0, backend="xla")
 
     imgs = {}
@@ -169,16 +184,40 @@ def verify(args) -> int:
                   and not scene.tri_streamed and scene.n_textures == 0)
     ok = f_1e3 < 0.01 and f_1e1 < 0.001 and (
         bit_equal >= 0.5 or not same_graph)
-    print(json.dumps({
-        "metric": "pallas_verify", "world": args.world,
+    return {
+        "metric": "pallas_verify", "world": world,
         "size": f"{w}x{h}", "spp": pp * pp,
         "bit_equal_frac": round(bit_equal, 4),
         "frac_gt_1e-3": round(f_1e3, 5),
         "frac_gt_0.1": round(f_1e1, 6),
         "identical_graph": same_graph,
         "ok": ok,
+    }
+
+
+def verify_all(args) -> int:
+    """The machine-recorded per-round equivalence artifact (VERDICT round 2
+    item 2): every world's kernel-vs-XLA gate in one JSON object, suitable
+    for `bench.py --verify --json > VERIFY_r{N}.json`. Exits nonzero if any
+    world misses its gate, so a kernel regression fails loudly instead of
+    rotting in a hand-copied markdown table."""
+    import jax
+    w, h = (int(x) for x in (args.size or "320x180").split("x"))
+    worlds = []
+    all_ok = True
+    for world in (1, 2, 3, 4, 5):
+        r = _verify_world(world, w, h, min(args.spp, 16))
+        worlds.append(r)
+        all_ok = all_ok and r.get("ok", True)
+        print(f"  world {world}: " + json.dumps(r), file=sys.stderr)
+    print(json.dumps({
+        "metric": "pallas_verify_all",
+        "backend": jax.default_backend(),
+        "size": f"{w}x{h}",
+        "ok": all_ok,
+        "worlds": worlds,
     }))
-    return 0 if ok else 1
+    return 0 if all_ok else 1
 
 
 if __name__ == "__main__":
