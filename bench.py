@@ -51,6 +51,10 @@ def main(argv=None) -> int:
     ap.add_argument("--rr", action="store_true",
                     help="bench with Russian roulette enabled (the north "
                          "star names RR; reference TODO win32_main.cpp:187)")
+    ap.add_argument("--mips", action="store_true",
+                    help="bench with mip-mapped texture sampling (opt-in "
+                         "--mips feature; reference TODO "
+                         "win32_main.cpp:2307-2328)")
     args = ap.parse_args(argv)
 
     if args.verify:
@@ -71,8 +75,13 @@ def main(argv=None) -> int:
 
     spp = 1024 if args.full else args.spp
     pp = int(round(spp ** 0.5))
+    mip_scale = 0.0
+    if args.mips and scene.tex_mip_meta:
+        mip_scale = (2.0 * camera.half_film_height
+                     / (h * camera.focal_length))
     config = RenderConfig(width=w, height=h, pp=pp, seed=0,
-                          use_russian_roulette=args.rr)
+                          use_russian_roulette=args.rr,
+                          mip_scale=mip_scale)
     key = prng.base_key(0)
 
     if args.sharded and len(jax.devices()) > 1:

@@ -120,6 +120,11 @@ def main(argv=None):
     ap.add_argument("--probe-pixel", default=None, metavar="X,Y",
                     help="print mean/variance radiance of one pixel "
                          "(the DEBUG_MIDDLE_PIXEL role, win32_main.cpp:18,1011-1014)")
+    ap.add_argument("--mips", action="store_true",
+                    help="mip-mapped texture sampling (the reference's "
+                         "unfinished GenerateMipmapChain TODO, "
+                         "win32_main.cpp:2307-2328); off = mip-0-only "
+                         "reference parity")
     args = ap.parse_args(rest)
 
     import jax
@@ -168,10 +173,22 @@ def main(argv=None):
         "world coordinate system.\n"
         "The camera is looking down the negative c->axisZ direction.\n")
 
+    mip_scale = 0.0
+    if args.mips:
+        if scene.tex_mip_meta:
+            # texels-per-pixel at unit distance: film pixel size over the
+            # lens-film distance (the bespoke w/2 texel density is folded
+            # in by integrator.shade_bounce's k constant)
+            mip_scale = (2.0 * camera.half_film_height
+                         / (h * camera.focal_length))
+        else:
+            print("(--mips: scene has no square pow2 combined texture set; "
+                  "mip-0 sampling.)")
+
     cfg = RenderConfig(width=w, height=h, pp=pp, seed=args.seed,
                        debug_kind=args.debug,
                        use_russian_roulette=args.rr, mode=args.mode,
-                       exposure=args.exposure)
+                       exposure=args.exposure, mip_scale=mip_scale)
     if args.chunk is None:
         args.chunk = min(cfg.spp, 64)
 

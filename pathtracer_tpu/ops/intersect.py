@@ -409,6 +409,9 @@ _UNROLL_MAX = 192          # XLA drivers: larger unrolls blow up compile
 _UNROLL_MAX_KERNEL = 1024  # inside the Pallas kernel: Mosaic compiles
                            # straight-line primitive tests fine (494-sphere
                            # world 4 in ~60s) and has no dynamic_slice
+import os as _os
+if _os.environ.get("PT_UNROLL_MAX_KERNEL"):  # perf-sweep knob
+    _UNROLL_MAX_KERNEL = int(_os.environ["PT_UNROLL_MAX_KERNEL"])
 _CHUNK = 16
 
 # Set (at trace time) by render/pallas_backend.py around kernel tracing.

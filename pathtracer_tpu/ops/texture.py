@@ -118,6 +118,60 @@ def _combined_coords(scene: Scene, u: jnp.ndarray, v: jnp.ndarray):
     return x1, y1, x2, y2, s, t
 
 
+def _mip_select(scene: Scene, lod: jnp.ndarray):
+    """Per-lane (row_off, tiles_x, word_off, w, h) for the mip level each
+    lane selected — a select sweep over the static pyramid table
+    (Scene.tex_mip_meta, ~10 levels): no vector shifts, no gathers, so it
+    lowers under Mosaic unchanged."""
+    meta = scene.tex_mip_meta
+    out = []
+    for j in range(5):
+        acc = jnp.full(lod.shape, meta[0][j], jnp.int32)
+        for l in range(1, len(meta)):
+            acc = jnp.where(lod == l, jnp.int32(meta[l][j]), acc)
+        out.append(acc)
+    return tuple(out)
+
+
+def _combined_coords_mip(scene: Scene, u: jnp.ndarray, v: jnp.ndarray,
+                         lod: jnp.ndarray):
+    """Mip-aware twin of :func:`_combined_coords`: same truncation/wrap
+    semantics evaluated at each lane's pyramid level (sizes are pow2 —
+    schema gates the pyramid on it — so wrap is a mask, not a modulo).
+    The bespoke scale uses the LEVEL's size, exactly what the reference's
+    BespokeSampleTexture would do handed mips[lod] (win32_main.cpp:1675)."""
+    row_off, tiles_x, word_off, w, h = _mip_select(scene, lod)
+    u = jnp.abs(u * (w.astype(u.dtype) * 0.5))
+    v = jnp.abs(v * (h.astype(v.dtype) * 0.5))
+    x1 = u.astype(jnp.int32)
+    y1 = v.astype(jnp.int32)
+    s = jnp.clip(u - x1.astype(u.dtype), 0.0, 1.0)
+    t = jnp.clip(v - y1.astype(v.dtype), 0.0, 1.0)
+    wm, hm = w - 1, h - 1
+    x1 = x1 & wm
+    x2 = (x1 + 1) & wm
+    y1 = y1 & hm
+    y2 = (y1 + 1) & hm
+    return x1, y1, x2, y2, s, t, row_off, tiles_x, word_off, w
+
+
+def bespoke_sample_combined_mip(scene: Scene, u: jnp.ndarray,
+                                v: jnp.ndarray, lod: jnp.ndarray):
+    """XLA-driver mip fetch: flat gathers from the concatenated word
+    pyramid (level 0 leads, so lod==0 reads the exact mip-0 words)."""
+    x1, y1, x2, y2, s, t, _, _, word_off, w = \
+        _combined_coords_mip(scene, u, v, lod)
+
+    def corners(plane):
+        return (plane[word_off + y1 * w + x1],
+                plane[word_off + y1 * w + x2],
+                plane[word_off + y2 * w + x1],
+                plane[word_off + y2 * w + x2])
+
+    return _blend_combined(corners(scene.tex_comb_a),
+                           corners(scene.tex_comb_b), s, t)
+
+
 def _blend_combined(wa, wb, s, t):
     """Bilinear blend of the 4 corner word-pairs. ``wa``/``wb`` are
     (c11, c12, c21, c22) packed A/B words. Shared verbatim by the XLA
@@ -163,7 +217,7 @@ def bespoke_sample_combined(scene: Scene, u: jnp.ndarray, v: jnp.ndarray):
 
 
 def bespoke_sample_combined_windowed(scene: Scene, tab_ref, u, v, needs,
-                                      return_words: bool = False):
+                                      return_words: bool = False, lod=None):
     """The Pallas-kernel twin of :func:`bespoke_sample_combined`.
 
     The VPU has no random-access load; the only vectorized lookup is
@@ -199,13 +253,23 @@ def bespoke_sample_combined_windowed(scene: Scene, tab_ref, u, v, needs,
     from jax.experimental import pallas as pl
 
     shape = u.shape
-    tiles_x = scene.tex_tiles_x
     n_rows = int(tab_ref.shape[0])
-    x1, y1, x2, y2, s, t = _combined_coords(scene, u, v)
-    BIG = jnp.int32(1 << 30)
+    if lod is None:
+        tiles_x = scene.tex_tiles_x
+        x1, y1, x2, y2, s, t = _combined_coords(scene, u, v)
 
-    def tile_of(y, x):
-        return (y >> 3) * tiles_x + (x >> 3)
+        def tile_of(y, x):
+            return (y >> 3) * tiles_x + (x >> 3)
+    else:
+        # mip path: per-lane level -> per-lane row offset + row pitch; the
+        # iteration below is id-agnostic (any monotone visit order works),
+        # so mixed-level blocks just interleave their levels' tile rows
+        x1, y1, x2, y2, s, t, row_off, tiles_x_l, _, _ = \
+            _combined_coords_mip(scene, u, v, lod)
+
+        def tile_of(y, x):
+            return row_off + (y >> 3) * tiles_x_l + (x >> 3)
+    BIG = jnp.int32(1 << 30)
 
     def off_of(y, x):
         return (((y & 7) << 3) | (x & 7)) << 1

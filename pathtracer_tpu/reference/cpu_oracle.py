@@ -311,12 +311,25 @@ def bespoke_sample_host(tex, u, v):
                                F32(v) * F32(h) * F32(0.5))
 
 
+def _mip_lod(t, cos_theta, k, n_levels):
+    """Scalar twin of the device LOD rule (integrator.shade_bounce, opt-in
+    via mip_scale): fp = t * k / max(|cos|, 0.1) with k the f32-rounded
+    mip_scale * w0 * 0.5 constant; lod = floor(log2(fp)) clamped to the
+    pyramid via the same threshold sweep the kernel unrolls."""
+    fp = F32(t) * k / max(abs(F32(cos_theta)), F32(0.1))
+    lod = 0
+    for lk in range(1, n_levels):
+        if fp >= F32(2.0 ** lk):
+            lod += 1
+    return lod
+
+
 # --- the integrator ----------------------------------------------------------
 
 def trace_path(world: HostWorld, o, d, u_bounce, just_cosine,
                use_metalness_maps=True, use_roughness_maps=True,
                use_normal_maps=True, just_importance=False,
-               use_russian_roulette=False):
+               use_russian_roulette=False, mip=None):
     """Iterative equivalent of RayCast(world, o, d, 0) consuming
     u_bounce[(bounce, slot)] uniforms. Kills zero-pdf / degenerate draws
     instead of retrying (same policy as the TPU integrator)."""
@@ -341,6 +354,14 @@ def trace_path(world: HostWorld, o, d, u_bounce, just_cosine,
         pure_bounce = d - N * (F32(2.0) * cos_theta)
         V = -d
 
+        # opt-in mip selection (``mip`` = (k_const, chains); twin of the
+        # integrator's lod sweep — one level per bounce, all maps)
+        if mip is not None and world.textures:
+            _lod = _mip_lod(t, cos_theta, mip[0], len(mip[1][0]))
+            texs = [chain[_lod] for chain in mip[1]]
+        else:
+            texs = world.textures
+
         u = u_bounce[b]
         if mat.transmission > 0.0:
             # delta dielectric (mirrors integrator.shade_bounce's
@@ -362,7 +383,7 @@ def trace_path(world: HostWorld, o, d, u_bounce, just_cosine,
             albedo = np.asarray(mat.albedo, F32)
             if world.textures and mat.albedo_idx != 0:
                 albedo = bespoke_sample_host(
-                    world.textures[mat.albedo_idx - 1],
+                    texs[mat.albedo_idx - 1],
                     hitpoint[0], hitpoint[1])
             new_thr = throughput * albedo
             if use_russian_roulette and b >= 1:
@@ -379,13 +400,13 @@ def trace_path(world: HostWorld, o, d, u_bounce, just_cosine,
         if world.textures:
             if use_metalness_maps and mat.metalness_idx != 0:
                 metalness = bespoke_sample_host(
-                    world.textures[mat.metalness_idx - 1], hitpoint[0], hitpoint[1])[0]
+                    texs[mat.metalness_idx - 1], hitpoint[0], hitpoint[1])[0]
             if use_roughness_maps and mat.roughness_idx != 0:
                 roughness = bespoke_sample_host(
-                    world.textures[mat.roughness_idx - 1], hitpoint[0], hitpoint[1])[0]
+                    texs[mat.roughness_idx - 1], hitpoint[0], hitpoint[1])[0]
             if use_normal_maps and mat.normal_idx != 0:
                 nt = bespoke_sample_host(
-                    world.textures[mat.normal_idx - 1], hitpoint[0], hitpoint[1])
+                    texs[mat.normal_idx - 1], hitpoint[0], hitpoint[1])
                 N = normalize(F32(2.0) * nt - np.ones(3, F32))
 
         ndotv = dot(N, V)
@@ -452,7 +473,7 @@ def trace_path(world: HostWorld, o, d, u_bounce, just_cosine,
             albedo = np.asarray(mat.albedo, F32)
             if world.textures and mat.albedo_idx != 0:
                 albedo = bespoke_sample_host(
-                    world.textures[mat.albedo_idx - 1], hitpoint[0], hitpoint[1])
+                    texs[mat.albedo_idx - 1], hitpoint[0], hitpoint[1])
             brdf = ndotl * kd * albedo / PI
 
         new_thr = throughput * (F32(2.0) / px) * brdf
@@ -480,9 +501,24 @@ def render_oracle(
     use_metalness_maps: bool = True,
     use_roughness_maps: bool = True,
     use_russian_roulette: bool = False,
+    mip_scale: float = 0.0,
 ) -> np.ndarray:
-    """Full oracle render -> (H, W, 3) float32 mean radiance (pre-tonemap)."""
+    """Full oracle render -> (H, W, 3) float32 mean radiance (pre-tonemap).
+
+    ``mip_scale`` > 0 enables the opt-in mip twin (RenderConfig.mip_scale):
+    per-texture decimation chains (textures.generate_mipmap_chain semantics)
+    plus the renderer's f32 LOD constant. Callers must only pass it for
+    scenes where the device built a pyramid (square pow2 combined set,
+    schema.WorldBuilder.finalize)."""
     world = HostWorld(builder)
+    mip = None
+    if mip_scale and world.textures:
+        from ..scene.textures import generate_mipmap_chain
+        w0 = world.textures[0].shape[1]
+        # one double-precision product rounded ONCE to f32 — the identical
+        # constant the integrator bakes (integrator.shade_bounce `k`)
+        mip = (F32(np.float32(mip_scale * w0 * 0.5)),
+               [generate_mipmap_chain(t) for t in world.textures])
     just_cosine = world_kind == WORLD_RAYTRACING_ONE_WEEKEND
     n_pix = width * height
     spp = pp * pp
@@ -532,7 +568,8 @@ def render_oracle(
                         rad = trace_path(world, pos, d, bnc_u[p, s], just_cosine,
                                          use_metalness_maps, use_roughness_maps,
                                          use_normal_maps,
-                                         use_russian_roulette=use_russian_roulette)
+                                         use_russian_roulette=use_russian_roulette,
+                                         mip=mip)
                         if np.any(np.isnan(rad)):
                             continue
                         color += rad
@@ -562,7 +599,8 @@ def render_oracle(
                         rad = trace_path(world, od, dd, bnc_u[p, s], just_cosine,
                                          use_metalness_maps, use_roughness_maps,
                                          use_normal_maps,
-                                         use_russian_roulette=use_russian_roulette)
+                                         use_russian_roulette=use_russian_roulette,
+                                         mip=mip)
                         if np.any(np.isnan(rad)):
                             continue
                         color += rad

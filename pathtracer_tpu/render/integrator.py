@@ -50,6 +50,7 @@ from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops.intersect import Hit, intersect_scene, ray_sphere
 from ..ops.sampling import (
@@ -214,6 +215,7 @@ def shade_bounce(
     hit: Hit,
     u,  # tuple of BOUNCE_SLOTS (N,) uniforms
     just_importance: bool = False,
+    mip_scale: float = 0.0,
 ) -> BounceOut:
     """One bounce of RayCast's surface interaction (win32_main.cpp:576-792):
     material fetch, texture-driven parameters, estimator selection, BSDF
@@ -250,9 +252,27 @@ def shade_bounce(
         # blend — bit-identical results.
         from ..ops import texture as _tex
         has_tex = mat["albedo_idx"] != 0
+        lod = None
+        if mip_scale and scene.tex_mip_meta:
+            # Opt-in mip selection (RenderConfig.mip_scale; OFF by default —
+            # mip-0-only is reference parity, win32_main.cpp:620,630,639).
+            # Footprint: texels one pixel covers at distance t, widened by
+            # grazing incidence; lod = floor(log2(fp)) via a static
+            # threshold sweep (no log2 in Mosaic). The oracle computes the
+            # identical f32 expression (cpu_oracle._mip_lod).
+            k = float(np.float32(mip_scale * scene.tex_comb_w * 0.5))
+            fp = hit.t * jnp.float32(k) / jnp.maximum(
+                jnp.abs(cos_theta_in), jnp.float32(0.1))
+            lod = jnp.zeros(shape, jnp.int32)
+            for lk in range(1, len(scene.tex_mip_meta)):
+                lod = lod + (fp >= jnp.float32(2.0 ** lk)).astype(jnp.int32)
         if _tex.KERNEL_TEX_REF is not None:
             alb_c, met_c, rgh_c, nrm_c = _tex.bespoke_sample_combined_windowed(
-                scene, _tex.KERNEL_TEX_REF, hitpoint.x, hitpoint.y, has_tex)
+                scene, _tex.KERNEL_TEX_REF, hitpoint.x, hitpoint.y, has_tex,
+                lod=lod)
+        elif lod is not None:
+            alb_c, met_c, rgh_c, nrm_c = _tex.bespoke_sample_combined_mip(
+                scene, hitpoint.x, hitpoint.y, lod)
         else:
             alb_c, met_c, rgh_c, nrm_c = _tex.bespoke_sample_combined(
                 scene, hitpoint.x, hitpoint.y)
@@ -437,6 +457,7 @@ def trace(
     debug_kind: str = REGULAR,
     just_importance: bool = False,
     use_russian_roulette: bool = False,
+    mip_scale: float = 0.0,
 ) -> Tuple[Vec3, TraceStats]:
     """Trace a batch of primary rays to radiance (RayCast, win32_main.cpp:558-823),
     unrolled over MAX_BOUNCE_COUNT. ``pkeys`` are per-path PCG4D streams
@@ -469,7 +490,8 @@ def trace(
         is_terminal_depth = b == MAX_BOUNCE_COUNT - 1
 
         u = prng.bounce_uniforms_v(pkeys, b)
-        out = shade_bounce(scene, o, d, hit, u, just_importance=just_importance)
+        out = shade_bounce(scene, o, d, hit, u, just_importance=just_importance,
+                           mip_scale=mip_scale)
 
         if accumulate_regular:
             # radiance += emitColor at every level (win32_main.cpp:799),

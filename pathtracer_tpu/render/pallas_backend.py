@@ -69,6 +69,9 @@ _SUB_CHUNK_SAMPLES = 64
 
 
 def _block_rows(scene: Scene) -> int:
+    import os
+    if os.environ.get("PT_BLOCK_ROWS"):  # perf-sweep knob (experiments/)
+        return int(os.environ["PT_BLOCK_ROWS"])
     return _BLOCK_ROWS_TEXTURED if (
         scene.n_textures and scene.tex_combined) else _BLOCK_ROWS
 
@@ -149,7 +152,7 @@ def _wave_loop(scene: Scene, camera: Camera, config: RenderConfig,
             jnp.broadcast_to(jnp.uint32(key), shape),
             pixel_idx.astype(jnp.uint32), s_abs.astype(jnp.uint32))
         u = prng.bounce_uniforms_v(stream, bounce)
-        out = shade_bounce(scene, o, d, hit, u)
+        out = shade_bounce(scene, o, d, hit, u, mip_scale=config.mip_scale)
 
         contrib = hadamard(thr, out.emit)
         prad = Vec3(
@@ -251,7 +254,8 @@ def _lockstep_loop(scene: Scene, camera: Camera, config: RenderConfig,
             pixel_idx.astype(jnp.uint32), s_abs.astype(jnp.uint32))
         radiance, stats = trace(
             scene, o, d, stream, debug_kind=config.debug_kind,
-            use_russian_roulette=config.use_russian_roulette)
+            use_russian_roulette=config.use_russian_roulette,
+            mip_scale=config.mip_scale)
         # NaN policy: mask & count (renderer._one_sample)
         bad = (jnp.isnan(radiance.x) | jnp.isnan(radiance.y)
                | jnp.isnan(radiance.z))

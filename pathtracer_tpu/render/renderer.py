@@ -58,6 +58,12 @@ class RenderConfig:
     # lists exposure as unrealized camera work (win32_main.cpp:180-181);
     # 1.0 = exact reference behavior.
     exposure: float = 1.0
+    # Opt-in mip-mapped texture sampling (--mips): world-units-per-pixel at
+    # unit distance (film_height / (image_height * focal_length)); 0.0 =
+    # mip 0 only, the reference-parity default (win32_main.cpp:620,630,639
+    # always read mips[0]; the chain itself was the reference's unfinished
+    # TODO). See integrator.shade_bounce for the LOD rule.
+    mip_scale: float = 0.0
 
     @property
     def spp(self) -> int:
@@ -121,7 +127,8 @@ def _one_sample(scene: Scene, camera: Camera, config: RenderConfig,
     radiance, stats = trace(scene, o, d, pkeys,
                             debug_kind=config.debug_kind,
                             just_importance=config.just_importance,
-                            use_russian_roulette=config.use_russian_roulette)
+                            use_russian_roulette=config.use_russian_roulette,
+                            mip_scale=config.mip_scale)
 
     # NaN policy: mask & count (the reference resamples, win32_main.cpp:1068)
     bad = jnp.isnan(radiance.x) | jnp.isnan(radiance.y) | jnp.isnan(radiance.z)

@@ -118,7 +118,8 @@ def render_chunk_wavefront(
             pixel_idx.astype(jnp.uint32), s_abs.astype(jnp.uint32))
         u = prng.bounce_uniforms_v(stream, st.bounce)
         out = shade_bounce(scene, o, d, hit, u,
-                           just_importance=config.just_importance)
+                           just_importance=config.just_importance,
+                           mip_scale=config.mip_scale)
 
         contrib = hadamard(thr, out.emit)
         prad = Vec3(

@@ -256,6 +256,9 @@ STREAM_TRIS_PER_ROW = 9
 # the streamed tier (the Mosaic straight-line unroll budget,
 # ops/intersect._UNROLL_MAX_KERNEL).
 STREAM_MIN = 1024
+import os as _os
+if _os.environ.get("PT_STREAM_MIN"):  # perf-sweep knob (accel_crossover)
+    STREAM_MIN = int(_os.environ["PT_STREAM_MIN"])
 # VMEM budget cap for the streamed tables (~8 MB of pack rows).
 STREAM_MAX = 131072
 

@@ -188,6 +188,13 @@ class Scene:
     tex_comb_w: int = struct.field(pytree_node=False, default=1)
     tex_comb_h: int = struct.field(pytree_node=False, default=1)
     tex_tiles_x: int = struct.field(pytree_node=False, default=1)
+    # Combined-set mip pyramid (built for square pow2 sets): per-level
+    # (tile_row_offset, tiles_x, word_offset, w, h) statics indexing
+    # tex_tile / tex_comb_* — level 0 leads, so mip-0-only consumers (the
+    # reference-parity default) never notice. () = no pyramid. Opt-in
+    # sampling via RenderConfig.mip_scale (the reference's unfinished
+    # "mipmapping" TODO, GenerateMipmapChain win32_main.cpp:2307-2328).
+    tex_mip_meta: tuple = struct.field(pytree_node=False, default=())
 
     # --- static (compile-time) metadata -----------------------------------
     # Cluster descriptors for the packet-culling path: tuples of
@@ -451,26 +458,65 @@ class WorldBuilder:
             comb_a = comb_a.astype(np.uint32).astype(np.int64).astype(i32)
             comb_b = comb_b.astype(np.uint32).astype(np.int64).astype(i32)
             ch, cw = self.textures[0].shape[:2]
-            # tiled twin of the combined words (see Scene.tex_tile)
-            hp, wp = -(-ch // 8) * 8, -(-cw // 8) * 8
-            pa = np.zeros((hp, wp), i32)
-            pb = np.zeros((hp, wp), i32)
-            pa[:ch, :cw], pb[:ch, :cw] = comb_a, comb_b
-            tiles_x = wp // 8
+            tiles_x = -(-cw // 8)
 
-            def tile64(m):  # (hp, wp) -> (tiles, 64) in tile-major order
-                return (m.reshape(hp // 8, 8, tiles_x, 8)
-                        .transpose(0, 2, 1, 3).reshape(-1, 64))
+            def level_tables(a2, b2):
+                """Tiled (rows, 128) + flat word tables for ONE mip level
+                (see Scene.tex_tile layout)."""
+                hh, ww = a2.shape
+                hp, wp = -(-hh // 8) * 8, -(-ww // 8) * 8
+                pa = np.zeros((hp, wp), i32)
+                pb = np.zeros((hp, wp), i32)
+                pa[:hh, :ww], pb[:hh, :ww] = a2, b2
+                tx = wp // 8
 
-            tiled = np.zeros((hp // 8 * tiles_x, 128), i32)
-            tiled[:, 0::2] = tile64(pa)
-            tiled[:, 1::2] = tile64(pb)
+                def tile64(m):  # (hp, wp) -> (tiles, 64) in tile-major order
+                    return (m.reshape(hp // 8, 8, tx, 8)
+                            .transpose(0, 2, 1, 3).reshape(-1, 64))
+
+                t = np.zeros((hp // 8 * tx, 128), i32)
+                t[:, 0::2] = tile64(pa)
+                t[:, 1::2] = tile64(pb)
+                return t, tx
+
+            # Mip pyramid of the combined words. The reference's
+            # GenerateMipmapChain (win32_main.cpp:2307-2328) samples the
+            # parent at uv=(2x,2y) — with SampleTexture's truncation that is
+            # exact even-texel decimation, so level l of the 8-bit words is
+            # literally comb[::2^l, ::2^l]: no filtering, no re-quantization.
+            # Level 0 occupies the leading rows/words, so every mip-0-only
+            # consumer (the reference-parity default) is untouched. Built
+            # only for square power-of-two sets (the reference asserts
+            # square; wrap masks need pow2); ~1/3 extra memory.
+            mip_meta = ()
+            if ch == cw and ch >= 8 and (ch & (ch - 1)) == 0:
+                metas, tiled_parts, a_parts, b_parts = [], [], [], []
+                row_off = word_off = 0
+                lvl, wl = 0, cw
+                while wl:
+                    a_l = comb_a[:: 1 << lvl, :: 1 << lvl][:wl, :wl]
+                    b_l = comb_b[:: 1 << lvl, :: 1 << lvl][:wl, :wl]
+                    t_l, tx_l = level_tables(a_l, b_l)
+                    metas.append((row_off, tx_l, word_off, wl, wl))
+                    tiled_parts.append(t_l)
+                    a_parts.append(a_l.reshape(-1))
+                    b_parts.append(b_l.reshape(-1))
+                    row_off += t_l.shape[0]
+                    word_off += wl * wl
+                    lvl, wl = lvl + 1, wl >> 1
+                mip_meta = tuple(metas)
+                tiled = np.concatenate(tiled_parts)
+                comb_a = np.concatenate(a_parts)
+                comb_b = np.concatenate(b_parts)
+            else:
+                tiled, tiles_x = level_tables(comb_a, comb_b)
         else:
             comb_a = np.zeros((1,), i32)
             comb_b = np.zeros((1,), i32)
             ch = cw = 1
             tiled = np.zeros((1, 128), i32)
             tiles_x = 1
+            mip_meta = ()
 
         if grid is None:
             grid_start = jnp.zeros((1,), i32)
@@ -558,6 +604,7 @@ class WorldBuilder:
             tex_comb_w=cw,
             tex_comb_h=ch,
             tex_tiles_x=tiles_x,
+            tex_mip_meta=mip_meta,
             world_kind=world_kind,
             just_cosine=(world_kind == WORLD_RAYTRACING_ONE_WEEKEND),
             n_spheres=len(self.spheres),
