@@ -73,7 +73,9 @@ def print_help():
     print("\tw<int>  - Set the world number to load. Possible options:")
     print("\t\t1:\tDefault scene.\n\t\t2:\tMetal-roughness test.\n"
           "\t\t3:\tCornell box.\n\t\t4:\tRay Tracing in One Weekend book cover.\n"
-          "\t\t5:\tMario N64 model.")
+          "\t\t5:\tMario N64 model.\n"
+          "\t\t6:\tCornell box with a quad AREA light (TPU extension;\n"
+          "\t\t\texercises the reference's unused PdfValueQuad).")
     print("\td       - Enable depth of field via thin-lens approximation.")
     print("\tn       - Disable loading normal map textures.")
     print("\tm       - Disable loading metalness material textures.")

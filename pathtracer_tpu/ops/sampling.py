@@ -162,6 +162,26 @@ def pdf_quad(
     return jnp.where(hit, pdf, 0.0)
 
 
+def sample_to_quad(
+    u1: jnp.ndarray,
+    u2: jnp.ndarray,
+    qp: Vec3,
+    qu: Vec3,
+    qv: Vec3,
+    origin: Vec3,
+) -> Vec3:
+    """Direction (UNNORMALIZED) from ``origin`` to a uniform point on the
+    quad: qp + u1*qu + u2*qv - origin. The area-sampling counterpart the
+    reference's PdfValueQuad (win32_main.cpp:301-322) was written for but
+    never got (RandomToSphere has one, :342-365; the quad twin is on the
+    unfinished side of that cleanup TODO)."""
+    return Vec3(
+        qp.x + u1 * qu.x + u2 * qv.x - origin.x,
+        qp.y + u1 * qu.y + u2 * qv.y - origin.y,
+        qp.z + u1 * qu.z + u2 * qv.z - origin.z,
+    )
+
+
 def uniform_hemisphere(u1: jnp.ndarray, u2: jnp.ndarray) -> Vec3:
     """Uniform hemisphere sample in tangent space, p = 1/(2 pi). The
     reference declares RandomDirectionHemisphere (win32_main.cpp:56) but

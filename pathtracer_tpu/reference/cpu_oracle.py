@@ -181,6 +181,7 @@ class HostWorld:
         else:
             self.tris = []
         self.textures = b.textures
+        self.quad_light = b.quad_light  # -1, or NEE targets this quad
 
     def intersect(self, o, d):
         """RayCastIntersect order: spheres, quads, planes, triangles."""
@@ -252,6 +253,21 @@ def pdf_to_sphere(world, o, d, center, radius):
     ctm = np.sqrt(max(F32(0.0), F32(1.0) - F32(radius) ** 2 / dist2))
     sa = F32(2.0) * PI * (F32(1.0) - ctm)
     return F32(1.0) / sa if sa > 0 else F32(0.0)
+
+
+def pdf_quad(o, d, qp, qu, qv):
+    """Scalar twin of PdfValueQuad (win32_main.cpp:301-322): 0 unless the
+    ray hits the quad at t > MIN_HIT_DISTANCE (the plain constant, NOT the
+    dispatcher's 0.02 quad quirk), else dist^2 / (cos * area)."""
+    t = ray_planar(o, d, qp, qu, qv, MIN_HIT_DISTANCE, quad=True)
+    if t is None:
+        return F32(0.0)
+    n = cross(qu, qv)
+    area = F32(np.sqrt(dot(n, n)))
+    mag = F32(np.sqrt(dot(d, d)))
+    dist2 = t * t * mag * mag
+    cosine = abs(dot(d, n) / mag)
+    return F32(dist2 / (cosine * area)) if cosine * area > 0 else F32(0.0)
 
 
 def refract_np(d, N, nglass):
@@ -425,26 +441,48 @@ def trace_path(world: HostWorld, o, d, u_bounce, just_cosine,
             px = F32(1.0)
         elif not b_specular:
             use_cos = just_cosine or (b_sample_cosine and not just_importance)
-            if use_cos:
-                r_dir = cosine_hemisphere(u[2], u[3])
-                frame = (tx, ty, tz)
-            else:
-                direction = light[0] - hitpoint
-                r_dir = to_sphere(u[2], u[3], light[0], light[1], hitpoint)
-                if r_dir is None:
+            if world.quad_light >= 0:
+                # quad-light NEE twin (integrator.shade_bounce quad branch)
+                qp, qu_, qv_, _ = world.quads[world.quad_light]
+                if use_cos:
+                    r_dir = cosine_hemisphere(u[2], u[3])
+                    L = normalize(r_dir[0] * tx + r_dir[1] * ty + r_dir[2] * tz)
+                    pcos = pdf_cosine(r_dir)
+                else:
+                    target = qp + qu_ * u[2] + qv_ * u[3] - hitpoint
+                    L = normalize(target)
+                    pcos = max(F32(0.0), dot(N, L)) / PI
+                pimp = pdf_quad(hitpoint, L, qp, qu_, qv_)
+                H = normalize(L + V)
+                if just_cosine:
+                    px = pcos
+                elif just_importance:
+                    px = pimp
+                else:
+                    px = F32(0.5) * pcos + F32(0.5) * pimp
+                if px == 0.0:
                     return radiance  # kill (reference retries)
-                frame = orthonormal_basis(direction)
-            L = normalize(r_dir[0] * frame[0] + r_dir[1] * frame[1] + r_dir[2] * frame[2])
-            H = normalize(L + V)
-            if just_cosine:
-                px = pdf_cosine(r_dir)
-            elif just_importance:
-                px = pdf_to_sphere(world, hitpoint, L, light[0], light[1])
             else:
-                px = F32(0.5) * pdf_cosine(r_dir) + \
-                    F32(0.5) * pdf_to_sphere(world, hitpoint, L, light[0], light[1])
-            if px == 0.0:
-                return radiance  # kill (reference retries)
+                if use_cos:
+                    r_dir = cosine_hemisphere(u[2], u[3])
+                    frame = (tx, ty, tz)
+                else:
+                    direction = light[0] - hitpoint
+                    r_dir = to_sphere(u[2], u[3], light[0], light[1], hitpoint)
+                    if r_dir is None:
+                        return radiance  # kill (reference retries)
+                    frame = orthonormal_basis(direction)
+                L = normalize(r_dir[0] * frame[0] + r_dir[1] * frame[1] + r_dir[2] * frame[2])
+                H = normalize(L + V)
+                if just_cosine:
+                    px = pdf_cosine(r_dir)
+                elif just_importance:
+                    px = pdf_to_sphere(world, hitpoint, L, light[0], light[1])
+                else:
+                    px = F32(0.5) * pdf_cosine(r_dir) + \
+                        F32(0.5) * pdf_to_sphere(world, hitpoint, L, light[0], light[1])
+                if px == 0.0:
+                    return radiance  # kill (reference retries)
         else:
             r_dir = ggx_half_vector(u[2], u[3], roughness)
             H = normalize(r_dir[0] * tx + r_dir[1] * ty + r_dir[2] * tz)

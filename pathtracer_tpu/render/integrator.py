@@ -52,10 +52,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.intersect import Hit, intersect_scene, ray_sphere
+from ..ops.intersect import Hit, intersect_scene, ray_planar_quad, ray_sphere
 from ..ops.sampling import (
     cosine_hemisphere, from_tangent, ggx_half_vector, orthonormal_basis,
-    pdf_cosine, pdf_to_sphere, to_sphere, PI,
+    pdf_cosine, pdf_quad, pdf_to_sphere, sample_to_quad, to_sphere, PI,
 )
 from ..ops.shade import (
     brdf_specular_scalar, effectively_smooth, find_refraction_direction,
@@ -332,26 +332,52 @@ def shade_bounce(
         use_cosine = jnp.ones(shape, bool)
     else:
         use_cosine = b_sample_cosine
-    r_dir = vwhere(use_cosine, cos_dir, sph_dir)
-    fx, fy, fz = (
-        vwhere(use_cosine, tx, lx),
-        vwhere(use_cosine, ty, ly),
-        vwhere(use_cosine, tz, lz),
-    )
-    L_diff = normalize(from_tangent(r_dir, fx, fy, fz), eps=1e-30)
-    # mixture pdf: cosine pdf of the raw sample in its own frame (the
-    # reference quirk) + solid-angle pdf of the world-space direction
-    pcos = pdf_cosine(r_dir)
-    _, sph_hit, _ = ray_sphere(hitpoint, L_diff, light_center, light_radius,
-                               MIN_HIT_DISTANCE)
-    psph = pdf_to_sphere(sph_hit, light_center, light_radius, hitpoint)
+    if scene.quad_light >= 0:
+        # Quad-light NEE (our world 6): the importance half of the mixture
+        # samples a uniform point on the light quad and weights by the
+        # reference's PdfValueQuad (win32_main.cpp:301-322 — defined there,
+        # never called; its intersection runs at MIN_HIT_DISTANCE, NOT the
+        # dispatcher's 0.02 quad quirk, :448-451). The cosine half keeps the
+        # raw-frame quirk for cosine-sampled lanes; quad-sampled lanes have
+        # no tangent-space raw sample, so their cosine term is the true
+        # shading-frame pdf max(0, N.L)/pi.
+        qi = scene.quad_light
+        qp = Vec3(scene.quad_point.x[qi], scene.quad_point.y[qi],
+                  scene.quad_point.z[qi])
+        ql_u = Vec3(scene.quad_u.x[qi], scene.quad_u.y[qi], scene.quad_u.z[qi])
+        ql_v = Vec3(scene.quad_v.x[qi], scene.quad_v.y[qi], scene.quad_v.z[qi])
+        L_quad = normalize(
+            sample_to_quad(u[2], u[3], qp, ql_u, ql_v, hitpoint), eps=1e-30)
+        cos_world = normalize(from_tangent(cos_dir, tx, ty, tz), eps=1e-30)
+        L_diff = vwhere(use_cosine, cos_world, L_quad)
+        pcos = jnp.where(use_cosine, pdf_cosine(cos_dir),
+                         jnp.maximum(0.0, dot(N, L_diff)) / PI)
+        tq, q_hit = ray_planar_quad(hitpoint, L_diff, qp, ql_u, ql_v,
+                                    min_hit=MIN_HIT_DISTANCE)
+        pimp = pdf_quad(tq, q_hit, L_diff, ql_u, ql_v)
+        imp_valid = jnp.ones(shape, bool)
+    else:
+        r_dir = vwhere(use_cosine, cos_dir, sph_dir)
+        fx, fy, fz = (
+            vwhere(use_cosine, tx, lx),
+            vwhere(use_cosine, ty, ly),
+            vwhere(use_cosine, tz, lz),
+        )
+        L_diff = normalize(from_tangent(r_dir, fx, fy, fz), eps=1e-30)
+        # mixture pdf: cosine pdf of the raw sample in its own frame (the
+        # reference quirk) + solid-angle pdf of the world-space direction
+        pcos = pdf_cosine(r_dir)
+        _, sph_hit, _ = ray_sphere(hitpoint, L_diff, light_center,
+                                   light_radius, MIN_HIT_DISTANCE)
+        pimp = pdf_to_sphere(sph_hit, light_center, light_radius, hitpoint)
+        imp_valid = ts_valid
     if just_cosine:
         px_diff = pcos
     elif just_importance:
-        px_diff = psph
+        px_diff = pimp
     else:
-        px_diff = 0.5 * pcos + 0.5 * psph
-    diff_valid = (px_diff > 0.0) & (use_cosine | ts_valid)
+        px_diff = 0.5 * pcos + 0.5 * pimp
+    diff_valid = (px_diff > 0.0) & (use_cosine | imp_valid)
 
     # select estimator results per lane
     case_a = b_specular & smooth

@@ -49,7 +49,11 @@ WORLD_BRDF_TEST = 1
 WORLD_CORNELL_BOX = 2
 WORLD_RAYTRACING_ONE_WEEKEND = 3
 WORLD_MARIO = 4
-WORLD_KIND_COUNT = 5
+# Beyond the reference's five: Cornell box lit by an emissive QUAD, the
+# scene the reference's dead PdfValueQuad (win32_main.cpp:301-322) was
+# written for. Exercises the quad-light NEE mixture (Scene.quad_light).
+WORLD_CORNELL_QUAD = 5
+WORLD_KIND_COUNT = 6
 
 
 def _pad(n: int, multiple: int = 16) -> int:
@@ -221,6 +225,12 @@ class Scene:
     # True iff any material has transmission > 0; static so opaque scenes
     # compile exactly the reference estimator with no dielectric code.
     any_transmissive: bool = struct.field(pytree_node=False, default=False)
+    # Index of the quad the NEE mixture targets, or -1 for the reference
+    # default (spheres[0], win32_main.cpp:683). Static so sphere-light
+    # scenes compile exactly the reference estimator; >= 0 swaps the
+    # to-sphere term for the PdfValueQuad semantics (:301-322) the
+    # reference defined but never wired up.
+    quad_light: int = struct.field(pytree_node=False, default=-1)
     n_spheres: int = struct.field(pytree_node=False, default=0)
     n_quads: int = struct.field(pytree_node=False, default=0)
     n_planes: int = struct.field(pytree_node=False, default=0)
@@ -271,6 +281,7 @@ class WorldBuilder:
         self.triangles: Optional[np.ndarray] = None  # (T, 3, 3) float32
         self.tri_mats: Optional[np.ndarray] = None   # (T,) int32
         self.textures: list[np.ndarray] = []         # (H, W, 3) float32 each
+        self.quad_light: int = -1                    # see set_quad_light
 
     def add_material(self, **kw) -> int:
         self.materials.append(HostMaterial(**kw))
@@ -288,6 +299,13 @@ class WorldBuilder:
     def add_quad(self, point, u, v, mat) -> int:
         self.quads.append((tuple(point), tuple(u), tuple(v), int(mat)))
         return len(self.quads) - 1
+
+    def set_quad_light(self, idx: int):
+        """Mark quad ``idx`` as the NEE target (PdfValueQuad semantics,
+        win32_main.cpp:301-322). Default -1 keeps spheres[0] (:683)."""
+        if not (0 <= idx < len(self.quads)):
+            raise ValueError(f"quad light index {idx} out of range")
+        self.quad_light = idx
 
     def add_plane(self, n, d, mat) -> int:
         self.planes.append((tuple(n), float(d), int(mat)))
@@ -607,6 +625,7 @@ class WorldBuilder:
             tex_mip_meta=mip_meta,
             world_kind=world_kind,
             just_cosine=(world_kind == WORLD_RAYTRACING_ONE_WEEKEND),
+            quad_light=self.quad_light,
             n_spheres=len(self.spheres),
             n_quads=len(self.quads),
             n_planes=len(self.planes),

@@ -18,7 +18,8 @@ from .camera import Camera, define_camera
 from .schema import (
     Scene, WorldBuilder,
     WORLD_DEFAULT, WORLD_BRDF_TEST, WORLD_CORNELL_BOX,
-    WORLD_RAYTRACING_ONE_WEEKEND, WORLD_MARIO, WORLD_KIND_COUNT,
+    WORLD_RAYTRACING_ONE_WEEKEND, WORLD_MARIO, WORLD_CORNELL_QUAD,
+    WORLD_KIND_COUNT,
 )
 from . import textures as tex_mod
 
@@ -120,6 +121,42 @@ def build_world(
         cam.fov = 40.0
         cam.pos = ((right - left) / 2.0, front - 800.0, (top - bottom) / 2.0)
         cam.target = ((right - left) / 2.0, front, (top - bottom) / 2.0)
+
+    elif kind == WORLD_CORNELL_QUAD:
+        # Our sixth world (beyond the reference's five, -w6): the Cornell
+        # box rebuilt around an emissive AREA QUAD in the ceiling — the
+        # scene the reference's dead PdfValueQuad (win32_main.cpp:301-322)
+        # was written for. Geometry/material data follow the reference's
+        # Cornell (:1844-1901); the light sphere is replaced by a 130x130
+        # quad just under the ceiling plus two diffuse spheres so the soft
+        # shadows show.
+        _add_sky(b, (0.0, 0.0, 0.0))
+        left, right, bottom, top, front, back = 0.0, 800.0, 0.0, 555.0, 0.0, 555.0
+        red = b.add_material(albedo=(0.65, 0.05, 0.05))
+        white = b.add_material(albedo=(0.73, 0.73, 0.73))
+        green = b.add_material(albedo=(0.12, 0.45, 0.15))
+        light = b.add_material(albedo=(0, 0, 0), emit=(15.0, 15.0, 15.0))
+
+        b.add_quad((right, bottom, front), (0, 0, top - bottom), (0, back - front, 0), green)
+        b.add_quad((left, bottom, front), (0, back - front, 0), (0, 0, top - bottom), red)
+        # the area light: spheres stay empty of emitters; NEE targets this
+        cx, cy = (right - left) / 2.0, (back - front) / 2.0
+        ql = b.add_quad((cx - 65.0, cy - 65.0, top - 1.0),
+                        (130.0, 0.0, 0.0), (0.0, 130.0, 0.0), light)
+        b.set_quad_light(ql)
+        b.add_quad((left, front, top), (0, back - front, 0), (right - left, 0, 0), white)
+        b.add_quad((left, back, bottom), (right - left, 0, 0), (0, 0, top - bottom), white)
+        b.add_quad((left, bottom, front), (right - left, 0, 0), (0, back - front, 0), white)
+
+        m = b.add_material(albedo=(0.73, 0.73, 0.73), roughness=1.0)
+        b.add_sphere((cx - 150.0, cy + 60.0, 110.0), 110.0, m)
+        m = b.add_material(metalness=0.9, metal_color=(0.8, 0.75, 0.6),
+                           roughness=0.15)
+        b.add_sphere((cx + 160.0, cy - 80.0, 90.0), 90.0, m)
+
+        cam.fov = 40.0
+        cam.pos = (cx, front - 800.0, (top - bottom) / 2.0)
+        cam.target = (cx, front, (top - bottom) / 2.0)
 
     elif kind == WORLD_BRDF_TEST:
         # win32_main.cpp:1903-1928 — 11x11 metal/roughness sweep

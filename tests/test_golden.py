@@ -15,8 +15,8 @@ import pytest
 from pathtracer_tpu import RenderConfig, finalize_world, render_image
 from pathtracer_tpu.reference.cpu_oracle import render_oracle
 from pathtracer_tpu.scene.schema import (
-    WORLD_BRDF_TEST, WORLD_CORNELL_BOX, WORLD_DEFAULT, WORLD_MARIO,
-    WORLD_RAYTRACING_ONE_WEEKEND,
+    WORLD_BRDF_TEST, WORLD_CORNELL_BOX, WORLD_CORNELL_QUAD, WORLD_DEFAULT,
+    WORLD_MARIO, WORLD_RAYTRACING_ONE_WEEKEND,
 )
 from pathtracer_tpu.scene.worlds import build_world
 
@@ -64,6 +64,11 @@ class TestGolden:
     def test_world_cornell(self):
         # emissive-sphere NEE + cosine mixture (config 3)
         assert _compare(WORLD_CORNELL_BOX, 24, 16, 2) < 1e-4
+
+    def test_world_cornell_quad_light(self):
+        # our -w6: quad AREA light NEE (PdfValueQuad semantics,
+        # win32_main.cpp:301-322 — defined there, never called)
+        assert _compare(WORLD_CORNELL_QUAD, 24, 16, 2) < 1e-4
 
     def test_world_rtiow_thin_lens(self):
         # ~500 spheres, thin-lens DoF, cosine-only (config 4); silhouette

@@ -94,6 +94,46 @@ class TestPdfs:
         p = float(S.pdf_quad(t, jnp.asarray(True), d, vec3(1.0, 0.0, 0.0), vec3(0.0, 1.0, 0.0)))
         np.testing.assert_allclose(p, 25.0, rtol=1e-5)  # d^2/(cos*area) = 25/1
 
+    def test_sample_to_quad_lands_on_quad(self, rng):
+        # Directions from sample_to_quad, followed to the quad's plane, land
+        # exactly at qp + u1*qu + u2*qv (uniform area sampling).
+        u1, u2 = _uniforms(rng, 256)
+        qp = vec3(-1.0, -1.0, 3.0)
+        qu, qv = vec3(2.0, 0.0, 0.0), vec3(0.0, 2.0, 0.0)
+        o = vec3(0.3, -0.2, 0.0)
+        d = S.sample_to_quad(u1, u2, qp, qu, qv, o)
+        # plane z=3: t = (3 - o.z) / d.z; landing xy must match the sample
+        t = (3.0 - 0.0) / np.asarray(d.z)
+        x = 0.3 + t * np.asarray(d.x)
+        y = -0.2 + t * np.asarray(d.y)
+        np.testing.assert_allclose(x, -1.0 + 2.0 * np.asarray(u1), atol=1e-5)
+        np.testing.assert_allclose(y, -1.0 + 2.0 * np.asarray(u2), atol=1e-5)
+
+    def test_pdf_quad_matches_oracle_twin(self, rng):
+        # The jax pdf_quad and the oracle's independent scalar twin agree on
+        # random rays (including misses, where both return 0).
+        from pathtracer_tpu.ops.intersect import ray_planar_quad
+        from pathtracer_tpu.reference import cpu_oracle as O
+        from pathtracer_tpu.scene.schema import MIN_HIT_DISTANCE
+        qp = np.array([-1.0, -1.0, 3.0], np.float32)
+        qu = np.array([2.0, 0.0, 0.0], np.float32)
+        qv = np.array([0.0, 2.0, 0.0], np.float32)
+        for _ in range(64):
+            o = rng.randn(3).astype(np.float32)
+            o[2] = 0.0
+            d = rng.randn(3).astype(np.float32)
+            ov = vec3(*[float(v) for v in o])
+            dv = vec3(*[float(v) for v in d])
+            t, hit = ray_planar_quad(ov, dv, vec3(*map(float, qp)),
+                                     vec3(*map(float, qu)),
+                                     vec3(*map(float, qv)),
+                                     min_hit=MIN_HIT_DISTANCE)
+            p_jax = float(S.pdf_quad(t, hit, dv, vec3(*map(float, qu)),
+                                     vec3(*map(float, qv))))
+            p_np = float(O.pdf_quad(o.astype(np.float32), d.astype(np.float32),
+                                    qp, qu, qv))
+            np.testing.assert_allclose(p_jax, p_np, rtol=1e-4, atol=1e-6)
+
     def test_burley(self):
         np.testing.assert_allclose(float(S.burley_alpha2(jnp.asarray(0.5))), 0.0625)
 
