@@ -1,0 +1,321 @@
+"""Where do the streamed tier's ~1300-1500 ns/tri go, and what fixes them?
+
+Round-3 findings so far: tri_chain_micro killed the serial-select-chain
+hypothesis (chain1 == chain8); smem_records_micro killed plain-SMEM
+records; first run of THIS micro showed extract-blk 1477 vs smem-unroll
+1294 ns/tri — i.e. the take_along_axis extraction tax is only ~180 ns and
+~1.3 us/tri is ALU+loop, where 45 vector ops over a (32,128) block (4
+f32 vregs) should cost ~200-400 ns. Variants isolate the remainder:
+
+  A extract-blk : production shape — broadcast the (1,128) row to the
+                  block, then take_along_axis per field.
+  B extract-sls : STATIC lane slice row[:, k:k+1] -> broadcast (record
+                  fields sit at static offsets since row-alignment).
+  C smem-unroll : records in SMEM, 9-way unrolled scalar reads.
+  F static-imm  : fields are compile-time immediates (the static tier's
+                  form) — the ALU+carry floor with zero loads/loops other
+                  than the rep loop.
+  G static-row  : static-imm but tris grouped 9/row inside a fori_loop
+                  over rows (isolates fori overhead at static fields).
+  H divfree-sls : B plus a division-free hit test — carry (num, den) of
+                  the winner, compare cross-multiplied; one divide per
+                  BLOCK at the end instead of one per tri.
+  D outer-vpu   : FIELD-MAJOR (13,128) cluster tiles — rays relayout to
+                  (R,1) columns, every (ray, tri) pair in (R,128) vector
+                  ops, zero extraction. (Same elementwise pair count as A;
+                  tests whether Mosaic schedules broadcasted ops better.)
+
+Usage: python experiments/stream_extract_micro.py [NTRI] [REPS]
+"""
+import functools
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+N_TRI = int(sys.argv[1]) if len(sys.argv) > 1 else 1152
+REPS = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+ROWS, LANES = 256, 128
+R = ROWS * LANES
+F = 13
+PER = 9
+
+rng = np.random.RandomState(0)
+n_rows = -(-N_TRI // PER)
+pack = rng.rand(n_rows, 128).astype(np.float32)
+rec = pack[:, : PER * F].reshape(-1, F)[:N_TRI]  # (N_TRI, F) record view
+rec_flat = pack[:, : PER * F].reshape(-1)
+
+# field-major twin: ceil(N_TRI/128) clusters x 13 field rows of 128 tris
+n_cl = -(-N_TRI // 128)
+fm = np.zeros((n_cl * F, 128), np.float32)
+for c in range(n_cl):
+    chunk = rec[c * 128:(c + 1) * 128]
+    fm[c * F: c * F + F, : len(chunk)] = chunk.T
+
+o = rng.rand(ROWS, LANES).astype(np.float32)
+d = rng.rand(ROWS, LANES).astype(np.float32) + 0.5
+
+
+def carry_update(f, ox, dx, oy, dy, cc):
+    """Same op mix as the streamed tier: 6 two-term 'dots', div, fmas,
+    compares -> (t, winner) carry."""
+    t_r, w = cc
+    denom = f(0) * dx + f(1) * dy
+    valid = jnp.abs(denom) > 1e-9
+    t = (f(3) - (f(0) * ox + f(1) * oy + f(2))) / jnp.where(valid, denom, 1.0)
+    alpha = (f(4) * ox + f(5) * oy - f(7)) + t * (f(4) * dx + f(5) * dy)
+    beta = (f(8) * ox + f(9) * oy - f(11)) + t * (f(8) * dx + f(10) * dy)
+    hit = valid & (alpha >= 0.0) & (beta >= 0.0) & (alpha + beta <= 1.0) \
+        & (t > 1e-4)
+    take = hit & (t < t_r)
+    return (jnp.where(take, t, t_r), jnp.where(take, f(12), w))
+
+
+def divfree_update(f, ox, dx, oy, dy, cc):
+    """Division-free: compare num/den rationally; carry the winner's
+    (num, den) with den sign-normalized positive."""
+    n_r, d_r, w = cc
+    denom = f(0) * dx + f(1) * dy
+    s = jnp.where(denom >= 0.0, 1.0, -1.0)
+    den = denom * s                               # |denom|
+    num = (f(3) - (f(0) * ox + f(1) * oy + f(2))) * s
+    # alpha = a0 + t*a1; alpha*denom = a0*denom + num0*a1 (num0 = t*denom)
+    a0 = f(4) * ox + f(5) * oy - f(7)
+    a1 = f(4) * dx + f(5) * dy
+    b0 = f(8) * ox + f(9) * oy - f(11)
+    b1 = f(8) * dx + f(10) * dy
+    ad = a0 * den + num * a1                      # == alpha * |denom|
+    bd = b0 * den + num * b1
+    hit = (den > 1e-9) & (ad >= 0.0) & (bd >= 0.0) & (ad + bd <= den) \
+        & (num > 1e-4 * den)
+    take = hit & (num * d_r < n_r * den)
+    return (jnp.where(take, num, n_r), jnp.where(take, den, d_r),
+            jnp.where(take, f(12), w))
+
+
+def kernel_extract(mode: str, reps: int):
+    """A (mode='blk'), B ('sls'), H ('divfree')."""
+    def kern(o_ref, d_ref, pack_ref, out_ref, w_ref):
+        ox, dx = o_ref[:], d_ref[:]
+        oy, dy = ox * 0.5, dx * 0.5
+        shape = ox.shape
+        upd = divfree_update if mode == "divfree" else carry_update
+
+        def rep_body(rr, cc):
+            def row_body(r, cc):
+                row = pack_ref[pl.ds(r, 1), :]
+                if mode == "blk":
+                    rowb = jnp.broadcast_to(row, shape)
+
+                    def lane(j):
+                        idx = jnp.broadcast_to(jnp.asarray(j, jnp.int32), shape)
+                        return jnp.take_along_axis(rowb, idx, axis=-1)
+                else:
+                    def lane(j):
+                        return jnp.broadcast_to(row[:, j:j + 1], shape)
+                for jj in range(PER):
+                    cc = upd(lambda j, base=jj * F: lane(base + j),
+                             ox, dx, oy, dy, cc)
+                return cc
+            return jax.lax.fori_loop(0, n_rows, row_body, cc)
+        zero = ox * 0.0
+        if mode == "divfree":
+            init = (zero + 1e30, zero + 1.0, zero)
+            n_r, d_r, w = jax.lax.fori_loop(0, reps, rep_body, init)
+            out_ref[:] = n_r / d_r
+            w_ref[:] = w
+        else:
+            t_r, w = jax.lax.fori_loop(0, reps, rep_body, (zero + 1e30, zero))
+            out_ref[:] = t_r
+            w_ref[:] = w
+    return pl.pallas_call(
+        kern,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((ROWS, LANES), jnp.float32)] * 2,
+    )
+
+
+def kernel_smem_unroll(reps: int):
+    def kern(o_ref, d_ref, rec_ref, out_ref, w_ref):
+        ox, dx = o_ref[:], d_ref[:]
+        oy, dy = ox * 0.5, dx * 0.5
+
+        def rep_body(rr, cc):
+            def row_body(r, cc):
+                base0 = r * PER * F
+                for jj in range(PER):
+                    cc = carry_update(
+                        lambda j, b=base0 + jj * F: rec_ref[b + j],
+                        ox, dx, oy, dy, cc)
+                return cc
+            return jax.lax.fori_loop(0, n_rows, row_body, cc)
+        t_r, w = jax.lax.fori_loop(0, reps, rep_body, (ox * 0.0 + 1e30, ox * 0.0))
+        out_ref[:] = t_r
+        w_ref[:] = w
+    return pl.pallas_call(
+        kern,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((ROWS, LANES), jnp.float32)] * 2,
+    )
+
+
+def kernel_static(grouped: bool, reps: int):
+    """F (grouped=False): every field a compile-time immediate, fully
+    unrolled. G (True): same immediates, but fori over 'rows' of 9."""
+    recs = [tuple(float(v) for v in rec[i]) for i in range(N_TRI)]
+
+    def kern(o_ref, d_ref, out_ref, w_ref):
+        ox, dx = o_ref[:], d_ref[:]
+        oy, dy = ox * 0.5, dx * 0.5
+
+        if grouped:
+            # static fields cannot live inside fori (index is traced) —
+            # emulate the loop structure with a switch over row bodies
+            def rep_body(rr, cc):
+                def row_fn(r):
+                    def go(cc):
+                        for jj in range(PER):
+                            i = r * PER + jj
+                            if i >= N_TRI:
+                                break
+                            cc = carry_update(
+                                lambda j, rr=recs[i]: rr[j],
+                                ox, dx, oy, dy, cc)
+                        return cc
+                    return go
+
+                def row_body(r, cc):
+                    return jax.lax.switch(r, [row_fn(q) for q in range(n_rows)],
+                                          cc)
+                return jax.lax.fori_loop(0, n_rows, row_body, cc)
+        else:
+            def rep_body(rr, cc):
+                for i in range(N_TRI):
+                    cc = carry_update(lambda j, rr=recs[i]: rr[j],
+                                      ox, dx, oy, dy, cc)
+                return cc
+        t_r, w = jax.lax.fori_loop(0, reps, rep_body, (ox * 0.0 + 1e30, ox * 0.0))
+        out_ref[:] = t_r
+        w_ref[:] = w
+    return pl.pallas_call(
+        kern,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((ROWS, LANES), jnp.float32)] * 2,
+    )
+
+
+def kernel_outer(reps: int, tile: int = 1024):
+    """Field-major outer product, rays tiled to (tile, 1) columns."""
+    n_t = R // tile
+
+    def kern(o_ref, d_ref, fm_ref, out_ref, w_ref):
+        def tile_body(ti, _):
+            rows_per = tile // LANES
+            ox = o_ref[pl.ds(ti * rows_per, rows_per), :].reshape(tile, 1)
+            dx = d_ref[pl.ds(ti * rows_per, rows_per), :].reshape(tile, 1)
+            oy, dy = ox * 0.5, dx * 0.5
+
+            def rep_body(rr, cc):
+                def cl_body(c, cc):
+                    t_r, w = cc
+                    rows = fm_ref[pl.ds(c * F, F), :]
+
+                    def fr(j):
+                        return rows[j:j + 1, :]
+                    no = fr(0) * ox + fr(1) * oy
+                    nd = fr(0) * dx + fr(1) * dy
+                    e1o = fr(4) * ox + fr(5) * oy
+                    e1d = fr(4) * dx + fr(5) * dy
+                    e2o = fr(8) * ox + fr(9) * oy
+                    e2d = fr(8) * dx + fr(10) * dy
+                    valid = jnp.abs(nd) > 1e-9
+                    t = (fr(3) - (no + fr(2))) / jnp.where(valid, nd, 1.0)
+                    alpha = (e1o - fr(7)) + t * e1d
+                    beta = (e2o - fr(11)) + t * e2d
+                    hit = valid & (alpha >= 0.0) & (beta >= 0.0) \
+                        & (alpha + beta <= 1.0) & (t > 1e-4)
+                    tm = jnp.where(hit, t, 1e30)
+                    t_best = jnp.min(tm, axis=1, keepdims=True)
+                    improved = t_best < t_r
+                    one_hot = (tm == t_best) & improved
+                    w_new = jnp.max(jnp.where(one_hot, fr(12), -1e30),
+                                    axis=1, keepdims=True)
+                    return (jnp.where(improved, t_best, t_r),
+                            jnp.where(improved, w_new, w))
+                return jax.lax.fori_loop(0, n_cl, cl_body, cc)
+            zero = ox * 0.0
+            t_r, w = jax.lax.fori_loop(0, reps, rep_body,
+                                       (zero + 1e30, zero))
+            out_ref[pl.ds(ti * rows_per, rows_per), :] = \
+                t_r.reshape(rows_per, LANES)
+            w_ref[pl.ds(ti * rows_per, rows_per), :] = \
+                w.reshape(rows_per, LANES)
+            return 0
+        jax.lax.fori_loop(0, n_t, tile_body, 0)
+    return pl.pallas_call(
+        kern,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((ROWS, LANES), jnp.float32)] * 2,
+    )
+
+
+def run(name, call, *args):
+    try:
+        f = jax.jit(call)
+        out = f(*args)
+        float(np.asarray(out[0]).sum())  # sync
+        t0 = time.perf_counter()
+        out = f(*args)
+        s = float(np.asarray(out[0]).sum())
+        dt = time.perf_counter() - t0
+        per_tri = dt / (REPS * N_TRI) * 1e9
+        print(f"{name:12s}: {dt*1e3:8.2f} ms  {per_tri:7.1f} ns/tri  "
+              f"(sum {s:.1f})", flush=True)
+        return out
+    except Exception as e:
+        print(f"{name:12s}: FAILED {type(e).__name__}: {str(e)[:300]}",
+              flush=True)
+        return None
+
+
+if __name__ == "__main__":
+    which = sys.argv[3].split(",") if len(sys.argv) > 3 else None
+    results = {}
+
+    def maybe(name, mk, *args):
+        if which is None or name in which:
+            results[name] = run(name, mk, *args)
+
+    maybe("extract-blk", kernel_extract("blk", REPS), o, d, pack)
+    maybe("extract-sls", kernel_extract("sls", REPS), o, d, pack)
+    maybe("smem-unroll", kernel_smem_unroll(REPS), o, d, rec_flat)
+    maybe("static-imm", kernel_static(False, REPS), o, d)
+    maybe("static-row", kernel_static(True, REPS), o, d)
+    maybe("divfree-sls", kernel_extract("divfree", REPS), o, d, pack)
+    maybe("outer-vpu", kernel_outer(REPS), o, d, fm)
+
+    a = results.get("extract-blk")
+    for name in ("extract-sls", "smem-unroll", "static-imm", "static-row",
+                 "divfree-sls"):
+        x = results.get(name)
+        if a is not None and x is not None:
+            print(f"A=={name}:", bool(np.allclose(np.asarray(a[0]),
+                                                  np.asarray(x[0]), atol=1e-4)))
+    x = results.get("outer-vpu")
+    if a is not None and x is not None:
+        print("A~=outer-vpu (t):", bool(np.allclose(np.asarray(a[0]),
+                                                    np.asarray(x[0]),
+                                                    atol=1e-4)))

@@ -146,17 +146,24 @@ def pdf_quad(
     qu: Vec3,
     qv: Vec3,
 ) -> jnp.ndarray:
-    """Area->solid-angle PDF for a quad light (win32_main.cpp:301-322).
+    """Area->solid-angle PDF for a quad light: distance^2 / (cos * area)
+    with distance = t*|d|, cos the angle between the ray and the quad
+    NORMAL, area = |cross(u,v)|.
 
-    distance^2 / (cos * area) with distance = t*|d|, cos = |dot(d, N)|/|d|,
-    area = |cross(u,v)|. The reference defines but never calls this (quad
-    lights unfinished, SURVEY.md:67); provided for API parity and tested.
+    Realizes the reference's dead PdfValueQuad (win32_main.cpp:301-322 —
+    defined, never called) with one fix: the reference computes its cosine
+    as |dot(dir, N)|/|dir| with N = cross(u,v) UNNORMALIZED, i.e.
+    cos*area, which makes the result dist^2/(cos*area^2) — off by a
+    factor of area. Dead there, that latent bug never fired; used live as
+    an NEE mixture weight it under-weights quad samples by `area` and the
+    estimator explodes (measured: 7300x-bright world 6). The cosine here
+    divides by |N| as the area->solid-angle Jacobian requires.
     """
     n = cross(qu, qv)
     area = magnitude(n)
     mag = magnitude(d)
     dist2 = t * t * mag * mag
-    cosine = jnp.abs(dot(d, n) / jnp.maximum(mag, 1e-30))
+    cosine = jnp.abs(dot(d, n)) / jnp.maximum(mag * area, 1e-30)
     denom = cosine * area
     pdf = jnp.where(denom > 0.0, dist2 / jnp.maximum(denom, 1e-30), 0.0)
     return jnp.where(hit, pdf, 0.0)

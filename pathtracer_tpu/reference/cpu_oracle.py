@@ -256,9 +256,12 @@ def pdf_to_sphere(world, o, d, center, radius):
 
 
 def pdf_quad(o, d, qp, qu, qv):
-    """Scalar twin of PdfValueQuad (win32_main.cpp:301-322): 0 unless the
-    ray hits the quad at t > MIN_HIT_DISTANCE (the plain constant, NOT the
-    dispatcher's 0.02 quad quirk), else dist^2 / (cos * area)."""
+    """Scalar twin of ops/sampling.pdf_quad: 0 unless the ray hits the
+    quad at t > MIN_HIT_DISTANCE (the plain constant, NOT the dispatcher's
+    0.02 quad quirk), else dist^2 / (cos * area). Like the device twin it
+    FIXES the reference PdfValueQuad's unnormalized-normal cosine
+    (win32_main.cpp:317-320 divides by cos*area^2; see sampling.pdf_quad's
+    docstring)."""
     t = ray_planar(o, d, qp, qu, qv, MIN_HIT_DISTANCE, quad=True)
     if t is None:
         return F32(0.0)
@@ -266,7 +269,7 @@ def pdf_quad(o, d, qp, qu, qv):
     area = F32(np.sqrt(dot(n, n)))
     mag = F32(np.sqrt(dot(d, d)))
     dist2 = t * t * mag * mag
-    cosine = abs(dot(d, n) / mag)
+    cosine = abs(dot(d, n)) / (mag * area)
     return F32(dist2 / (cosine * area)) if cosine * area > 0 else F32(0.0)
 
 

@@ -59,6 +59,16 @@ _BLOCK_ROWS = 32
 # because distinct tiles grow sublinearly with lanes. Swept 16/32/64/128
 # on world 1: 34/43/56/64 Mrays/s (BENCH.md round 2b).
 _BLOCK_ROWS_TEXTURED = 128
+# Streamed-mesh scenes (>1024 tris) are ISSUE-LATENCY-bound in the
+# per-cluster record loop (experiments/stream_extract_micro.py: a static-
+# immediates floor with zero loads costs the same ~1.2 us/tri as the real
+# extraction, and per-tri cost is nearly flat in block width), so wider
+# blocks amortize the serial chain over more rays. Swept 32/64/128 rows on
+# the crossover workload: 2k tris 19.6/26.9/22.5, 8k 15.6/21.0/17.9
+# Mrays/s — 64 rows best. The STATIC clustered tier keeps 32 (world 5
+# swept 94 at 64 rows vs ~105 at 32: the unrolled straight-line code is
+# throughput-bound, where bigger blocks only add spills).
+_BLOCK_ROWS_STREAMED = 64
 _LANES = 128
 BLOCK = _BLOCK_ROWS * _LANES
 # Samples per kernel dispatch on clustered (untextured) scenes. Measured
@@ -72,8 +82,11 @@ def _block_rows(scene: Scene) -> int:
     import os
     if os.environ.get("PT_BLOCK_ROWS"):  # perf-sweep knob (experiments/)
         return int(os.environ["PT_BLOCK_ROWS"])
-    return _BLOCK_ROWS_TEXTURED if (
-        scene.n_textures and scene.tex_combined) else _BLOCK_ROWS
+    if scene.n_textures and scene.tex_combined:
+        return _BLOCK_ROWS_TEXTURED
+    if scene.tri_streamed:
+        return _BLOCK_ROWS_STREAMED
+    return _BLOCK_ROWS
 
 
 def supports(scene: Scene, config: RenderConfig) -> bool:

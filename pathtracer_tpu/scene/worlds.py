@@ -127,22 +127,27 @@ def build_world(
         # box rebuilt around an emissive AREA QUAD in the ceiling — the
         # scene the reference's dead PdfValueQuad (win32_main.cpp:301-322)
         # was written for. Geometry/material data follow the reference's
-        # Cornell (:1844-1901); the light sphere is replaced by a 130x130
-        # quad just under the ceiling plus two diffuse spheres so the soft
+        # Cornell (:1844-1901); the light sphere is replaced by a 260x260
+        # quad just under the ceiling plus two spheres so the soft
         # shadows show.
         _add_sky(b, (0.0, 0.0, 0.0))
         left, right, bottom, top, front, back = 0.0, 800.0, 0.0, 555.0, 0.0, 555.0
         red = b.add_material(albedo=(0.65, 0.05, 0.05))
         white = b.add_material(albedo=(0.73, 0.73, 0.73))
         green = b.add_material(albedo=(0.12, 0.45, 0.15))
-        light = b.add_material(albedo=(0, 0, 0), emit=(15.0, 15.0, 15.0))
+        # emit tuned so the quad lights the 800-wide box to the same mean
+        # linear radiance as world 3 (~0.2); the classic Cornell's 15 is
+        # calibrated to its much larger light-to-box ratio. A 260x260 quad
+        # at emit 10 carries the same power as 130x130 at 40 with 4x lower
+        # per-hit weight (fewer fireflies, softer shadows).
+        light = b.add_material(albedo=(0, 0, 0), emit=(10.0, 10.0, 10.0))
 
         b.add_quad((right, bottom, front), (0, 0, top - bottom), (0, back - front, 0), green)
         b.add_quad((left, bottom, front), (0, back - front, 0), (0, 0, top - bottom), red)
         # the area light: spheres stay empty of emitters; NEE targets this
         cx, cy = (right - left) / 2.0, (back - front) / 2.0
-        ql = b.add_quad((cx - 65.0, cy - 65.0, top - 1.0),
-                        (130.0, 0.0, 0.0), (0.0, 130.0, 0.0), light)
+        ql = b.add_quad((cx - 130.0, cy - 130.0, top - 1.0),
+                        (260.0, 0.0, 0.0), (0.0, 260.0, 0.0), light)
         b.set_quad_light(ql)
         b.add_quad((left, front, top), (0, back - front, 0), (right - left, 0, 0), white)
         b.add_quad((left, back, bottom), (right - left, 0, 0), (0, 0, top - bottom), white)

@@ -93,6 +93,15 @@ class TestPdfs:
         d = vec3(0.0, 0.0, -1.0)
         p = float(S.pdf_quad(t, jnp.asarray(True), d, vec3(1.0, 0.0, 0.0), vec3(0.0, 1.0, 0.0)))
         np.testing.assert_allclose(p, 25.0, rtol=1e-5)  # d^2/(cos*area) = 25/1
+        # Non-unit area pins the fixed Jacobian: the reference's dead
+        # PdfValueQuad divides by cos*area^2 (unnormalized-normal cosine,
+        # win32_main.cpp:317-320) and would return 25/16 here, not 25/4.
+        p = float(S.pdf_quad(t, jnp.asarray(True), d, vec3(2.0, 0.0, 0.0), vec3(0.0, 2.0, 0.0)))
+        np.testing.assert_allclose(p, 25.0 / 4.0, rtol=1e-5)
+        # Oblique 30-degree incidence on the same quad: cos = 1/2 doubles it.
+        d30 = vec3(0.0, np.sqrt(3.0) / 2.0, -0.5)
+        p = float(S.pdf_quad(t, jnp.asarray(True), d30, vec3(2.0, 0.0, 0.0), vec3(0.0, 2.0, 0.0)))
+        np.testing.assert_allclose(p, 25.0 / 2.0, rtol=1e-5)
 
     def test_sample_to_quad_lands_on_quad(self, rng):
         # Directions from sample_to_quad, followed to the quad's plane, land
@@ -108,6 +117,33 @@ class TestPdfs:
         y = -0.2 + t * np.asarray(d.y)
         np.testing.assert_allclose(x, -1.0 + 2.0 * np.asarray(u1), atol=1e-5)
         np.testing.assert_allclose(y, -1.0 + 2.0 * np.asarray(u2), atol=1e-5)
+
+    def test_pdf_quad_integrates_to_solid_angle(self):
+        # For directions drawn by sample_to_quad (uniform on the quad's
+        # area), E[1 / pdf_quad(L)] equals the quad's solid angle — the
+        # defining property of an area->solid-angle density. Checked
+        # against the closed form for a rectangle seen from a point on its
+        # perpendicular axis: 4*atan(ab / sqrt(1+a^2+b^2)), a,b = half-
+        # extents / height. The reference's unnormalized-normal bug fails
+        # this by the factor area (= 6 here).
+        from pathtracer_tpu.ops.intersect import ray_planar_quad
+        from pathtracer_tpu.scene.schema import MIN_HIT_DISTANCE
+        h, au, av = 4.0, 3.0, 2.0  # height, full extents
+        qp = vec3(-au / 2.0, -av / 2.0, h)
+        qu, qv = vec3(au, 0.0, 0.0), vec3(0.0, av, 0.0)
+        o = vec3(0.0, 0.0, 0.0)
+        n = 96
+        g = (np.arange(n, dtype=np.float32) + 0.5) / n
+        u1 = jnp.asarray(np.repeat(g, n))
+        u2 = jnp.asarray(np.tile(g, n))
+        import pathtracer_tpu.utils.vec as V
+        L = V.normalize(S.sample_to_quad(u1, u2, qp, qu, qv, o), eps=1e-30)
+        t, hit = ray_planar_quad(o, L, qp, qu, qv, min_hit=MIN_HIT_DISTANCE)
+        p = np.asarray(S.pdf_quad(t, hit, L, qu, qv))
+        assert (p > 0).all()
+        alpha, beta = au / (2 * h), av / (2 * h)
+        omega = 4.0 * np.arctan(alpha * beta / np.sqrt(1 + alpha**2 + beta**2))
+        np.testing.assert_allclose((1.0 / p).mean(), omega, rtol=2e-3)
 
     def test_pdf_quad_matches_oracle_twin(self, rng):
         # The jax pdf_quad and the oracle's independent scalar twin agree on
