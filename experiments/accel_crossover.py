@@ -86,6 +86,7 @@ rays = float(np.asarray(st2.rays_cast))
 dt = time.perf_counter() - t0
 n_cl = scene.n_stream_clusters if scene.tri_streamed \
     else len(scene.tri_clusters)
-tier = "streamed" if scene.tri_streamed else ("static" if n_cl else "brute")
+tier = ("dma" if scene.tri_dma else "streamed") if scene.tri_streamed \
+    else ("static" if n_cl else "brute")
 print(f"ntris={ntris} mode={mode} spp={spp} tier={tier} "
       f"clusters={n_cl} {rays/dt/1e6:.1f} Mrays/s", flush=True)

@@ -270,6 +270,19 @@ def _intersect_triangles_streamed(scene: Scene, o: Vec3, d: Vec3,
     per = clu.STREAM_TRIS_PER_ROW
     F = clu.STREAM_FIELDS
     rpc = clu.stream_rows_per_cluster(leaf)  # static rows per cluster
+    # DMA mode (scene.tri_dma, > STREAM_MAX tris): the pack rows live in
+    # HBM; render/pallas_backend hands the kernel a 2-slot VMEM scratch
+    # (2*rpc rows) + DMA semaphore pair through the scene pytree. Only the
+    # kernel sets them — the XLA drivers read mtri_pack directly (XLA
+    # manages residency itself).
+    dma = scene.stream_scratch is not None
+
+    def _dma_copy(c, slot):
+        from jax.experimental.pallas import tpu as pltpu
+        return pltpu.make_async_copy(
+            scene.mtri_pack.at[pl.ds(c * rpc, rpc), :],
+            scene.stream_scratch.at[pl.ds(slot * rpc, rpc), :],
+            scene.stream_sem.at[slot])
 
     def row_bcast(tab, i):
         # refs (compiled OR interpret kernels) slide the sublane axis with
@@ -290,60 +303,91 @@ def _intersect_triangles_streamed(scene: Scene, o: Vec3, d: Vec3,
                1.0 / jnp.where(d.y != 0.0, d.y, 1e-30),
                1.0 / jnp.where(d.z != 0.0, d.z, 1e-30))
 
-    def cluster_body(c, carry):
-        t_r = carry[0]
-        brow = row_bcast(scene.mtri_bounds, c)
-        mn = [lane(brow, k) for k in range(3)]
-        mx = [lane(brow, 3 + k) for k in range(3)]
-        t0x = (mn[0] - o.x) * inv.x
-        t1x = (mx[0] - o.x) * inv.x
-        t0y = (mn[1] - o.y) * inv.y
-        t1y = (mx[1] - o.y) * inv.y
-        t0z = (mn[2] - o.z) * inv.z
-        t1z = (mx[2] - o.z) * inv.z
-        tmin = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
-                                       jnp.minimum(t0y, t1y)),
-                           jnp.minimum(t0z, t1z))
-        tmax = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
-                                       jnp.maximum(t0y, t1y)),
-                           jnp.maximum(t0z, t1z))
-        relevant = (tmax >= tmin) & (tmax >= 0.0) & (tmin < t_r)
+    def make_cluster_body(lo, hi):
+        # fori body over the STATIC cluster range [lo, hi) (one parent's
+        # leaves, or the whole list). Ranges are static so the DMA
+        # double-buffer can seed slot parity and prologue per range.
+        def cluster_body(c, carry):
+            t_r = carry[0]
+            if dma:
+                # Wait on THIS cluster's copy (started by the range
+                # prologue or the previous iteration), then immediately
+                # start the NEXT cluster's into the other slot so its
+                # HBM->VMEM time hides under this cluster's tests. The
+                # prefetch is unconditional within a descended parent —
+                # a cluster's rows are ~rpc*512 B, noise next to the
+                # slab-test + record-extraction cost.
+                slot = jax.lax.rem(c - lo, 2)
+                _dma_copy(c, slot).wait()
 
-        def row_body(r, cc):
-            # ONE dynamic row read per 9 triangles; record fields extract
-            # at STATIC lane offsets (clusters are row-aligned,
-            # clusters.pack_stream_clusters). Winner attributes (normal,
-            # mat) resolve INLINE from the loaded row: a windowed post-LUT
-            # would unroll O(n_tris/128) windows — fine for the static
-            # tier's <= 1024 rows, code-size explosion at this tier's
-            # 32k-131k. Padding records have n=0 -> invalid -> never hit.
-            trow = row_bcast(scene.mtri_pack, c * rpc + r)
-            for jj in range(per):  # static 9-way unroll
-                t_r2, nx, ny, nz, mf = cc
-                base = jj * F
-                f = lambda j, base=base: lane(trow, base + j)
-                n = Vec3(f(0), f(1), f(2))
-                e1 = Vec3(f(4), f(5), f(6))
-                e2 = Vec3(f(8), f(9), f(10))
-                denom = dot(n, d)
-                valid = (denom < -TOLERANCE) | (denom > TOLERANCE)
-                t = (f(3) - dot(n, o)) / jnp.where(valid, denom, 1.0)
-                alpha = (dot(e1, o) - f(7)) + t * dot(e1, d)
-                beta = (dot(e2, o) - f(11)) + t * dot(e2, d)
-                inside = (alpha >= 0.0) & (beta >= 0.0) & ((alpha + beta) <= 1.0)
-                hit = valid & inside & (t > MIN_HIT_DISTANCE)
-                take = hit & (t < t_r2)
-                cc = (jnp.where(take, t, t_r2),
-                      jnp.where(take, n.x, nx),
-                      jnp.where(take, n.y, ny),
-                      jnp.where(take, n.z, nz),
-                      jnp.where(take, f(12), mf))
-            return cc
+                @pl.when(c + 1 < hi)
+                def _prefetch():
+                    _dma_copy(c + 1, 1 - slot).start()
+            brow = row_bcast(scene.mtri_bounds, c)
+            mn = [lane(brow, k) for k in range(3)]
+            mx = [lane(brow, 3 + k) for k in range(3)]
+            t0x = (mn[0] - o.x) * inv.x
+            t1x = (mx[0] - o.x) * inv.x
+            t0y = (mn[1] - o.y) * inv.y
+            t1y = (mx[1] - o.y) * inv.y
+            t0z = (mn[2] - o.z) * inv.z
+            t1z = (mx[2] - o.z) * inv.z
+            tmin = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                           jnp.minimum(t0y, t1y)),
+                               jnp.minimum(t0z, t1z))
+            tmax = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                           jnp.maximum(t0y, t1y)),
+                               jnp.maximum(t0z, t1z))
+            relevant = (tmax >= tmin) & (tmax >= 0.0) & (tmin < t_r)
 
-        def run(cc):
-            return jax.lax.fori_loop(0, rpc, row_body, cc)
+            def row_body(r, cc):
+                # ONE dynamic row read per 9 triangles; record fields
+                # extract at STATIC lane offsets (clusters are row-aligned,
+                # clusters.pack_stream_clusters). Winner attributes
+                # (normal, mat) resolve INLINE from the loaded row: a
+                # windowed post-LUT would unroll O(n_tris/128) windows —
+                # fine for the static tier's <= 1024 rows, code-size
+                # explosion at this tier's 32k+. Padding records have
+                # n=0 -> invalid -> never hit.
+                if dma:
+                    trow = row_bcast(scene.stream_scratch, slot * rpc + r)
+                else:
+                    trow = row_bcast(scene.mtri_pack, c * rpc + r)
+                for jj in range(per):  # static 9-way unroll
+                    t_r2, nx, ny, nz, mf = cc
+                    base = jj * F
+                    f = lambda j, base=base: lane(trow, base + j)
+                    n = Vec3(f(0), f(1), f(2))
+                    e1 = Vec3(f(4), f(5), f(6))
+                    e2 = Vec3(f(8), f(9), f(10))
+                    denom = dot(n, d)
+                    valid = (denom < -TOLERANCE) | (denom > TOLERANCE)
+                    t = (f(3) - dot(n, o)) / jnp.where(valid, denom, 1.0)
+                    alpha = (dot(e1, o) - f(7)) + t * dot(e1, d)
+                    beta = (dot(e2, o) - f(11)) + t * dot(e2, d)
+                    inside = ((alpha >= 0.0) & (beta >= 0.0)
+                              & ((alpha + beta) <= 1.0))
+                    hit = valid & inside & (t > MIN_HIT_DISTANCE)
+                    take = hit & (t < t_r2)
+                    cc = (jnp.where(take, t, t_r2),
+                          jnp.where(take, n.x, nx),
+                          jnp.where(take, n.y, ny),
+                          jnp.where(take, n.z, nz),
+                          jnp.where(take, f(12), mf))
+                return cc
 
-        return jax.lax.cond(jnp.any(relevant), run, lambda cc: cc, carry)
+            def run(cc):
+                return jax.lax.fori_loop(0, rpc, row_body, cc)
+
+            return jax.lax.cond(jnp.any(relevant), run, lambda cc: cc, carry)
+        return cluster_body
+
+    def run_range(lo, hi, carry):
+        # lo/hi are STATIC (a parent descriptor's cluster range). In DMA
+        # mode, seed the pipeline: first cluster's rows -> slot 0.
+        if dma:
+            _dma_copy(lo, 0).start()
+        return jax.lax.fori_loop(lo, hi, make_cluster_body(lo, hi), carry)
 
     zero = o.x * 0.0
     mat_sentinel = zero - 1.0  # f32 mat carry; >= 0 marks a real winner
@@ -360,8 +404,7 @@ def _intersect_triangles_streamed(scene: Scene, o: Vec3, d: Vec3,
         carry = init
         for (pstart, pcnt, pmn, pmx) in scene.stream_parents:
             def descend(cc, pstart=pstart, pcnt=pcnt):
-                return jax.lax.fori_loop(pstart, pstart + pcnt,
-                                         cluster_body, cc)
+                return run_range(pstart, pstart + pcnt, cc)
             if pmn is None:
                 carry = descend(carry)
             else:
@@ -370,8 +413,7 @@ def _intersect_triangles_streamed(scene: Scene, o: Vec3, d: Vec3,
                 carry = jax.lax.cond(jnp.any(relevant), descend,
                                      lambda cc: cc, carry)
     else:
-        carry = jax.lax.fori_loop(
-            0, scene.n_stream_clusters, cluster_body, init)
+        carry = run_range(0, scene.n_stream_clusters, init)
     t_run, nx, ny, nz, mf = carry
     found = mf >= 0.0
     return Hit(

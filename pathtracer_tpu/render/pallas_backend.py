@@ -426,9 +426,16 @@ def render_chunk_pallas(
         (i for i, l in enumerate(scene_leaves) if l is scene.tex_tile), None)
     use_tex_ref = scene.tex_combined and scene.n_textures > 0
     ref_slots = {tex_idx} if use_tex_ref else set()
+    pack_idx = None
     if scene.tri_streamed:
         ref_slots |= {i for i, l in enumerate(scene_leaves)
                       if l is scene.mtri_bounds or l is scene.mtri_pack}
+        pack_idx = next(i for i, l in enumerate(scene_leaves)
+                        if l is scene.mtri_pack)
+    # DMA tier: the pack rows stay in HBM (memory_space=ANY); the kernel
+    # double-buffers each cluster's rows into a 2-slot VMEM scratch
+    # (ops/intersect._intersect_triangles_streamed, dma branch).
+    dma_mode = bool(scene.tri_streamed and scene.tri_dma)
     sk = jnp.asarray(key, jnp.uint32).reshape(1, 1)
 
     from ..ops import intersect as _intersect_mod
@@ -438,11 +445,16 @@ def render_chunk_pallas(
     def make_kernel(ns: int):
         def kernel(sk_ref, ss0_ref, pix_ref, *refs):
             scene_refs = refs[: len(scene_leaves)]
-            outs = refs[len(scene_leaves):]
+            outs = refs[len(scene_leaves): len(scene_leaves) + 9]
             (sumx, sumy, sumz, sqx, sqy, sqz, cnt, nanc, rays) = outs
             vals = [r if i in ref_slots else r[:]
                     for i, r in enumerate(scene_refs)]
             scene_local = jax.tree_util.tree_unflatten(scene_def, vals)
+            if dma_mode:
+                # scratch refs trail the outputs in the kernel signature
+                scratch_ref, sem_ref = refs[len(scene_leaves) + 9:]
+                scene_local = scene_local.replace(
+                    stream_scratch=scratch_ref, stream_sem=sem_ref)
             if use_tex_ref:
                 _texture_mod.KERNEL_TEX_REF = scene_refs[tex_idx]
             pixel_block = pix_ref[:]
@@ -468,7 +480,18 @@ def render_chunk_pallas(
 
     blk = pl.BlockSpec((block_rows, _LANES), lambda i: (i, 0),
                        memory_space=pltpu.VMEM)
-    full = lambda leaf: pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    def full(i, leaf):
+        if dma_mode and i == pack_idx:
+            return pl.BlockSpec(memory_space=pltpu.ANY)  # stays in HBM
+        return pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    scratch_shapes = []
+    if dma_mode:
+        from ..scene import clusters as _clu
+        rpc = _clu.stream_rows_per_cluster(scene.stream_leaf)
+        scratch_shapes = [pltpu.VMEM((2 * rpc, _LANES), jnp.float32),
+                          pltpu.SemaphoreType.DMA((2,))]
     out_shape = [jax.ShapeDtypeStruct((rows_total, _LANES), jnp.float32)
                  for _ in range(9)]
     calls = {}  # ns -> compiled pallas_call (1-2 distinct tail sizes)
@@ -482,9 +505,10 @@ def render_chunk_pallas(
                     pl.BlockSpec(memory_space=pltpu.SMEM),
                     pl.BlockSpec(memory_space=pltpu.SMEM),
                     blk,
-                ] + [full(l) for l in scene_leaves],
+                ] + [full(i, l) for i, l in enumerate(scene_leaves)],
                 out_specs=[blk] * 9,
                 out_shape=out_shape,
+                scratch_shapes=scratch_shapes,
                 interpret=interpret,
             )
         ss0 = (jnp.asarray(s0, jnp.int32) + off).reshape(1, 1)

@@ -259,8 +259,15 @@ STREAM_MIN = 1024
 import os as _os
 if _os.environ.get("PT_STREAM_MIN"):  # perf-sweep knob (accel_crossover)
     STREAM_MIN = int(_os.environ["PT_STREAM_MIN"])
-# VMEM budget cap for the streamed tables (~8 MB of pack rows).
+# VMEM budget cap for the RESIDENT streamed tables (~8 MB of pack rows).
+# Above it the pack rows leave VMEM entirely: the DMA tier keeps them in
+# HBM and double-buffers each cluster's rows into a 2-slot VMEM scratch
+# with async copies (ops/intersect streamed branch, DMA mode), so only
+# the bounds rows (n_clusters x 512 B) stay resident.
 STREAM_MAX = 131072
+# DMA-tier cap: bounds-row VMEM (~5.5 MB at 1M tris, leaf 96) plus
+# parent-descriptor code size set the practical ceiling, not HBM.
+DMA_MAX = 1 << 20
 
 
 def stream_rows_per_cluster(leaf: int) -> int:

@@ -212,6 +212,16 @@ class Scene:
     tri_streamed: bool = struct.field(pytree_node=False, default=False)
     stream_leaf: int = struct.field(pytree_node=False, default=0)
     n_stream_clusters: int = struct.field(pytree_node=False, default=0)
+    # DMA tier (ntri > clusters.STREAM_MAX, or PT_STREAM_DMA=1): the pack
+    # rows stay in HBM; the kernel double-buffers each cluster's rows into
+    # a 2-slot VMEM scratch with async copies. The XLA drivers ignore the
+    # flag (XLA manages residency itself).
+    tri_dma: bool = struct.field(pytree_node=False, default=False)
+    # Kernel-only plumbing for the DMA tier: render/pallas_backend fills
+    # these with the VMEM scratch ref and DMA semaphore array inside the
+    # kernel (None everywhere else — None flattens to no pytree leaves).
+    stream_scratch: Optional[object] = None
+    stream_sem: Optional[object] = None
     # Two-level hierarchy over the streamed clusters: static
     # (start, count, mn3 | None, mx3 | None) parent descriptors in CLUSTER
     # units (clusters.build_parents). Parent bounds bake into the kernel as
@@ -399,6 +409,7 @@ class WorldBuilder:
         mtri_bounds = np.zeros((1, 128), f32)
         mtri_pack = np.zeros((1, 128), f32)
         tri_streamed = False
+        tri_dma = False
         stream_leaf = 0
         n_stream_clusters = 0
         stream_parents: tuple = ()
@@ -408,7 +419,7 @@ class WorldBuilder:
             ctri = clu.triangle_precompute(
                 tri_a[:ntri][order], tri_u[:ntri][order], tri_v[:ntri][order])
             ctri_m = tri_m[:ntri][order]
-            if clu.STREAM_MIN < ntri <= clu.STREAM_MAX:
+            if clu.STREAM_MIN < ntri <= clu.DMA_MAX:
                 # streamed tier: dynamic row reads instead of a static
                 # unroll; resolve tables switch to the cluster-padded
                 # record layout. Clusters regroup under parent AABBs
@@ -423,6 +434,12 @@ class WorldBuilder:
                     ctri, ctri_m, tri_clusters, stream_leaf)
                 n_stream_clusters = len(tri_clusters)
                 tri_streamed = True
+                # DMA tier: pack rows leave VMEM above STREAM_MAX (HBM +
+                # double-buffered async copies); PT_STREAM_DMA=1 forces it
+                # for any streamed mesh (equivalence tests + ablation).
+                import os as _os
+                tri_dma = (ntri > clu.STREAM_MAX
+                           or bool(_os.environ.get("PT_STREAM_DMA")))
                 tri_clusters = ()
                 # the streamed tier resolves winner attributes inline from
                 # the pack rows; the flat ctri tables would only waste
@@ -594,6 +611,7 @@ class WorldBuilder:
             mtri_bounds=jnp.asarray(mtri_bounds),
             mtri_pack=jnp.asarray(mtri_pack),
             tri_streamed=tri_streamed,
+            tri_dma=tri_dma,
             stream_leaf=stream_leaf,
             n_stream_clusters=n_stream_clusters,
             stream_parents=stream_parents,

@@ -264,6 +264,44 @@ class TestStreamedMeshTier:
         scene, _ = self._scene(2000)
         assert supports(scene, RenderConfig(width=8, height=8, pp=1))
 
+    def test_dma_tier_bit_equal_to_resident(self):
+        """DMA tier (pack rows in HBM, double-buffered async copies into a
+        2-slot VMEM scratch) against the VMEM-resident streamed kernel:
+        identical arithmetic, only data movement differs, so the
+        interpret-mode renders must be BIT-EQUAL."""
+        from pathtracer_tpu.render.renderer import (
+            RenderConfig, init_accum, render_chunk, resolve,
+        )
+        from pathtracer_tpu.scene.camera import define_camera
+        from pathtracer_tpu.utils import prng
+        scene, _ = self._scene(2000)
+        assert not scene.tri_dma
+        scene_dma = scene.replace(tri_dma=True)
+        w, h, pp = 16, 8, 2
+        cam = define_camera((0, -24, 2), (0, 0, 0), 35.0, w, h)
+        cfg = RenderConfig(width=w, height=h, pp=pp, seed=3,
+                           backend="pallas-interpret")
+        key = prng.base_key(3)
+        imgs = []
+        for sc in (scene, scene_dma):
+            st = render_chunk(sc, cam, cfg, key, np.int32(0), cfg.spp,
+                              init_accum(w * h))
+            imgs.append(np.asarray(resolve(st, cfg)))
+        np.testing.assert_array_equal(imgs[0], imgs[1])
+
+    def test_dma_flag_set_above_stream_max(self):
+        """finalize marks meshes above STREAM_MAX (or PT_STREAM_DMA=1)
+        as the DMA tier, still streamed."""
+        scene, _ = self._scene(2000)
+        assert scene.tri_streamed and not scene.tri_dma
+        import os
+        os.environ["PT_STREAM_DMA"] = "1"
+        try:
+            forced, _ = self._scene(2000)
+        finally:
+            del os.environ["PT_STREAM_DMA"]
+        assert forced.tri_streamed and forced.tri_dma
+
     def test_streamed_render_matches_oracle(self):
         """End-to-end: a 1200-tri scene through the interpret-mode kernel
         vs the scalar oracle."""
