@@ -25,6 +25,12 @@
 
 #include <zlib.h>
 
+#ifndef PT_NO_MAIN
+// Baseline JPEG decoder (jpeg_decode.cpp) — the stbi JPG role.
+bool pt_load_jpeg(const char* path, int* out_w, int* out_h,
+                  std::vector<uint32_t>* out_px);
+#endif
+
 namespace {
 
 #ifndef PT_NO_MAIN  // loaders are only needed by the standalone tool
@@ -190,6 +196,8 @@ bool load_image(const char* path, Image* out) {
     std::fclose(f);
     if (got != 2) return false;
     if (magic[0] == 137 && magic[1] == 'P') return load_png(path, out);
+    if (magic[0] == 0xFF && magic[1] == 0xD8)  // baseline JPEG
+        return pt_load_jpeg(path, &out->w, &out->h, &out->px);
     return load_bmp(path, out);
 }
 

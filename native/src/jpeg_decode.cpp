@@ -1,0 +1,356 @@
+// Baseline JPEG decoder for the image-compare tool — the remaining slice
+// of the vendored-stb_image role (reference include/external/stb_image.h,
+// pulled in by src/image_compare.c:37,47: the reference tool accepts any
+// stbi-readable format; ours read BMP + PNG natively and this adds JPG).
+//
+// Scope: baseline sequential DCT (SOF0), 8-bit, grayscale or YCbCr with
+// any 1-2x chroma subsampling (4:4:4 / 4:2:2 / 4:4:0 / 4:2:0), restart
+// markers, multiple DQT/DHT segments. Progressive (SOF2), arithmetic
+// coding, 12-bit, and CMYK are out of scope — the compare tool's inputs
+// are renderer outputs and test fixtures, not arbitrary web JPEGs.
+//
+// Decoding pipeline: marker parse -> per-MCU Huffman decode (DC diff +
+// AC run/size, 0xFF00 stuffing, RSTn) -> dequantize -> inverse zigzag ->
+// separable float IDCT -> nearest-neighbor chroma upsample -> YCbCr->RGB
+// (ITU-R BT.601, the JFIF convention stbi implements).
+
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <vector>
+
+namespace ptjpeg {
+
+struct Huff {
+    // Canonical Huffman per JPEG Annex C: code lengths 1..16.
+    uint16_t mincode[17] = {0};
+    int32_t maxcode[18] = {0};   // -1 = no codes of this length
+    int32_t valptr[17] = {0};
+    uint8_t values[256] = {0};
+    bool present = false;
+
+    void build(const uint8_t counts[16], const uint8_t* vals, int nvals) {
+        int code = 0, k = 0;
+        for (int l = 1; l <= 16; ++l) {
+            valptr[l] = k;
+            mincode[l] = static_cast<uint16_t>(code);
+            code += counts[l - 1];
+            k += counts[l - 1];
+            maxcode[l] = counts[l - 1] ? code - 1 : -1;
+            code <<= 1;
+        }
+        maxcode[17] = 0x7FFFFFFF;
+        std::memcpy(values, vals, static_cast<size_t>(nvals));
+        present = true;
+    }
+};
+
+struct BitReader {
+    const uint8_t* p;
+    const uint8_t* end;
+    uint32_t buf = 0;
+    int nbits = 0;
+    bool bad = false;
+
+    BitReader(const uint8_t* data, size_t n) : p(data), end(data + n) {}
+
+    // Returns -1 on a marker (scan end) — callers treat it as EOB-ish.
+    int bit() {
+        if (nbits == 0) {
+            if (p >= end) { bad = true; return 0; }
+            uint8_t b = *p++;
+            if (b == 0xFF) {
+                if (p >= end) { bad = true; return 0; }
+                uint8_t m = *p++;
+                if (m != 0x00) {  // a real marker terminates entropy data
+                    p -= 2;
+                    bad = true;
+                    return 0;
+                }
+            }
+            buf = b;
+            nbits = 8;
+        }
+        --nbits;
+        return (buf >> nbits) & 1;
+    }
+
+    int bits(int n) {
+        int v = 0;
+        for (int i = 0; i < n; ++i) v = (v << 1) | bit();
+        return v;
+    }
+
+    void align_to_marker() {  // drop partial byte before an RST marker
+        nbits = 0;
+        // skip the 0xFF 0xDn marker itself
+        while (p < end && *p == 0xFF && p + 1 < end &&
+               (p[1] >= 0xD0 && p[1] <= 0xD7))
+            p += 2;
+        bad = false;
+    }
+};
+
+int decode_huff(BitReader& br, const Huff& h) {
+    int code = br.bit(), l = 1;
+    while (code > h.maxcode[l]) {
+        code = (code << 1) | br.bit();
+        if (++l > 16) return -1;
+    }
+    if (l > 16 || h.maxcode[l] < 0) return -1;
+    return h.values[h.valptr[l] + code - h.mincode[l]];
+}
+
+// Receive-and-extend (JPEG F.2.2.1): SIZE bits -> signed coefficient.
+int extend(int v, int size) {
+    return (size && v < (1 << (size - 1))) ? v - (1 << size) + 1 : v;
+}
+
+const uint8_t kZigzag[64] = {
+    0,  1,  8,  16, 9,  2,  3,  10, 17, 24, 32, 25, 18, 11, 4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6,  7,  14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63};
+
+// Separable 8-point float IDCT (AAN-free direct form: clear and exact
+// enough — decoder-to-decoder differences live in IDCT rounding anyway).
+void idct8x8(const float in[64], uint8_t out[64]) {
+    static float c[8][8];
+    static bool init = false;
+    if (!init) {
+        for (int u = 0; u < 8; ++u)
+            for (int x = 0; x < 8; ++x)
+                c[u][x] = std::cos((2 * x + 1) * u * 3.14159265358979323846f /
+                                   16.0f) *
+                          (u == 0 ? 0.353553390593f   // sqrt(1/8)
+                                  : 0.5f);
+        init = true;
+    }
+    float tmp[64];
+    for (int y = 0; y < 8; ++y)        // rows: sum over u
+        for (int x = 0; x < 8; ++x) {
+            float s = 0.0f;
+            for (int u = 0; u < 8; ++u) s += c[u][x] * in[y * 8 + u];
+            tmp[y * 8 + x] = s;
+        }
+    for (int x = 0; x < 8; ++x)        // cols: sum over v
+        for (int y = 0; y < 8; ++y) {
+            float s = 0.0f;
+            for (int v = 0; v < 8; ++v) s += c[v][y] * tmp[v * 8 + x];
+            const int q = static_cast<int>(std::lround(s)) + 128;
+            out[y * 8 + x] =
+                static_cast<uint8_t>(q < 0 ? 0 : (q > 255 ? 255 : q));
+        }
+}
+
+struct Component {
+    int id = 0, hs = 1, vs = 1, tq = 0, td = 0, ta = 0;
+    int dc_pred = 0;
+    int bw = 0, bh = 0;               // plane size in blocks
+    std::vector<uint8_t> plane;       // bw*8 x bh*8 samples
+};
+
+}  // namespace ptjpeg
+
+// Decodes a baseline JPEG into packed BGRA (row 0 = top), matching the
+// Image layout in image_compare.cpp. Returns false on anything outside
+// the supported baseline subset.
+bool pt_load_jpeg(const char* path, int* out_w, int* out_h,
+                  std::vector<uint32_t>* out_px) {
+    using namespace ptjpeg;
+    FILE* f = std::fopen(path, "rb");
+    if (!f) return false;
+    std::fseek(f, 0, SEEK_END);
+    const long fsize = std::ftell(f);
+    std::fseek(f, 0, SEEK_SET);
+    std::vector<uint8_t> d(static_cast<size_t>(fsize));
+    const bool read_ok = std::fread(d.data(), 1, d.size(), f) == d.size();
+    std::fclose(f);
+    if (!read_ok || d.size() < 4 || d[0] != 0xFF || d[1] != 0xD8) return false;
+
+    uint16_t qt[4][64] = {{0}};
+    Huff hdc[4], hac[4];
+    Component comp[3];
+    int ncomp = 0, W = 0, H = 0, restart_interval = 0;
+    size_t scan_off = 0, scan_len = 0;
+
+    auto u16 = [&](size_t o) {
+        return (static_cast<int>(d[o]) << 8) | d[o + 1];
+    };
+    for (size_t off = 2; off + 4 <= d.size();) {
+        if (d[off] != 0xFF) return false;
+        const uint8_t m = d[off + 1];
+        if (m == 0xD8 || (m >= 0xD0 && m <= 0xD7)) { off += 2; continue; }
+        if (m == 0xD9) break;  // EOI
+        const size_t len = static_cast<size_t>(u16(off + 2));
+        if (len < 2 || off + 2 + len > d.size()) return false;
+        const uint8_t* seg = &d[off + 4];
+        const size_t seglen = len - 2;
+        if (m == 0xDB) {  // DQT: one or more tables
+            for (size_t i = 0; i < seglen;) {
+                const int prec = seg[i] >> 4, id = seg[i] & 15;
+                if (id > 3) return false;
+                ++i;
+                for (int k = 0; k < 64; ++k)
+                    if (prec) { qt[id][k] = static_cast<uint16_t>(
+                                    (seg[i] << 8) | seg[i + 1]); i += 2; }
+                    else qt[id][k] = seg[i++];
+            }
+        } else if (m == 0xC4) {  // DHT: one or more tables
+            for (size_t i = 0; i < seglen;) {
+                const int cls = seg[i] >> 4, id = seg[i] & 15;
+                if (id > 3 || cls > 1) return false;
+                ++i;
+                uint8_t counts[16];
+                int nvals = 0;
+                for (int k = 0; k < 16; ++k) { counts[k] = seg[i + k];
+                                               nvals += counts[k]; }
+                i += 16;
+                if (nvals > 256) return false;
+                (cls ? hac : hdc)[id].build(counts, &seg[i], nvals);
+                i += static_cast<size_t>(nvals);
+            }
+        } else if (m == 0xC0 || m == 0xC1) {  // SOF0/1: baseline
+            if (seg[0] != 8) return false;   // 8-bit precision only
+            H = u16(off + 5);
+            W = u16(off + 7);
+            ncomp = seg[5];
+            if (ncomp != 1 && ncomp != 3) return false;
+            for (int i = 0; i < ncomp; ++i) {
+                comp[i].id = seg[6 + 3 * i];
+                comp[i].hs = seg[7 + 3 * i] >> 4;
+                comp[i].vs = seg[7 + 3 * i] & 15;
+                comp[i].tq = seg[8 + 3 * i];
+                if (comp[i].hs < 1 || comp[i].hs > 2 || comp[i].vs < 1 ||
+                    comp[i].vs > 2 || comp[i].tq > 3)
+                    return false;
+            }
+        } else if (m == 0xC2) {
+            return false;  // progressive: out of scope
+        } else if (m == 0xDD) {  // DRI
+            restart_interval = u16(off + 4);
+        } else if (m == 0xDA) {  // SOS
+            const int ns = seg[0];
+            if (ns != ncomp) return false;
+            for (int i = 0; i < ns; ++i) {
+                const int cid = seg[1 + 2 * i];
+                for (int j = 0; j < ncomp; ++j)
+                    if (comp[j].id == cid) {
+                        comp[j].td = seg[2 + 2 * i] >> 4;
+                        comp[j].ta = seg[2 + 2 * i] & 15;
+                    }
+            }
+            scan_off = off + 2 + len;
+            // entropy data runs to the next non-RST/non-stuffed marker
+            size_t e = scan_off;
+            while (e + 1 < d.size() &&
+                   !(d[e] == 0xFF && d[e + 1] != 0x00 &&
+                     !(d[e + 1] >= 0xD0 && d[e + 1] <= 0xD7)))
+                ++e;
+            scan_len = e - scan_off;
+            break;  // single-scan baseline: decode below
+        }
+        off += 2 + len;
+    }
+    if (!W || !H || !scan_len) return false;
+
+    int hmax = 1, vmax = 1;
+    for (int i = 0; i < ncomp; ++i) {
+        hmax = comp[i].hs > hmax ? comp[i].hs : hmax;
+        vmax = comp[i].vs > vmax ? comp[i].vs : vmax;
+    }
+    const int mcux = (W + 8 * hmax - 1) / (8 * hmax);
+    const int mcuy = (H + 8 * vmax - 1) / (8 * vmax);
+    for (int i = 0; i < ncomp; ++i) {
+        comp[i].bw = mcux * comp[i].hs;
+        comp[i].bh = mcuy * comp[i].vs;
+        comp[i].plane.assign(
+            static_cast<size_t>(comp[i].bw) * comp[i].bh * 64, 0);
+    }
+
+    BitReader br(&d[scan_off], scan_len);
+    int mcus_until_restart = restart_interval ? restart_interval : -1;
+    for (int my = 0; my < mcuy; ++my)
+        for (int mx = 0; mx < mcux; ++mx) {
+            if (mcus_until_restart == 0) {
+                br.align_to_marker();
+                for (int i = 0; i < ncomp; ++i) comp[i].dc_pred = 0;
+                mcus_until_restart = restart_interval;
+            }
+            for (int ci = 0; ci < ncomp; ++ci) {
+                Component& C = comp[ci];
+                if (!hdc[C.td].present || !hac[C.ta].present) return false;
+                for (int by = 0; by < C.vs; ++by)
+                    for (int bx = 0; bx < C.hs; ++bx) {
+                        float blk[64] = {0};
+                        const int s = decode_huff(br, hdc[C.td]);
+                        if (s < 0 || s > 11) return false;
+                        C.dc_pred += extend(br.bits(s), s);
+                        blk[0] = static_cast<float>(C.dc_pred) *
+                                 qt[C.tq][0];
+                        for (int k = 1; k < 64;) {
+                            const int rs = decode_huff(br, hac[C.ta]);
+                            if (rs < 0) return false;
+                            const int run = rs >> 4, size = rs & 15;
+                            if (size == 0) {
+                                if (run != 15) break;  // EOB
+                                k += 16;               // ZRL
+                                continue;
+                            }
+                            k += run;
+                            if (k > 63) return false;
+                            blk[kZigzag[k]] =
+                                static_cast<float>(
+                                    extend(br.bits(size), size)) *
+                                qt[C.tq][k];
+                            ++k;
+                        }
+                        uint8_t px[64];
+                        idct8x8(blk, px);
+                        const int ox = (mx * C.hs + bx) * 8;
+                        const int oy = (my * C.vs + by) * 8;
+                        for (int y = 0; y < 8; ++y)
+                            std::memcpy(&C.plane[(static_cast<size_t>(oy) +
+                                                  y) * C.bw * 8 + ox],
+                                        &px[y * 8], 8);
+                    }
+            }
+            if (mcus_until_restart > 0) --mcus_until_restart;
+            if (br.bad && !(my == mcuy - 1 && mx == mcux - 1)) {
+                // markers mid-scan other than handled RSTs = corrupt
+                if (mcus_until_restart != 0) return false;
+            }
+        }
+
+    out_px->resize(static_cast<size_t>(W) * H);
+    *out_w = W;
+    *out_h = H;
+    for (int y = 0; y < H; ++y)
+        for (int x = 0; x < W; ++x) {
+            int r, g, b2;
+            auto samp = [&](const Component& C) {
+                const int sx = x * C.hs / hmax, sy = y * C.vs / vmax;
+                return static_cast<int>(
+                    C.plane[static_cast<size_t>(sy) * C.bw * 8 + sx]);
+            };
+            if (ncomp == 1) {
+                r = g = b2 = samp(comp[0]);
+            } else {
+                const int Y = samp(comp[0]);
+                const int cb = samp(comp[1]) - 128;
+                const int cr = samp(comp[2]) - 128;
+                r = static_cast<int>(std::lround(Y + 1.402 * cr));
+                g = static_cast<int>(
+                    std::lround(Y - 0.344136 * cb - 0.714136 * cr));
+                b2 = static_cast<int>(std::lround(Y + 1.772 * cb));
+                r = r < 0 ? 0 : (r > 255 ? 255 : r);
+                g = g < 0 ? 0 : (g > 255 ? 255 : g);
+                b2 = b2 < 0 ? 0 : (b2 > 255 ? 255 : b2);
+            }
+            (*out_px)[static_cast<size_t>(y) * W + x] =
+                static_cast<uint32_t>(b2) | (g << 8) | (r << 16) |
+                (0xFFu << 24);
+        }
+    return true;
+}

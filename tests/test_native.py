@@ -112,6 +112,37 @@ class TestNativeCompare:
             out = subprocess.run([exe, p, p], capture_output=True, text=True)
             assert out.returncode == 0 and "RMSE: 0.000000" in out.stdout
 
+    def test_exe_reads_jpeg(self, tmp_path, rng):
+        """The baseline JPEG decoder (native/src/jpeg_decode.cpp — the
+        remaining stbi input-format role, stb_image.h JPG support): the
+        tool's own decode of a JPEG vs PIL's decode of the SAME file
+        (saved as PNG) must agree to within decoder rounding (IDCT +
+        chroma upsampling differ between implementations); grayscale and
+        each subsampling mode, including non-MCU-aligned sizes."""
+        from PIL import Image
+        exe = native.compare_exe_path()
+        for i, (w, h, sub, gray) in enumerate(
+                [(64, 48, 0, False), (100, 75, 2, False),
+                 (33, 17, 1, False), (40, 40, 0, True)]):
+            x = np.linspace(0, 1, w)[None, :, None]
+            y = np.linspace(0, 1, h)[:, None, None]
+            img = (128 + 100 * np.sin(6 * x) * np.cos(4 * y)
+                   + rng.randn(h, w, 1) * 8
+                   + np.array([10, -5, 20])[None, None, :])
+            img = np.clip(img, 0, 255).astype(np.uint8)
+            pim = (Image.fromarray(img[..., 0], "L") if gray
+                   else Image.fromarray(img, "RGB"))
+            p_jpg = str(tmp_path / f"t{i}.jpg")
+            pim.save(p_jpg, quality=90, subsampling=sub)
+            dec = np.asarray(Image.open(p_jpg).convert("RGB"))
+            p_png = str(tmp_path / f"t{i}.png")
+            Image.fromarray(dec).save(p_png)
+            out = subprocess.run([exe, p_jpg, p_png, "--threshold", "0.005"],
+                                 capture_output=True, text=True)
+            assert out.returncode == 0, out.stdout
+            rmse = float(out.stdout.split("RMSE:")[1].split()[0])
+            assert rmse < 0.002, (i, out.stdout)
+
     def test_exe_error_paths(self, tmp_path, rng):
         exe = native.compare_exe_path()
         img = rng.randint(0, 2**32, (8, 12), dtype=np.uint64).astype(np.uint32)
