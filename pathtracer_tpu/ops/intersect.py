@@ -303,10 +303,29 @@ def _intersect_triangles_streamed(scene: Scene, o: Vec3, d: Vec3,
                1.0 / jnp.where(d.y != 0.0, d.y, 1e-30),
                1.0 / jnp.where(d.z != 0.0, d.z, 1e-30))
 
-    def make_cluster_body(lo, hi):
-        # fori body over the STATIC cluster range [lo, hi) (one parent's
-        # leaves, or the whole list). Ranges are static so the DMA
-        # double-buffer can seed slot parity and prologue per range.
+    def row_slab_relevant(brow, t_r):
+        # slab test against an AABB row's [mn3 mx3] lanes vs the carry's
+        # best t (shared by the cluster level and the dynamic parents)
+        mn = [lane(brow, k) for k in range(3)]
+        mx = [lane(brow, 3 + k) for k in range(3)]
+        t0x = (mn[0] - o.x) * inv.x
+        t1x = (mx[0] - o.x) * inv.x
+        t0y = (mn[1] - o.y) * inv.y
+        t1y = (mx[1] - o.y) * inv.y
+        t0z = (mn[2] - o.z) * inv.z
+        t1z = (mx[2] - o.z) * inv.z
+        tmin = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                       jnp.minimum(t0y, t1y)),
+                           jnp.minimum(t0z, t1z))
+        tmax = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                       jnp.maximum(t0y, t1y)),
+                           jnp.maximum(t0z, t1z))
+        return (tmax >= tmin) & (tmax >= 0.0) & (tmin < t_r)
+
+    def make_cluster_body(hi):
+        # fori body over a cluster range ending at hi (one parent's
+        # leaves, or the whole list). DMA slot parity is ABSOLUTE (c % 2)
+        # so it composes with both static and traced range starts.
         def cluster_body(c, carry):
             t_r = carry[0]
             if dma:
@@ -317,28 +336,14 @@ def _intersect_triangles_streamed(scene: Scene, o: Vec3, d: Vec3,
                 # prefetch is unconditional within a descended parent —
                 # a cluster's rows are ~rpc*512 B, noise next to the
                 # slab-test + record-extraction cost.
-                slot = jax.lax.rem(c - lo, 2)
+                slot = jax.lax.rem(c, 2)
                 _dma_copy(c, slot).wait()
 
                 @pl.when(c + 1 < hi)
                 def _prefetch():
                     _dma_copy(c + 1, 1 - slot).start()
             brow = row_bcast(scene.mtri_bounds, c)
-            mn = [lane(brow, k) for k in range(3)]
-            mx = [lane(brow, 3 + k) for k in range(3)]
-            t0x = (mn[0] - o.x) * inv.x
-            t1x = (mx[0] - o.x) * inv.x
-            t0y = (mn[1] - o.y) * inv.y
-            t1y = (mx[1] - o.y) * inv.y
-            t0z = (mn[2] - o.z) * inv.z
-            t1z = (mx[2] - o.z) * inv.z
-            tmin = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
-                                           jnp.minimum(t0y, t1y)),
-                               jnp.minimum(t0z, t1z))
-            tmax = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
-                                           jnp.maximum(t0y, t1y)),
-                               jnp.maximum(t0z, t1z))
-            relevant = (tmax >= tmin) & (tmax >= 0.0) & (tmin < t_r)
+            relevant = row_slab_relevant(brow, t_r)
 
             def row_body(r, cc):
                 # ONE dynamic row read per 9 triangles; record fields
@@ -383,16 +388,38 @@ def _intersect_triangles_streamed(scene: Scene, o: Vec3, d: Vec3,
         return cluster_body
 
     def run_range(lo, hi, carry):
-        # lo/hi are STATIC (a parent descriptor's cluster range). In DMA
-        # mode, seed the pipeline: first cluster's rows -> slot 0.
+        # cluster range [lo, hi) — static for the resident tier's parent
+        # descriptors, traced for the DMA tier's dynamic parents. In DMA
+        # mode, seed the pipeline: first cluster's rows -> its parity slot.
         if dma:
-            _dma_copy(lo, 0).start()
-        return jax.lax.fori_loop(lo, hi, make_cluster_body(lo, hi), carry)
+            _dma_copy(lo, lo % 2).start()
+        return jax.lax.fori_loop(lo, hi, make_cluster_body(hi), carry)
 
     zero = o.x * 0.0
     mat_sentinel = zero - 1.0  # f32 mat carry; >= 0 marks a real winner
     init = (t_init, zero, zero, zero, mat_sentinel)
-    if scene.stream_parents:
+    if scene.n_stream_parents > 0:
+        # DYNAMIC parent level (DMA tier): parent AABBs are rows read by
+        # dynamic index (same form as cluster bounds) and the (start,
+        # count) cluster ranges are int32 scalars (SMEM in the kernel —
+        # fori bounds must be scalar). Kernel code size is O(1) in parent
+        # count, where the resident tier's static immediates compile
+        # ~1.2 s/parent in Mosaic (minutes at 250k+ tris). Semantics match
+        # the static branch below exactly; the huge cluster's parent packs
+        # as an infinite box (always relevant).
+        def parent_body(p, carry):
+            prow = row_bcast(scene.mtri_parents, p)
+            relevant = row_slab_relevant(prow, carry[0])
+            ps = scene.mtri_prange[p, 0]
+            pc = scene.mtri_prange[p, 1]
+
+            def descend(cc):
+                return run_range(ps, ps + pc, cc)
+            return jax.lax.cond(jnp.any(relevant), descend,
+                                lambda cc: cc, carry)
+        carry = jax.lax.fori_loop(0, scene.n_stream_parents,
+                                  parent_body, init)
+    elif scene.stream_parents:
         # Two-level hierarchy (the TPU analog of the reference octree's
         # log-depth descent, win32_main.cpp:476-526): parent AABBs are
         # STATIC immediates, so each parent's slab test is straight-line

@@ -427,11 +427,15 @@ def render_chunk_pallas(
     use_tex_ref = scene.tex_combined and scene.n_textures > 0
     ref_slots = {tex_idx} if use_tex_ref else set()
     pack_idx = None
+    prange_idx = None
     if scene.tri_streamed:
         ref_slots |= {i for i, l in enumerate(scene_leaves)
-                      if l is scene.mtri_bounds or l is scene.mtri_pack}
+                      if l is scene.mtri_bounds or l is scene.mtri_pack
+                      or l is scene.mtri_parents or l is scene.mtri_prange}
         pack_idx = next(i for i, l in enumerate(scene_leaves)
                         if l is scene.mtri_pack)
+        prange_idx = next(i for i, l in enumerate(scene_leaves)
+                          if l is scene.mtri_prange)
     # DMA tier: the pack rows stay in HBM (memory_space=ANY); the kernel
     # double-buffers each cluster's rows into a 2-slot VMEM scratch
     # (ops/intersect._intersect_triangles_streamed, dma branch).
@@ -484,6 +488,9 @@ def render_chunk_pallas(
     def full(i, leaf):
         if dma_mode and i == pack_idx:
             return pl.BlockSpec(memory_space=pltpu.ANY)  # stays in HBM
+        if i == prange_idx and scene.n_stream_parents > 0:
+            # (start, count) scalars: fori bounds read from SMEM
+            return pl.BlockSpec(memory_space=pltpu.SMEM)
         return pl.BlockSpec(memory_space=pltpu.VMEM)
 
     scratch_shapes = []

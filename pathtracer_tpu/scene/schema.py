@@ -142,6 +142,14 @@ class Scene:
     # pack_stream_clusters and ops/intersect streamed branch.
     mtri_bounds: jnp.ndarray      # (n_clusters, 128) f32: mn3 mx3 pad
     mtri_pack: jnp.ndarray        # (n_rows, 128) f32: 9 tris x 13 fields
+    # DMA-tier dynamic parent tables (clusters.pack_parents): parent AABBs
+    # as rows (VMEM) + (start, count) cluster ranges as int32 scalars
+    # (SMEM in the kernel). The resident tier keeps parents as STATIC
+    # immediates (stream_parents below) — measured faster at its scale;
+    # static parents compile ~1.2 s each in Mosaic, so the DMA tier's
+    # 256+ parents loop a dynamic fori instead (O(1) code size).
+    mtri_parents: jnp.ndarray     # (n_parents, 128) f32: mn3 mx3 pad
+    mtri_prange: jnp.ndarray      # (n_parents, 2) int32: start, count
 
     # --- axis-aligned boxes (parity with world_t.aabbs; always empty) -----
     box_min: Vec3
@@ -217,6 +225,9 @@ class Scene:
     # a 2-slot VMEM scratch with async copies. The XLA drivers ignore the
     # flag (XLA manages residency itself).
     tri_dma: bool = struct.field(pytree_node=False, default=False)
+    # > 0 selects the dynamic parent loop (DMA tier); the resident tier
+    # uses the static stream_parents tuple instead.
+    n_stream_parents: int = struct.field(pytree_node=False, default=0)
     # Kernel-only plumbing for the DMA tier: render/pallas_backend fills
     # these with the VMEM scratch ref and DMA semaphore array inside the
     # kernel (None everywhere else — None flattens to no pytree leaves).
@@ -408,10 +419,13 @@ class WorldBuilder:
         ctri_m = np.zeros((1,), i32)
         mtri_bounds = np.zeros((1, 128), f32)
         mtri_pack = np.zeros((1, 128), f32)
+        mtri_parents = np.zeros((1, 128), f32)
+        mtri_prange = np.zeros((1, 2), i32)
         tri_streamed = False
         tri_dma = False
         stream_leaf = 0
         n_stream_clusters = 0
+        n_stream_parents = 0
         stream_parents: tuple = ()
         if ntri > clu.CLUSTER_MIN:
             order, tri_clusters = clu.build_clusters(
@@ -440,6 +454,14 @@ class WorldBuilder:
                 import os as _os
                 tri_dma = (ntri > clu.STREAM_MAX
                            or bool(_os.environ.get("PT_STREAM_DMA")))
+                if tri_dma:
+                    # dynamic parent tables (O(1) kernel code size); the
+                    # static tuple is the RESIDENT tier's faster form but
+                    # compiles linearly in parent count
+                    mtri_parents, mtri_prange = clu.pack_parents(
+                        stream_parents)
+                    n_stream_parents = len(stream_parents)
+                    stream_parents = ()
                 tri_clusters = ()
                 # the streamed tier resolves winner attributes inline from
                 # the pack rows; the flat ctri tables would only waste
@@ -610,10 +632,13 @@ class WorldBuilder:
             ctri_mat=jnp.asarray(ctri_m),
             mtri_bounds=jnp.asarray(mtri_bounds),
             mtri_pack=jnp.asarray(mtri_pack),
+            mtri_parents=jnp.asarray(mtri_parents),
+            mtri_prange=jnp.asarray(mtri_prange),
             tri_streamed=tri_streamed,
             tri_dma=tri_dma,
             stream_leaf=stream_leaf,
             n_stream_clusters=n_stream_clusters,
+            n_stream_parents=n_stream_parents,
             stream_parents=stream_parents,
             sph_clusters=sph_clusters,
             tri_clusters=tri_clusters,

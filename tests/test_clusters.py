@@ -276,18 +276,29 @@ class TestStreamedMeshTier:
         from pathtracer_tpu.utils import prng
         scene, _ = self._scene(2000)
         assert not scene.tri_dma
+        # forced DMA with STATIC parents, and the full finalize-built DMA
+        # form (dynamic parent tables + SMEM scalar ranges)
         scene_dma = scene.replace(tri_dma=True)
+        import os
+        os.environ["PT_STREAM_DMA"] = "1"
+        try:
+            scene_dyn, _ = self._scene(2000)
+        finally:
+            del os.environ["PT_STREAM_DMA"]
+        assert scene_dyn.tri_dma and scene_dyn.n_stream_parents > 0
+        assert scene_dyn.stream_parents == ()
         w, h, pp = 16, 8, 2
         cam = define_camera((0, -24, 2), (0, 0, 0), 35.0, w, h)
         cfg = RenderConfig(width=w, height=h, pp=pp, seed=3,
                            backend="pallas-interpret")
         key = prng.base_key(3)
         imgs = []
-        for sc in (scene, scene_dma):
+        for sc in (scene, scene_dma, scene_dyn):
             st = render_chunk(sc, cam, cfg, key, np.int32(0), cfg.spp,
                               init_accum(w * h))
             imgs.append(np.asarray(resolve(st, cfg)))
         np.testing.assert_array_equal(imgs[0], imgs[1])
+        np.testing.assert_array_equal(imgs[0], imgs[2])
 
     def test_dma_flag_set_above_stream_max(self):
         """finalize marks meshes above STREAM_MAX (or PT_STREAM_DMA=1)
