@@ -2,13 +2,14 @@
 // (reference src/image_compare.c, built by build.bat:4).
 //
 // Reads two images — 24/32-bit DIB BMPs (the renderer's byte-identical
-// output format, io/bmp.py / win32_main.cpp:358-391) or 8-bit PNGs
-// (decoded here with zlib; gray/RGB/palette/alpha, non-interlaced) — and
-// prints the reference's "Percentage Similarity" metric
-// (image_compare.c:79-103) plus RMSE (the BASELINE.json gate). The
-// reference accepts anything stb_image reads (image_compare.c:37,47); BMP
-// + PNG covers every format this renderer and its tests emit. Rows are
-// normalized to top-down on load so cross-format comparisons align.
+// output format, io/bmp.py / win32_main.cpp:358-391), 8-bit PNGs
+// (decoded here with zlib; gray/RGB/palette/alpha, non-interlaced),
+// baseline JPEGs (jpeg_decode.cpp), and TGA/HDR/GIF/PSD/PNM
+// (formats.cpp) — the full stb_image input class of the reference tool
+// (image_compare.c:37,47) — and prints the reference's "Percentage
+// Similarity" metric (image_compare.c:79-103) plus RMSE (the
+// BASELINE.json gate). Rows are normalized to top-down on load so
+// cross-format comparisons align.
 // The reference's Magnitude has a bug (uses v.a twice and never v.r,
 // image_compare.c:121-124); the fixed metric is the default and --legacy
 // reproduces the bug bit-for-bit for parity checks.
@@ -29,6 +30,12 @@
 // Baseline JPEG decoder (jpeg_decode.cpp) — the stbi JPG role.
 bool pt_load_jpeg(const char* path, int* out_w, int* out_h,
                   std::vector<uint32_t>* out_px);
+// Remaining stbi input formats (formats.cpp).
+bool pt_load_tga(const char*, int*, int*, std::vector<uint32_t>*);
+bool pt_load_hdr(const char*, int*, int*, std::vector<uint32_t>*);
+bool pt_load_gif(const char*, int*, int*, std::vector<uint32_t>*);
+bool pt_load_psd(const char*, int*, int*, std::vector<uint32_t>*);
+bool pt_load_pnm(const char*, int*, int*, std::vector<uint32_t>*);
 #endif
 
 namespace {
@@ -198,7 +205,17 @@ bool load_image(const char* path, Image* out) {
     if (magic[0] == 137 && magic[1] == 'P') return load_png(path, out);
     if (magic[0] == 0xFF && magic[1] == 0xD8)  // baseline JPEG
         return pt_load_jpeg(path, &out->w, &out->h, &out->px);
-    return load_bmp(path, out);
+    if (magic[0] == 'B' && magic[1] == 'M') return load_bmp(path, out);
+    if (magic[0] == 'G' && magic[1] == 'I')
+        return pt_load_gif(path, &out->w, &out->h, &out->px);
+    if (magic[0] == '8' && magic[1] == 'B')
+        return pt_load_psd(path, &out->w, &out->h, &out->px);
+    if (magic[0] == '#' && magic[1] == '?')
+        return pt_load_hdr(path, &out->w, &out->h, &out->px);
+    if (magic[0] == 'P' && (magic[1] == '5' || magic[1] == '6'))
+        return pt_load_pnm(path, &out->w, &out->h, &out->px);
+    // TGA has no magic — it is the fallback, as in stb_image.
+    return pt_load_tga(path, &out->w, &out->h, &out->px);
 }
 
 #endif  // PT_NO_MAIN

@@ -143,6 +143,148 @@ class TestNativeCompare:
             rmse = float(out.stdout.split("RMSE:")[1].split()[0])
             assert rmse < 0.002, (i, out.stdout)
 
+    def test_exe_reads_tga_gif_pnm(self, tmp_path, rng):
+        """TGA (raw + RLE, color + gray), GIF (palettized LZW) and binary
+        PNM (P5/P6) decoders (native/src/formats.cpp — the rest of the
+        stbi input class, stb_image.h): each format vs a PNG of PIL's
+        decode of the SAME file must be pixel-identical."""
+        from PIL import Image
+        exe = native.compare_exe_path()
+        rgb = rng.randint(0, 255, (13, 21, 3)).astype(np.uint8)
+        cases = [
+            ("t.tga", "RGB", {}),
+            ("trle.tga", "RGB", {"compression": "tga_rle"}),
+            ("g.tga", "L", {}),
+            ("grle.tga", "L", {"compression": "tga_rle"}),
+            ("p.tga", "P", {}),  # colormapped (type 1)
+            ("t.gif", "P", {}),
+            ("t.ppm", "RGB", {}),
+            ("g.pgm", "L", {}),
+        ]
+        for name, mode, kw in cases:
+            p = str(tmp_path / name)
+            Image.fromarray(rgb).convert(mode).save(p, **kw)
+            dec = np.asarray(Image.open(p).convert("RGB"))
+            p_png = str(tmp_path / (name + ".png"))
+            Image.fromarray(dec).save(p_png)
+            out = subprocess.run([exe, p, p_png], capture_output=True,
+                                 text=True)
+            assert out.returncode == 0 and "RMSE: 0.000000" in out.stdout, (
+                name, out.stdout)
+
+    def test_exe_reads_psd(self, tmp_path, rng):
+        """PSD (raw + PackBits RLE, RGB + grayscale), hand-built files:
+        PIL reads PSD, so gate vs PIL's decode saved as PNG."""
+        import struct
+        from PIL import Image
+        exe = native.compare_exe_path()
+
+        def packbits(row):
+            # Simple PackBits encoder: literals + runs >= 3.
+            out = bytearray()
+            i = 0
+            while i < len(row):
+                run = 1
+                while (i + run < len(row) and row[i + run] == row[i]
+                       and run < 127):
+                    run += 1
+                if run >= 3:
+                    out += bytes([257 - run, row[i]])
+                    i += run
+                else:
+                    j = i + 1
+                    while (j < len(row) and j - i < 127
+                           and not (j + 2 < len(row) and row[j] == row[j + 1]
+                                    == row[j + 2])):
+                        j += 1
+                    out += bytes([j - i - 1]) + bytes(row[i:j])
+                    i = j
+            return bytes(out)
+
+        def write_psd(path, arr, compression):
+            h, w, ch = arr.shape
+            hdr = (b"8BPS" + struct.pack(">H", 1) + b"\0" * 6
+                   + struct.pack(">HIIHH", ch, h, w, 8, 3 if ch >= 3 else 1)
+                   + struct.pack(">I", 0) * 3 + struct.pack(">H", compression))
+            body = b""
+            if compression == 0:
+                body = arr.transpose(2, 0, 1).tobytes()
+            else:
+                rows = [packbits(arr[y, :, c].tobytes())
+                        for c in range(ch) for y in range(h)]
+                body = b"".join(struct.pack(">H", len(r)) for r in rows)
+                body += b"".join(rows)
+            with open(path, "wb") as f:
+                f.write(hdr + body)
+
+        rgb = rng.randint(0, 255, (11, 19, 3)).astype(np.uint8)
+        # A flat band makes the RLE run path actually fire.
+        rgb[3:6] = 77
+        gray = rgb[:, :, :1]
+        for i, (arr, comp) in enumerate([(rgb, 0), (rgb, 1), (gray, 1)]):
+            p = str(tmp_path / f"t{i}.psd")
+            write_psd(p, arr, comp)
+            dec = np.asarray(Image.open(p).convert("RGB"))
+            p_png = str(tmp_path / f"t{i}.psd.png")
+            Image.fromarray(dec).save(p_png)
+            out = subprocess.run([exe, p, p_png], capture_output=True,
+                                 text=True)
+            assert out.returncode == 0 and "RMSE: 0.000000" in out.stdout, (
+                i, out.stdout)
+
+    def test_exe_reads_hdr(self, tmp_path, rng):
+        """Radiance HDR (flat and adaptive-RLE scanlines), hand-encoded
+        RGBE: the tool's LDR conversion must match stbi's formula
+        (mantissa * 2^(E-136), gamma 1/2.2, *255+0.5) computed in numpy.
+        PIL does not read HDR, so the expectation is the formula itself."""
+        from PIL import Image
+        exe = native.compare_exe_path()
+        w, h = 24, 7
+        rgbe = rng.randint(0, 255, (h, w, 4)).astype(np.uint8)
+        rgbe[..., 3] = rng.randint(120, 140, (h, w))  # sane exponents
+        rgbe[0, 0] = (10, 20, 30, 0)  # E=0 -> black
+        rgbe[2, 4:20] = (200, 100, 50, 130)  # a run for the RLE encoding
+
+        f = np.where(rgbe[..., 3:] == 0, 0.0,
+                     np.ldexp(1.0, rgbe[..., 3:].astype(np.int32) - 136))
+        ldr = np.clip(rgbe[..., :3] * f, 0, None) ** (1 / 2.2) * 255.0 + 0.5
+        expect = np.clip(ldr, 0, 255).astype(np.uint8)
+        expect[0, 0] = 0
+        p_png = str(tmp_path / "expect.png")
+        Image.fromarray(expect).save(p_png)
+
+        header = b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n" + (
+            f"-Y {h} +X {w}\n".encode())
+        p_flat = str(tmp_path / "flat.hdr")
+        with open(p_flat, "wb") as fh:
+            fh.write(header + rgbe.tobytes())
+        p_rle = str(tmp_path / "rle.hdr")
+        with open(p_rle, "wb") as fh:
+            fh.write(header)
+            for y in range(h):  # adaptive RLE: 2,2,hi,lo then 4 planes
+                fh.write(bytes([2, 2, w >> 8, w & 0xFF]))
+                for c in range(4):
+                    row = rgbe[y, :, c]
+                    x = 0
+                    while x < w:
+                        run = 1
+                        while x + run < w and row[x + run] == row[x] and run < 126:
+                            run += 1
+                        if run >= 3:
+                            fh.write(bytes([128 + run, row[x]]))
+                            x += run
+                        else:
+                            fh.write(bytes([run]) + row[x:x + run].tobytes())
+                            x += run
+        for p in (p_flat, p_rle):
+            out = subprocess.run([exe, p, p_png, "--threshold", "0.01"],
+                                 capture_output=True, text=True)
+            assert out.returncode == 0, (p, out.stdout)
+            rmse = float(out.stdout.split("RMSE:")[1].split()[0])
+            # float32 pow vs numpy float64 can differ by 1 ulp at a .5
+            # rounding boundary; identical otherwise.
+            assert rmse < 0.003, (p, out.stdout)
+
     def test_exe_error_paths(self, tmp_path, rng):
         exe = native.compare_exe_path()
         img = rng.randint(0, 2**32, (8, 12), dtype=np.uint64).astype(np.uint32)
