@@ -303,11 +303,13 @@ def _intersect_triangles_streamed(scene: Scene, o: Vec3, d: Vec3,
                1.0 / jnp.where(d.y != 0.0, d.y, 1e-30),
                1.0 / jnp.where(d.z != 0.0, d.z, 1e-30))
 
-    def row_slab_relevant(brow, t_r):
-        # slab test against an AABB row's [mn3 mx3] lanes vs the carry's
-        # best t (shared by the cluster level and the dynamic parents)
-        mn = [lane(brow, k) for k in range(3)]
-        mx = [lane(brow, 3 + k) for k in range(3)]
+    def row_slab_relevant(brow, t_r, base=0):
+        # slab test against an AABB row's [mn3 mx3] lanes (at lane offset
+        # ``base``) vs the carry's best t — shared by the cluster level,
+        # the dynamic parents, and the per-row boxes in the pack rows'
+        # spare lanes (clusters.ROW_BOUNDS_LANE)
+        mn = [lane(brow, base + k) for k in range(3)]
+        mx = [lane(brow, base + 3 + k) for k in range(3)]
         t0x = (mn[0] - o.x) * inv.x
         t1x = (mx[0] - o.x) * inv.x
         t0y = (mn[1] - o.y) * inv.y
@@ -358,28 +360,43 @@ def _intersect_triangles_streamed(scene: Scene, o: Vec3, d: Vec3,
                     trow = row_bcast(scene.stream_scratch, slot * rpc + r)
                 else:
                     trow = row_bcast(scene.mtri_pack, c * rpc + r)
-                for jj in range(per):  # static 9-way unroll
-                    t_r2, nx, ny, nz, mf = cc
-                    base = jj * F
-                    f = lambda j, base=base: lane(trow, base + j)
-                    n = Vec3(f(0), f(1), f(2))
-                    e1 = Vec3(f(4), f(5), f(6))
-                    e2 = Vec3(f(8), f(9), f(10))
-                    denom = dot(n, d)
-                    valid = (denom < -TOLERANCE) | (denom > TOLERANCE)
-                    t = (f(3) - dot(n, o)) / jnp.where(valid, denom, 1.0)
-                    alpha = (dot(e1, o) - f(7)) + t * dot(e1, d)
-                    beta = (dot(e2, o) - f(11)) + t * dot(e2, d)
-                    inside = ((alpha >= 0.0) & (beta >= 0.0)
-                              & ((alpha + beta) <= 1.0))
-                    hit = valid & inside & (t > MIN_HIT_DISTANCE)
-                    take = hit & (t < t_r2)
-                    cc = (jnp.where(take, t, t_r2),
-                          jnp.where(take, n.x, nx),
-                          jnp.where(take, n.y, ny),
-                          jnp.where(take, n.z, nz),
-                          jnp.where(take, f(12), mf))
-                return cc
+
+                def test9(cc):
+                    for jj in range(per):  # static 9-way unroll
+                        t_r2, nx, ny, nz, mf = cc
+                        base = jj * F
+                        f = lambda j, base=base: lane(trow, base + j)
+                        n = Vec3(f(0), f(1), f(2))
+                        e1 = Vec3(f(4), f(5), f(6))
+                        e2 = Vec3(f(8), f(9), f(10))
+                        denom = dot(n, d)
+                        valid = (denom < -TOLERANCE) | (denom > TOLERANCE)
+                        t = (f(3) - dot(n, o)) / jnp.where(valid, denom, 1.0)
+                        alpha = (dot(e1, o) - f(7)) + t * dot(e1, d)
+                        beta = (dot(e2, o) - f(11)) + t * dot(e2, d)
+                        inside = ((alpha >= 0.0) & (beta >= 0.0)
+                                  & ((alpha + beta) <= 1.0))
+                        hit = valid & inside & (t > MIN_HIT_DISTANCE)
+                        take = hit & (t < t_r2)
+                        cc = (jnp.where(take, t, t_r2),
+                              jnp.where(take, n.x, nx),
+                              jnp.where(take, n.y, ny),
+                              jnp.where(take, n.z, nz),
+                              jnp.where(take, f(12), mf))
+                    return cc
+
+                if not scene.stream_row_cull:
+                    return test9(cc)
+                # Third culling level: the row's own 9-tri AABB rides the
+                # spare lanes of the row just loaded (zero extra traffic;
+                # clusters.ROW_BOUNDS_LANE). ~40 vector ops + a branch
+                # against up to 9 x ~45 ops of triangle tests; rows are
+                # spatially tight (clusters.row_order), and all-padding
+                # rows pack a far-point box so they skip for free.
+                rowrel = row_slab_relevant(trow, cc[0],
+                                           base=clu.ROW_BOUNDS_LANE)
+                return jax.lax.cond(jnp.any(rowrel), test9,
+                                    lambda cc: cc, cc)
 
             def run(cc):
                 return jax.lax.fori_loop(0, rpc, row_body, cc)

@@ -94,12 +94,43 @@ def build_clusters(
     huge_idx = np.nonzero(huge)[0]
     rest_idx = np.nonzero(~huge)[0]
 
+    if os.environ.get("PT_NO_CAM_SORT"):  # perf-ablation knob
+        sort_origin = None
     centroids = (bmin + bmax) * 0.5
     leaves: list[np.ndarray] = []
 
+    def row_order(idx: np.ndarray) -> np.ndarray:
+        """Order primitives WITHIN a leaf by recursive median split down to
+        record-row granularity (STREAM_TRIS_PER_ROW), so each packed row of
+        9 is a spatially tight group — the streamed tier's per-row AABB
+        cull (pack_stream_clusters) only pays when rows are tight. Pure
+        permutation; near-to-far row order (when sort_origin is given)
+        shrinks best.t earliest, like the leaf ordering."""
+        if len(idx) <= STREAM_TRIS_PER_ROW:
+            return idx
+        groups: list[np.ndarray] = []
+
+        def sub(ii: np.ndarray):
+            if len(ii) <= STREAM_TRIS_PER_ROW:
+                groups.append(ii)
+                return
+            c = centroids[ii]
+            axis = int(np.argmax(c.max(axis=0) - c.min(axis=0)))
+            half = len(ii) // 2
+            part = np.argpartition(c[:, axis], half)
+            sub(ii[part[:half]])
+            sub(ii[part[half:]])
+
+        sub(idx)
+        if sort_origin is not None:
+            org = np.asarray(sort_origin, np.float64)
+            groups.sort(key=lambda g: float(
+                np.linalg.norm(centroids[g].mean(axis=0) - org)))
+        return np.concatenate(groups)
+
     def split(idx: np.ndarray):
         if len(idx) <= leaf_size:
-            leaves.append(idx)
+            leaves.append(row_order(idx))
             return
         c = centroids[idx]
         axis = int(np.argmax(c.max(axis=0) - c.min(axis=0)))
@@ -111,9 +142,6 @@ def build_clusters(
     if len(rest_idx):
         split(rest_idx)
 
-    import os
-    if os.environ.get("PT_NO_CAM_SORT"):  # perf-ablation knob
-        sort_origin = None
     if sort_origin is not None and leaves:
         org = np.asarray(sort_origin, np.float64)
         leaves.sort(key=lambda idx: float(
@@ -270,9 +298,18 @@ def pack_parents(parents: tuple):
 # Streamed mesh tier (ops/intersect streamed branch): meshes too large to
 # statically unroll in the kernel (> ~1024 tris) pack their precomputed
 # records into 128-lane rows read by DYNAMIC row index — code size is
-# O(1) in mesh size. 9 triangles x 13 fields = 117 lanes per row.
+# O(1) in mesh size. 9 triangles x 13 fields = 117 lanes per row; the 11
+# spare lanes carry the row's OWN AABB (ROW_BOUNDS_LANE..+5) — a third
+# culling level below parents and clusters, tested from the already-
+# loaded row at zero extra memory traffic. Rows are spatially tight
+# because build_clusters orders within-leaf primitives by recursive
+# median split down to row granularity (row_order above). All-padding
+# rows pack a far-point box (mn == mx == ROW_EMPTY_FAR) whose slab entry
+# always fails the t-cull, so padding rows skip for free.
 STREAM_FIELDS = 13  # n(3) d(1) e1(3) a0(1) e2(3) b0(1) mat(1)
 STREAM_TRIS_PER_ROW = 9
+ROW_BOUNDS_LANE = STREAM_FIELDS * STREAM_TRIS_PER_ROW  # 117: mn3 mx3
+ROW_EMPTY_FAR = 3e37  # degenerate far-point box: slab tmin ~ +inf
 # Meshes above this switch from the statically-unrolled cluster path to
 # the streamed tier (the Mosaic straight-line unroll budget,
 # ops/intersect._UNROLL_MAX_KERNEL).
@@ -299,23 +336,28 @@ def stream_rows_per_cluster(leaf: int) -> int:
 
 
 def pack_stream_clusters(pre: dict, mats: np.ndarray,
-                         clusters: tuple, leaf: int):
+                         clusters: tuple, leaf: int,
+                         tri_bounds: Optional[tuple] = None):
     """Build the streamed-tier tables from triangle_precompute output.
 
     Every cluster pads to exactly ``stream_rows_per_cluster(leaf)`` FULL
     rows of 9 records (degenerate padding tris have n=0 -> |denom| <
     TOLERANCE -> never hit), so cluster c's rows are the static range
     [c*rpc, (c+1)*rpc) and the kernel's inner loop reads each row ONCE and
-    extracts its 9 records at STATIC lane offsets. Returns
-    (bounds (nc, 128) f32 rows [mn3 mx3 ...], pack (nc*rpc, 128) f32,
-    flat (nc*rpc*9, 13) row-aligned records).
-    ``pre``/``mats`` must already be in cluster order (reordered by
-    ``order``); ``clusters`` indexes that order.
+    extracts its 9 records at STATIC lane offsets. ``tri_bounds`` is the
+    (bmin, bmax) pair in cluster order; when given, each row's spare lanes
+    (ROW_BOUNDS_LANE..+5) carry the AABB of its own 9 triangles, rounded
+    outward at f32 (all-padding rows get the far-point always-miss box).
+    Returns (bounds (nc, 128) f32 rows [mn3 mx3 ...], pack (nc*rpc, 128)
+    f32, flat (nc*rpc*9, 13) row-aligned records). ``pre``/``mats`` must
+    already be in cluster order (reordered by ``order``); ``clusters``
+    indexes that order.
     """
     per = STREAM_TRIS_PER_ROW
     rpc = stream_rows_per_cluster(leaf)
     recs = []
     bounds = []
+    row_boxes = []
     for (off, cnt, mn, mx) in clusters:
         rows = np.zeros((rpc * per, STREAM_FIELDS), np.float32)
         sl = slice(off, off + cnt)
@@ -327,6 +369,16 @@ def pack_stream_clusters(pre: dict, mats: np.ndarray,
         rows[:cnt, 11] = pre["b0"][sl]
         rows[:cnt, 12] = mats[sl].astype(np.float32)
         recs.append(rows)
+        if tri_bounds is not None:
+            for r in range(rpc):
+                lo = off + r * per
+                hi = min(off + (r + 1) * per, off + cnt)
+                if lo >= hi:
+                    row_boxes.append((ROW_EMPTY_FAR,) * 6)
+                else:
+                    rmn, rmx = _bounds_of(tri_bounds[0], tri_bounds[1],
+                                          np.arange(lo, hi))
+                    row_boxes.append(rmn + rmx)
         if mn is None:  # huge cluster: unbounded -> always-hit slab
             mn = (-1e30, -1e30, -1e30)
             mx = (1e30, 1e30, 1e30)
@@ -337,6 +389,9 @@ def pack_stream_clusters(pre: dict, mats: np.ndarray,
     flat = np.concatenate(recs, axis=0)  # (nc*rpc*9, 13)
     pack = np.zeros((len(flat) // per, 128), np.float32)
     pack[:, : per * STREAM_FIELDS] = flat.reshape(-1, per * STREAM_FIELDS)
+    if tri_bounds is not None:
+        pack[:, ROW_BOUNDS_LANE:ROW_BOUNDS_LANE + 6] = np.asarray(
+            row_boxes, np.float32)
     return np.stack(bounds), pack, flat
 
 

@@ -21,6 +21,7 @@ Conventions preserved from the reference:
 from __future__ import annotations
 
 import dataclasses
+import os as _os
 from typing import Optional
 
 import numpy as np
@@ -228,6 +229,11 @@ class Scene:
     # > 0 selects the dynamic parent loop (DMA tier); the resident tier
     # uses the static stream_parents tuple instead.
     n_stream_parents: int = struct.field(pytree_node=False, default=0)
+    # Third culling level: per-row 9-tri AABBs ride the pack rows' spare
+    # lanes (clusters.ROW_BOUNDS_LANE); the record loop branches past a
+    # row when no lane can beat its slab entry. Pure pruning (bit-equal
+    # results); PT_NO_ROW_CULL=1 disables for ablation.
+    stream_row_cull: bool = struct.field(pytree_node=False, default=False)
     # Kernel-only plumbing for the DMA tier: render/pallas_backend fills
     # these with the VMEM scratch ref and DMA semaphore array inside the
     # kernel (None everywhere else — None flattens to no pytree leaves).
@@ -444,8 +450,10 @@ class WorldBuilder:
                     tri_clusters, sort_origin=view_origin)
                 tri_clusters = tuple(tri_clusters[i] for i in cperm)
                 stream_leaf = max(c[1] for c in tri_clusters)
+                bmn, bmx = clu.triangle_bounds(self.triangles)
                 mtri_bounds, mtri_pack, flat = clu.pack_stream_clusters(
-                    ctri, ctri_m, tri_clusters, stream_leaf)
+                    ctri, ctri_m, tri_clusters, stream_leaf,
+                    tri_bounds=(bmn[order], bmx[order]))
                 n_stream_clusters = len(tri_clusters)
                 tri_streamed = True
                 # DMA tier: pack rows leave VMEM above STREAM_MAX (HBM +
@@ -636,6 +644,8 @@ class WorldBuilder:
             mtri_prange=jnp.asarray(mtri_prange),
             tri_streamed=tri_streamed,
             tri_dma=tri_dma,
+            stream_row_cull=(tri_streamed
+                             and not _os.environ.get("PT_NO_ROW_CULL")),
             stream_leaf=stream_leaf,
             n_stream_clusters=n_stream_clusters,
             n_stream_parents=n_stream_parents,

@@ -300,6 +300,48 @@ class TestStreamedMeshTier:
         np.testing.assert_array_equal(imgs[0], imgs[1])
         np.testing.assert_array_equal(imgs[0], imgs[2])
 
+    def test_row_cull_bit_equal(self):
+        """The third culling level (per-row 9-tri AABBs in the pack rows'
+        spare lanes, clusters.ROW_BOUNDS_LANE) is pure pruning: a row is
+        only skipped when no lane's best t can be beaten by anything
+        inside the row's box, so renders with it on vs off must be
+        BIT-EQUAL — on the XLA path and in the interpret-mode kernel."""
+        from pathtracer_tpu.render.renderer import (
+            RenderConfig, init_accum, render_chunk, resolve,
+        )
+        from pathtracer_tpu.scene.camera import define_camera
+        from pathtracer_tpu.utils import prng
+        scene, _ = self._scene(2000)
+        assert scene.stream_row_cull
+        off = scene.replace(stream_row_cull=False)
+        w, h, pp = 16, 8, 2
+        cam = define_camera((0, -24, 2), (0, 0, 0), 35.0, w, h)
+        key = prng.base_key(5)
+        for backend in ("xla", "pallas-interpret"):
+            cfg = RenderConfig(width=w, height=h, pp=pp, seed=5,
+                               backend=backend)
+            imgs = []
+            for sc in (scene, off):
+                st = render_chunk(sc, cam, cfg, key, np.int32(0), cfg.spp,
+                                  init_accum(w * h))
+                imgs.append(np.asarray(resolve(st, cfg)))
+            np.testing.assert_array_equal(imgs[0], imgs[1])
+
+    def test_row_boxes_packed(self):
+        """Pack rows carry their own AABB in the spare lanes: real rows'
+        boxes contain their triangles; all-padding rows get the far-point
+        always-miss box."""
+        scene, _ = self._scene(2000)
+        pack = np.asarray(scene.mtri_pack)
+        L = clu.ROW_BOUNDS_LANE
+        mn, mx = pack[:, L:L + 3], pack[:, L + 3:L + 6]
+        real = pack[:, 0:3].any(axis=1) | pack[:, 13:16].any(axis=1)
+        assert (mn[real] <= mx[real]).all()
+        empty = ~(np.abs(pack[:, :L]) > 0).any(axis=1)
+        if empty.any():
+            assert (mn[empty] == clu.ROW_EMPTY_FAR).all()
+            assert (mx[empty] == clu.ROW_EMPTY_FAR).all()
+
     def test_dma_flag_set_above_stream_max(self):
         """finalize marks meshes above STREAM_MAX (or PT_STREAM_DMA=1)
         as the DMA tier, still streamed."""
