@@ -84,7 +84,7 @@ def print_help():
     print("\nTPU extensions: --size WxH --out PATH --png PATH --debug MODE "
           "--seed N --checkpoint PATH --chunk N --profile DIR --single-chip "
           "--rr --mode auto|unrolled|wavefront --preview PATH --live "
-          "--probe-pixel X,Y --exposure F")
+          "--probe-pixel X,Y --exposure F --mips --flip x|y|xy")
 
 
 def main(argv=None):
@@ -127,6 +127,10 @@ def main(argv=None):
                          "unfinished GenerateMipmapChain TODO, "
                          "win32_main.cpp:2307-2328); off = mip-0-only "
                          "reference parity")
+    ap.add_argument("--flip", default="", choices=["", "x", "y", "xy"],
+                    help="flip the saved image along X, Y, or both (the "
+                         "reference's granular save-orientation TODO, "
+                         "win32_main.cpp:142-144)")
     args = ap.parse_args(rest)
 
     import jax
@@ -246,10 +250,25 @@ def main(argv=None):
         wall = time.perf_counter() - t0
 
     with timer.phase("write"):
-        write_bmp(args.out, packed)
+        # --out dispatches on the file extension (the reference's own TODO
+        # "output image filepath; dynamically find extension and output
+        # based on that", win32_main.cpp:146): .bmp keeps the byte-exact
+        # reference DIB writer; anything PIL can encode (.png .jpg .tga
+        # .gif ...) goes through PIL — the stb_image_write role.
+        pk = packed
+        if "x" in args.flip:
+            pk = pk[:, ::-1]
+        if "y" in args.flip:
+            pk = pk[::-1]
+        ext = args.out.rsplit(".", 1)[-1].lower() if "." in args.out else ""
+        if ext in ("bmp", ""):
+            write_bmp(args.out, pk)
+        else:
+            from PIL import Image
+            Image.fromarray(packed_to_rgb(pk)[::-1]).save(args.out)
         if args.png:
             from PIL import Image
-            Image.fromarray(packed_to_rgb(packed)[::-1]).save(args.png)
+            Image.fromarray(packed_to_rgb(pk)[::-1]).save(args.png)
 
     if args.probe_pixel:
         px, py = (int(v) for v in args.probe_pixel.split(","))

@@ -103,6 +103,33 @@ class TestPreviewMidRender:
         img = Image.open(png)
         assert img.size == (17, 9)
 
+    def test_out_extension_dispatch_and_flip(self, tmp_path):
+        """--out dispatches on the file extension (the reference's
+        'dynamically find extension' TODO, win32_main.cpp:146) and --flip
+        mirrors the saved image (the granular save-orientation TODO,
+        :142-144). The PNG/JPG outputs must match the BMP pixels."""
+        import numpy as np
+        from PIL import Image
+        from pathtracer_tpu import cli
+        from pathtracer_tpu.io.bmp import read_bmp, packed_to_rgb
+
+        base = ["-w3", "-p1", "--size", "16x8", "--single-chip"]
+        bmp = str(tmp_path / "a.bmp")
+        png = str(tmp_path / "a.png")
+        jpg = str(tmp_path / "a.jpg")
+        assert cli.main(base + ["--out", bmp]) == 0
+        assert cli.main(base + ["--out", png]) == 0
+        assert cli.main(base + ["--out", jpg]) == 0
+        ref = packed_to_rgb(read_bmp(bmp))[::-1]
+        got = np.asarray(Image.open(png).convert("RGB"))
+        np.testing.assert_array_equal(ref, got)
+        assert Image.open(jpg).size == (16, 8)  # lossy: shape check only
+
+        flipped = str(tmp_path / "f.png")
+        assert cli.main(base + ["--out", flipped, "--flip", "xy"]) == 0
+        got_f = np.asarray(Image.open(flipped).convert("RGB"))
+        np.testing.assert_array_equal(ref[::-1, ::-1], got_f)
+
     def test_trim_accum_drops_padding(self):
         import numpy as np
         from pathtracer_tpu.parallel.shard import trim_accum
