@@ -131,6 +131,15 @@ def main(argv=None):
                     help="flip the saved image along X, Y, or both (the "
                          "reference's granular save-orientation TODO, "
                          "win32_main.cpp:142-144)")
+    ap.add_argument("--fog", type=float, default=0.0, metavar="SIGMA_T",
+                    help="global homogeneous fog extinction coefficient "
+                         "(volumetric light transport — the reference's "
+                         "'god rays and fog' TODO, win32_main.cpp:159)")
+    ap.add_argument("--fog-albedo", default="1,1,1", metavar="R,G,B",
+                    help="fog single-scatter albedo per channel")
+    ap.add_argument("--fog-g", type=float, default=0.0,
+                    help="Henyey-Greenstein anisotropy in (-1,1); "
+                         "0 = isotropic, >0 forward-scattering")
     args = ap.parse_args(rest)
 
     import jax
@@ -163,6 +172,13 @@ def main(argv=None):
             use_metalness_maps=not ref["m"],
             use_roughness_maps=not ref["r"],
         )
+        if args.fog > 0.0:
+            scene = scene.replace(
+                fog_sigma_t=float(args.fog),
+                fog_albedo=tuple(float(v)
+                                 for v in args.fog_albedo.split(",")),
+                fog_g=float(args.fog_g),
+            )
 
     # camera diagnostics block (win32_main.cpp:2234-2248)
     print("DefineCamera():\n===")

@@ -189,6 +189,37 @@ def sample_to_quad(
     )
 
 
+def henyey_greenstein_sample(u1: jnp.ndarray, u2: jnp.ndarray,
+                             g: float) -> Vec3:
+    """Henyey-Greenstein phase-function sample in tangent space, +z =
+    the propagation direction (forward scattering at g > 0). Inverse-CDF:
+    cos_theta = (1 + g^2 - s^2) / (2g) with s = (1-g^2)/(1 - g + 2g*u).
+    ``g`` is a static scene constant; |g| < 1e-3 compiles the exact
+    isotropic form (cos_theta = 1 - 2u) instead of the 1/(2g) expression.
+    Part of the volumetric transport extension (the reference's unrealized
+    '"god rays" and fog, both via volumetric light transport' TODO,
+    win32_main.cpp:159)."""
+    if abs(g) < 1e-3:
+        cos_t = 1.0 - 2.0 * u1
+    else:
+        s = (1.0 - g * g) / (1.0 - g + 2.0 * g * u1)
+        cos_t = (1.0 + g * g - s * s) / (2.0 * g)
+    cos_t = jnp.clip(cos_t, -1.0, 1.0)
+    r = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
+    phi = 2.0 * PI * u2
+    return Vec3(r * jnp.cos(phi), r * jnp.sin(phi), cos_t)
+
+
+def pdf_henyey_greenstein(cos_theta: jnp.ndarray, g: float) -> jnp.ndarray:
+    """HG phase function value == its solid-angle pdf (normalized):
+    (1-g^2) / (4 pi (1 + g^2 - 2 g cos_theta)^{3/2}); 1/(4 pi) at g = 0."""
+    if abs(g) < 1e-3:
+        return jnp.full(jnp.shape(cos_theta), 1.0 / (4.0 * PI))
+    denom = jnp.maximum(1.0 + g * g - 2.0 * g * cos_theta, 1e-12)
+    inv = 1.0 / jnp.sqrt(denom)
+    return (1.0 - g * g) * inv * inv * inv / (4.0 * PI)
+
+
 def uniform_hemisphere(u1: jnp.ndarray, u2: jnp.ndarray) -> Vec3:
     """Uniform hemisphere sample in tangent space, p = 1/(2 pi). The
     reference declares RandomDirectionHemisphere (win32_main.cpp:56) but

@@ -182,6 +182,7 @@ class HostWorld:
             self.tris = []
         self.textures = b.textures
         self.quad_light = b.quad_light  # -1, or NEE targets this quad
+        self.fog = b.fog  # (sigma_t, albedo3, g); sigma_t 0 = no medium
 
     def intersect(self, o, d):
         """RayCastIntersect order: spheres, quads, planes, triangles."""
@@ -244,6 +245,31 @@ def orthonormal_basis(w):
 
 def pdf_cosine(d):
     return max(F32(0.0), d[2]) / PI
+
+
+def henyey_greenstein_sample(u1, u2, g):
+    """Scalar twin of ops/sampling.henyey_greenstein_sample (tangent
+    space, +z = propagation direction)."""
+    g = F32(g)
+    if abs(g) < 1e-3:
+        ct = F32(1.0) - F32(2.0) * F32(u1)
+    else:
+        s = (F32(1.0) - g * g) / (F32(1.0) - g + F32(2.0) * g * F32(u1))
+        ct = (F32(1.0) + g * g - s * s) / (F32(2.0) * g)
+    ct = F32(min(max(float(ct), -1.0), 1.0))
+    r = np.sqrt(max(F32(0.0), F32(1.0) - ct * ct))
+    phi = F32(2.0) * PI * F32(u2)
+    return v3(np.cos(phi) * r, np.sin(phi) * r, ct)
+
+
+def pdf_henyey_greenstein(cos_t, g):
+    """Scalar twin of ops/sampling.pdf_henyey_greenstein."""
+    g = F32(g)
+    if abs(g) < 1e-3:
+        return F32(1.0) / (F32(4.0) * PI)
+    denom = max(F32(1e-12), F32(1.0) + g * g - F32(2.0) * g * F32(cos_t))
+    inv = F32(1.0) / np.sqrt(denom)
+    return (F32(1.0) - g * g) * inv * inv * inv / (F32(4.0) * PI)
 
 
 def pdf_to_sphere(world, o, d, center, radius):
@@ -358,6 +384,60 @@ def trace_path(world: HostWorld, o, d, u_bounce, just_cosine,
 
     for b in range(MAX_BOUNCE_COUNT):
         t, mat_i, N = world.intersect(o, d)
+
+        fog_sigma, fog_albedo, fog_g = world.fog
+        if fog_sigma > 0.0:
+            # Volume event twin (integrator.shade_bounce fog block):
+            # free flight s = -ln(1-u5)/sigma_t; scatter when it undercuts
+            # the surface hit. Same slots: u[5] distance, u[1] mixture
+            # coin, u[2]/u[3] direction, u[4] RR.
+            u = u_bounce[b]
+            s = -np.log(max(F32(1.0) - F32(u[5]), F32(1e-30))) \
+                / F32(fog_sigma)
+            if s < t:
+                if b == MAX_BOUNCE_COUNT - 1:
+                    return radiance
+                vp = o + d * s
+                use_phase = u[1] > 0.5
+                if use_phase:
+                    ph = henyey_greenstein_sample(u[2], u[3], fog_g)
+                    fx, fy, fz = orthonormal_basis(d)
+                    L = normalize(ph[0] * fx + ph[1] * fy + ph[2] * fz)
+                elif world.quad_light >= 0:
+                    qp, qu_, qv_, _ = world.quads[world.quad_light]
+                    L = normalize(qp + qu_ * F32(u[2]) + qv_ * F32(u[3])
+                                  - vp)
+                else:
+                    light_s = world.spheres[0]
+                    r_dir = to_sphere(u[2], u[3], light_s[0], light_s[1], vp)
+                    if r_dir is None:
+                        return radiance  # kill (imp_ok gate)
+                    gx, gy, gz = orthonormal_basis(light_s[0] - vp)
+                    L = normalize(r_dir[0] * gx + r_dir[1] * gy
+                                  + r_dir[2] * gz)
+                f_p = pdf_henyey_greenstein(dot(d, L), fog_g)
+                if world.quad_light >= 0:
+                    qp, qu_, qv_, _ = world.quads[world.quad_light]
+                    p_light = pdf_quad(vp, L, qp, qu_, qv_)
+                else:
+                    light_s = world.spheres[0]
+                    p_light = pdf_to_sphere(world, vp, L, light_s[0],
+                                            light_s[1])
+                px = F32(0.5) * f_p + F32(0.5) * p_light
+                if px == 0.0:
+                    return radiance
+                w = f_p * (F32(1.0) / px)
+                # parenthesized like hadamard(throughput, w * albedo)
+                new_thr = throughput * (np.asarray(fog_albedo, F32) * w)
+                if use_russian_roulette and b >= 1:
+                    q = F32(min(max(float(new_thr.max()), 0.05), 1.0))
+                    if not (u[4] < q):
+                        return radiance
+                    new_thr = new_thr * (F32(1.0) / q)
+                throughput = new_thr
+                o, d = vp, L
+                continue
+
         mat: HostMaterial = world.materials[mat_i]
         emit = np.asarray(mat.emit, F32)
         radiance = radiance + throughput * emit

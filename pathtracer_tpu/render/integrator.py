@@ -54,8 +54,10 @@ import numpy as np
 
 from ..ops.intersect import Hit, intersect_scene, ray_planar_quad, ray_sphere
 from ..ops.sampling import (
-    cosine_hemisphere, from_tangent, ggx_half_vector, orthonormal_basis,
-    pdf_cosine, pdf_quad, pdf_to_sphere, sample_to_quad, to_sphere, PI,
+    cosine_hemisphere, from_tangent, ggx_half_vector,
+    henyey_greenstein_sample, orthonormal_basis, pdf_cosine,
+    pdf_henyey_greenstein, pdf_quad, pdf_to_sphere, sample_to_quad,
+    to_sphere, PI,
 )
 from ..ops.shade import (
     brdf_specular_scalar, effectively_smooth, find_refraction_direction,
@@ -455,6 +457,76 @@ def shade_bounce(
         # boolean select (a where on i1 operands fails Mosaic lowering:
         # "unsupported target bitwidth for truncation")
         cont = (trans & surface) | (~trans & cont)
+
+    if scene.fog_sigma_t > 0.0:
+        # Global homogeneous fog — the reference's unrealized '"god rays"
+        # and fog, both via volumetric light transport' TODO
+        # (win32_main.cpp:159). Distance sampling: free flight
+        # s = -ln(1-u)/sigma_t; a path scatters IN the medium when s
+        # undercuts the surface hit (sky rays, t = F32_MAX, always
+        # scatter — fog occludes the sky). The exponential transmittance
+        # cancels exactly against the flight pdf, so pass-through lanes
+        # carry weight 1 and scatter lanes weight albedo * phase/px —
+        # unbiased single-estimator volume transport, no x2 correction.
+        # Volume and surface events are disjoint per lane, so the surface
+        # estimator's slots reuse freely: u[1] mixture coin, u[2]/u[3]
+        # direction; only the flight distance needs the fresh slot u[5].
+        g = scene.fog_g
+        s = -jnp.log(jnp.maximum(1.0 - u[5], 1e-30)) \
+            / jnp.float32(scene.fog_sigma_t)
+        vol = s < hit.t
+        vp = o + d * s
+        # 50/50 phase-sample / light-sample NEE mixture, both pdfs
+        # evaluated at the chosen direction (the quad-light style; the
+        # raw-frame PdfCos quirk is a surface-estimator replication, not
+        # repeated here).
+        use_phase = u[1] > 0.5
+        fwx, fwy, fwz = orthonormal_basis(d)
+        ph_t = henyey_greenstein_sample(u[2], u[3], g)
+        L_phase = normalize(from_tangent(ph_t, fwx, fwy, fwz), eps=1e-30)
+        if scene.quad_light >= 0:
+            qi = scene.quad_light
+            qp = Vec3(scene.quad_point.x[qi], scene.quad_point.y[qi],
+                      scene.quad_point.z[qi])
+            ql_u = Vec3(scene.quad_u.x[qi], scene.quad_u.y[qi],
+                        scene.quad_u.z[qi])
+            ql_v = Vec3(scene.quad_v.x[qi], scene.quad_v.y[qi],
+                        scene.quad_v.z[qi])
+            L_light = normalize(
+                sample_to_quad(u[2], u[3], qp, ql_u, ql_v, vp), eps=1e-30)
+            L_vol = vwhere(use_phase, L_phase, L_light)
+            tq_v, qh_v = ray_planar_quad(vp, L_vol, qp, ql_u, ql_v,
+                                         min_hit=MIN_HIT_DISTANCE)
+            p_light = pdf_quad(tq_v, qh_v, L_vol, ql_u, ql_v)
+            imp_ok = jnp.ones(shape, bool)
+        else:
+            l_dir = light_center - vp
+            sph_t, ts_ok = to_sphere(u[2], u[3], light_center, light_radius,
+                                     vp)
+            gx, gy, gz = orthonormal_basis(l_dir)
+            L_light = normalize(from_tangent(sph_t, gx, gy, gz), eps=1e-30)
+            L_vol = vwhere(use_phase, L_phase, L_light)
+            _, sph_ok, _ = ray_sphere(vp, L_vol, light_center, light_radius,
+                                      MIN_HIT_DISTANCE)
+            p_light = pdf_to_sphere(sph_ok, light_center, light_radius, vp)
+            imp_ok = ts_ok
+        f_p = pdf_henyey_greenstein(dot(d, L_vol), g)
+        px_v = 0.5 * f_p + 0.5 * p_light
+        vol_ok = (px_v > 0.0) & (use_phase | imp_ok)
+        w_s = f_p * jnp.where(px_v > 0.0,
+                              1.0 / jnp.where(px_v > 0.0, px_v, 1.0), 0.0)
+        fa = scene.fog_albedo
+        w_vol = Vec3(w_s * jnp.float32(fa[0]), w_s * jnp.float32(fa[1]),
+                     w_s * jnp.float32(fa[2]))
+        zero3 = Vec3(jnp.zeros(shape), jnp.zeros(shape), jnp.zeros(shape))
+        emit = vwhere(vol, zero3, emit)
+        hitpoint = vwhere(vol, vp, hitpoint)
+        L = vwhere(vol, L_vol, L)
+        weight = vwhere(vol, w_vol, weight)
+        cont = (vol & vol_ok) | (~vol & cont)
+        hit_sky = hit_sky & ~vol
+        hit_light = hit_light & ~vol
+        front_facing = front_facing | vol  # a scatter is not a back-face
 
     return BounceOut(
         emit=emit, hitpoint=hitpoint, L=L, weight=weight, cont=cont,

@@ -258,6 +258,15 @@ class Scene:
     # to-sphere term for the PdfValueQuad semantics (:301-322) the
     # reference defined but never wired up.
     quad_light: int = struct.field(pytree_node=False, default=-1)
+    # Global homogeneous fog (WorldBuilder.set_fog — the reference's
+    # unrealized "god rays and fog via volumetric light transport" TODO,
+    # win32_main.cpp:159). Static so fog-free scenes compile exactly the
+    # reference estimator with zero volume code. sigma_t = extinction,
+    # fog_albedo = sigma_s/sigma_t per channel, fog_g = HG anisotropy.
+    fog_sigma_t: float = struct.field(pytree_node=False, default=0.0)
+    fog_albedo: tuple = struct.field(pytree_node=False,
+                                     default=(1.0, 1.0, 1.0))
+    fog_g: float = struct.field(pytree_node=False, default=0.0)
     n_spheres: int = struct.field(pytree_node=False, default=0)
     n_quads: int = struct.field(pytree_node=False, default=0)
     n_planes: int = struct.field(pytree_node=False, default=0)
@@ -309,6 +318,7 @@ class WorldBuilder:
         self.tri_mats: Optional[np.ndarray] = None   # (T,) int32
         self.textures: list[np.ndarray] = []         # (H, W, 3) float32 each
         self.quad_light: int = -1                    # see set_quad_light
+        self.fog: tuple = (0.0, (1.0, 1.0, 1.0), 0.0)  # see set_fog
 
     def add_material(self, **kw) -> int:
         self.materials.append(HostMaterial(**kw))
@@ -333,6 +343,17 @@ class WorldBuilder:
         if not (0 <= idx < len(self.quads)):
             raise ValueError(f"quad light index {idx} out of range")
         self.quad_light = idx
+
+    def set_fog(self, sigma_t: float, albedo=(1.0, 1.0, 1.0), g: float = 0.0):
+        """Global homogeneous participating medium (the reference's
+        unrealized '"god rays" and fog, both via volumetric light
+        transport' TODO, win32_main.cpp:159). ``sigma_t`` is the
+        extinction coefficient (1/units of free flight), ``albedo`` the
+        single-scatter albedo sigma_s/sigma_t per channel, ``g`` the
+        Henyey-Greenstein anisotropy in (-1, 1) (0 = isotropic)."""
+        if sigma_t < 0.0 or not (-1.0 < g < 1.0):
+            raise ValueError("fog needs sigma_t >= 0 and -1 < g < 1")
+        self.fog = (float(sigma_t), tuple(float(a) for a in albedo), float(g))
 
     def add_plane(self, n, d, mat) -> int:
         self.planes.append((tuple(n), float(d), int(mat)))
@@ -679,6 +700,9 @@ class WorldBuilder:
             world_kind=world_kind,
             just_cosine=(world_kind == WORLD_RAYTRACING_ONE_WEEKEND),
             quad_light=self.quad_light,
+            fog_sigma_t=self.fog[0],
+            fog_albedo=self.fog[1],
+            fog_g=self.fog[2],
             n_spheres=len(self.spheres),
             n_quads=len(self.quads),
             n_planes=len(self.planes),
