@@ -140,6 +140,10 @@ def main(argv=None):
     ap.add_argument("--fog-g", type=float, default=0.0,
                     help="Henyey-Greenstein anisotropy in (-1,1); "
                          "0 = isotropic, >0 forward-scattering")
+    ap.add_argument("--denoise", type=int, default=0, metavar="N",
+                    help="a-trous denoiser iterations on the linear image "
+                         "before the tonemap (the reference's 'denoising' "
+                         "TODO, win32_main.cpp:184); 0 = raw estimator")
     args = ap.parse_args(rest)
 
     import jax
@@ -210,7 +214,8 @@ def main(argv=None):
     cfg = RenderConfig(width=w, height=h, pp=pp, seed=args.seed,
                        debug_kind=args.debug,
                        use_russian_roulette=args.rr, mode=args.mode,
-                       exposure=args.exposure, mip_scale=mip_scale)
+                       exposure=args.exposure, mip_scale=mip_scale,
+                       denoise=args.denoise)
     if args.chunk is None:
         args.chunk = min(cfg.spp, 64)
 

@@ -40,7 +40,7 @@ PI = F32(math.pi)
 _TAG_JITTER = 0x0100_0000
 _TAG_LENS = 0x0200_0000
 _TAG_BOUNCE = 0x0400_0000
-_BOUNCE_SLOTS = 6
+_BOUNCE_SLOTS = 8
 
 
 def _pcg4d_np(a, b, c, d):
@@ -91,8 +91,8 @@ def lens_uniforms_np(seed, pixel, sample):
 def bounce_uniforms_np(seed, pixel, sample, bounce):
     base = np.uint32(_TAG_BOUNCE) + np.uint32(bounce) * np.uint32(2)
     a0, a1, a2, a3 = _draw4_np(seed, pixel, sample, base)
-    b0, b1, _, _ = _draw4_np(seed, pixel, sample, base + np.uint32(1))
-    return a0, a1, a2, a3, b0, b1
+    b0, b1, b2, b3 = _draw4_np(seed, pixel, sample, base + np.uint32(1))
+    return a0, a1, a2, a3, b0, b1, b2, b3
 
 
 def v3(x, y, z):
@@ -467,13 +467,20 @@ def trace_path(world: HostWorld, o, d, u_bounce, just_cosine,
             # any_transmissive branch exactly): Schlick coin on u[0],
             # refract via the geometric normal, TIR -> reflect,
             # weight = albedo, RR on the same slot
-            F0t = F32(((N_AIR - mat.ior) / (N_AIR + mat.ior)) ** 2)
+            ior_t = F32(mat.ior)
+            ch = None
+            if mat.dispersion > 0.0:
+                # spectral channel twin (integrator dispersive lobe):
+                # coin u[6], ior + dispersion*(c-1), channel mask x3
+                ch = min(int(F32(u[6]) * F32(3.0)), 2)
+                ior_t = F32(mat.ior) + F32(mat.dispersion) * F32(ch - 1)
+            F0t = F32(((N_AIR - ior_t) / (N_AIR + ior_t)) ** 2)
             cos_i = F32(-cos_theta)
             t1 = F32(1.0) - F32(min(max(float(cos_i), 0.0), 1.0))
             t2 = t1 * t1
             t5 = t2 * t2 * t1  # XLA integer_pow(5) expansion order
             fres = F0t + (F32(1.0) - F0t) * t5
-            refr = refract_np(d, N, F32(mat.ior))
+            refr = refract_np(d, N, ior_t)
             # sign-safe true mirror (pure_bounce is only a mirror for front
             # faces; interior TIR hits are back-facing) — twin of the
             # integrator's `mirror`
@@ -484,6 +491,10 @@ def trace_path(world: HostWorld, o, d, u_bounce, just_cosine,
                 albedo = bespoke_sample_host(
                     texs[mat.albedo_idx - 1],
                     hitpoint[0], hitpoint[1])
+            if ch is not None:
+                mask = np.zeros(3, F32)
+                mask[ch] = F32(3.0)
+                albedo = albedo * mask
             new_thr = throughput * albedo
             if use_russian_roulette and b >= 1:
                 q = F32(min(max(float(new_thr.max()), 0.05), 1.0))
@@ -652,7 +663,9 @@ def render_oracle(
     lens_u = np.zeros((n_pix, pp, 2), np.float32)
     for s in range(spp):
         jit_u[:, s] = np.stack(jitter_uniforms_np(seed, pixel_idx, s), -1)
-        for b in range(MAX_BOUNCE_COUNT - 1):
+        # ALL bounces, including the terminal one: pre-fog nothing sampled
+        # there, but the volume event consumes u[5] at every depth
+        for b in range(MAX_BOUNCE_COUNT):
             bnc_u[:, s, b] = np.stack(
                 bounce_uniforms_np(seed, pixel_idx, s, b), -1)
     for ri in range(pp):

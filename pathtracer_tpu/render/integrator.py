@@ -137,6 +137,8 @@ def _material_fields(scene: Scene) -> dict:
         # only fetched when a dielectric exists: opaque scenes keep the
         # exact reference lookup set (and kernel code) unchanged
         fields["transmission"] = scene.mat_transmission
+    if scene.any_dispersive:
+        fields["dispersion"] = scene.mat_dispersion
     return fields
 
 
@@ -438,12 +440,28 @@ def shade_bounce(
         # surface, and exit hits arrive back-facing by construction.
         trans = mat["transmission"] > 0.0
         cos_i = -cos_theta_in  # |cos| of the arriving angle (:596-598)
+        ior_t, F0_t = ior, F0
+        if scene.any_dispersive:
+            # Spectral dispersion — the reference's "different wavelengths
+            # refract differently" TODO (win32_main.cpp:169-170). One
+            # channel per path (coin u[6] — a FRESH slot: u[5] conditioned
+            # on reaching the surface is non-uniform under fog), refracted
+            # with ior + dispersion*(c-1); throughput masks to that channel
+            # x3, an unbiased spectral estimator (E[3*mask_c] = 1).
+            disp = mat["dispersion"]
+            ch = jnp.minimum((u[6] * 3.0).astype(jnp.int32), 2)
+            is_disp = disp > 0.0
+            ior_t = jnp.where(is_disp,
+                              ior + disp * (ch.astype(jnp.float32) - 1.0),
+                              ior)
+            F0_t = jnp.where(is_disp,
+                             ((N_AIR - ior_t) / (N_AIR + ior_t)) ** 2, F0)
         # Approximation kept from the reference's Schlick setup: F0 uses the
         # air-side ior and cos_i is the incident-side angle even when exiting
         # the denser medium (the exact curve would rise to 1 at the critical
         # angle). TIR itself is handled exactly by the refract branch below.
-        fres = F0 + (1.0 - F0) * (1.0 - jnp.clip(cos_i, 0.0, 1.0)) ** 5
-        refr_dir, refracted = find_refraction_direction(d, N_geom, ior)
+        fres = F0_t + (1.0 - F0_t) * (1.0 - jnp.clip(cos_i, 0.0, 1.0)) ** 5
+        refr_dir, refracted = find_refraction_direction(d, N_geom, ior_t)
         # True sign-safe mirror. pure_bounce (above) folds in the sign-flipped
         # cos_theta_in and is only a mirror for FRONT faces (fine for the
         # opaque estimators, which gate on front_facing); interior glass hits
@@ -453,7 +471,14 @@ def shade_bounce(
         take_reflect = (u[0] < fres) | ~refracted
         L_t = vwhere(take_reflect, mirror, refr_dir)
         L = vwhere(trans, L_t, L)
-        weight = vwhere(trans, albedo, weight)
+        w_trans = albedo
+        if scene.any_dispersive:
+            three = jnp.float32(3.0)
+            mask = Vec3((ch == 0).astype(jnp.float32) * three,
+                        (ch == 1).astype(jnp.float32) * three,
+                        (ch == 2).astype(jnp.float32) * three)
+            w_trans = vwhere(is_disp, hadamard(albedo, mask), albedo)
+        weight = vwhere(trans, w_trans, weight)
         # boolean select (a where on i1 operands fails Mosaic lowering:
         # "unsupported target bitwidth for truncation")
         cont = (trans & surface) | (~trans & cont)

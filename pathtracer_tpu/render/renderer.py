@@ -64,6 +64,10 @@ class RenderConfig:
     # always read mips[0]; the chain itself was the reference's unfinished
     # TODO). See integrator.shade_bounce for the LOD rule.
     mip_scale: float = 0.0
+    # Opt-in a-trous denoiser iterations applied to the linear image before
+    # the tonemap (--denoise; the reference's "denoising" TODO,
+    # win32_main.cpp:184). 0 = raw estimator (golden-test parity).
+    denoise: int = 0
 
     @property
     def spp(self) -> int:
@@ -201,9 +205,18 @@ def resolve(state: AccumState, config: RenderConfig) -> jnp.ndarray:
 def finalize(state: AccumState, config: RenderConfig) -> jnp.ndarray:
     """Accumulator -> packed BGRA uint32 (H, W) framebuffer bytes, matching
     the reference's pixel pipeline (win32_main.cpp:1172-1182; tonemap only
-    for the regular target, :1172-1173)."""
+    for the regular target, :1172-1173). With config.denoise > 0 the
+    linear image runs the variance-guided a-trous filter first
+    (render/denoise.py — the reference's "denoising" TODO)."""
     mean = _pixel_value(state, config)
     if config.debug_kind == REGULAR:
+        if config.denoise > 0:
+            from .denoise import accum_variance, atrous_denoise
+            img = to_stacked(mean).reshape(config.height, config.width, 3)
+            img = atrous_denoise(img, accum_variance(state, config),
+                                 iterations=config.denoise)
+            flat = img.reshape(-1, 3)
+            mean = Vec3(flat[:, 0], flat[:, 1], flat[:, 2])
         if config.exposure != 1.0:
             mean = mean * config.exposure
         mean = tonemap_aces(mean)

@@ -77,6 +77,8 @@ class Scene:
     mat_ior: jnp.ndarray
     # Dielectric transmission fraction (see HostMaterial.transmission).
     mat_transmission: jnp.ndarray
+    # Spectral dispersion half-spread (see HostMaterial.dispersion).
+    mat_dispersion: jnp.ndarray
     # material_t.alpha (ray.hpp:63, default 1): defined by the reference but
     # never read by its render path; stored for struct parity.
     mat_alpha: jnp.ndarray
@@ -252,6 +254,9 @@ class Scene:
     # True iff any material has transmission > 0; static so opaque scenes
     # compile exactly the reference estimator with no dielectric code.
     any_transmissive: bool = struct.field(pytree_node=False, default=False)
+    # True iff any transmissive material disperses; static so plain-glass
+    # scenes compile the single-ior lobe unchanged.
+    any_dispersive: bool = struct.field(pytree_node=False, default=False)
     # Index of the quad the NEE mixture targets, or -1 for the reference
     # default (spheres[0], win32_main.cpp:683). Static so sphere-light
     # scenes compile exactly the reference estimator; >= 0 swaps the
@@ -299,6 +304,11 @@ class HostMaterial:
     # behavior); > 0 enables the delta reflect/refract lobe the reference
     # left unfinished (win32_main.cpp:169,1622-1661, F0 comment :600-601).
     transmission: float = 0.0
+    # Spectral dispersion half-spread for transmissive dielectrics (the
+    # reference's "different wavelengths refract differently" TODO,
+    # :169-170): per-path channel c in {R,G,B} refracts with
+    # ior + dispersion * (c - 1), i.e. red bends least, blue most.
+    dispersion: float = 0.0
     albedo_idx: int = 0
     metalness_idx: int = 0
     roughness_idx: int = 0
@@ -621,8 +631,12 @@ class WorldBuilder:
             mat_ior=scalar_table([m.ior for m in mats], M, fill=1),
             mat_transmission=scalar_table(
                 [m.transmission for m in mats], M),
+            mat_dispersion=scalar_table(
+                [m.dispersion for m in mats], M),
             mat_alpha=scalar_table([m.alpha for m in mats], M, fill=1),
             any_transmissive=any(m.transmission > 0.0 for m in mats),
+            any_dispersive=any(m.transmission > 0.0 and m.dispersion > 0.0
+                               for m in mats),
             mat_albedo_idx=scalar_table([m.albedo_idx for m in mats], M, i32),
             mat_metalness_idx=scalar_table([m.metalness_idx for m in mats], M, i32),
             mat_roughness_idx=scalar_table([m.roughness_idx for m in mats], M, i32),

@@ -32,7 +32,13 @@ Slot layout per bounce (BOUNCE_SLOTS uniforms in [0,1)):
     3: direction u2      (radius/theta/z for the samplers)
     4: russian roulette  (reference lists RR as TODO win32_main.cpp:187;
                           north-star requires it — see integrator)
-    5: reserved (refraction)
+    5: fog flight distance (volume events, integrator fog block; volume
+                          and surface events are disjoint per lane, so
+                          surface estimators reuse 0-3 at volume events)
+    6: dispersion channel (spectral coin for dispersive dielectrics —
+                          must be fresh: u[5] conditioned on "reached the
+                          surface" is no longer uniform under fog)
+    7: spare
 """
 
 from __future__ import annotations
@@ -50,7 +56,7 @@ TAG_JITTER = 0x0100_0000
 TAG_LENS = 0x0200_0000
 TAG_BOUNCE = 0x0400_0000
 
-BOUNCE_SLOTS = 6
+BOUNCE_SLOTS = 8
 
 # python scalars (not jnp constants: those would be captured as closure
 # constants by pallas kernels that call into this module)
@@ -152,11 +158,13 @@ def lens_uniforms(stream: PathStream):
 
 def bounce_uniforms(stream: PathStream, bounce):
     """BOUNCE_SLOTS uniforms for one bounce (two PCG4D blocks), as a tuple
-    of (N,) arrays (see jitter_uniforms for why not stacked)."""
+    of (N,) arrays (see jitter_uniforms for why not stacked). Slots 0-5
+    are the historical six; 6-7 expose the second block's remaining words
+    (values of the first six are unchanged)."""
     base = TAG_BOUNCE + jnp.asarray(bounce).astype(jnp.uint32) * jnp.uint32(2)
     a0, a1, a2, a3 = _draw4(stream, base)
-    b0, b1, _, _ = _draw4(stream, base + jnp.uint32(1))
-    return a0, a1, a2, a3, b0, b1
+    b0, b1, b2, b3 = _draw4(stream, base + jnp.uint32(1))
+    return a0, a1, a2, a3, b0, b1, b2, b3
 
 
 def normal_from_uniforms(u1, u2, stddev=1.0):

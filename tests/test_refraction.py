@@ -149,6 +149,63 @@ class TestGlassGolden:
         assert np.isfinite(img).all()
         assert img.max() > 0
 
+    def test_dispersive_glass_matches_oracle(self):
+        """Spectral dispersion (the reference's 'different wavelengths
+        refract differently' TODO, win32_main.cpp:169-170): golden vs the
+        scalar oracle twin on a strongly dispersive glass sphere."""
+        b = _glass_world()
+        b.materials[2] = type(b.materials[2])(
+            albedo=(0.95, 0.97, 0.99), ior=1.5, transmission=1.0,
+            dispersion=0.08)
+        w, h, pp = 20, 14, 2
+        cam = define_camera((0, -7, 1.5), (0, 0, 1), 35.0, w, h)
+        scene = b.finalize()
+        assert scene.any_dispersive
+        cfg = RenderConfig(width=w, height=h, pp=pp, seed=6)
+        img, _, _ = render_image(scene, cam, cfg)
+        oracle = render_oracle(b, cam, w, h, pp, seed=6, world_kind=0)
+        img = np.asarray(img)
+        d = np.abs(img - oracle).max(axis=-1)
+        assert np.median(d) < 1e-4, float(np.median(d))
+        assert (d > 1e-2).mean() < 0.05, float((d > 1e-2).mean())
+
+    def test_dispersion_bends_channels_apart(self):
+        """Unit-level: with the Fresnel coin forced to refract, the three
+        channel coins produce three different refraction directions, red
+        bending least (smallest ior) and blue most; the throughput masks
+        to the selected channel x3."""
+        from pathtracer_tpu.ops.intersect import Hit
+        from pathtracer_tpu.render.integrator import shade_bounce
+        b = _glass_world()
+        b.materials[2] = type(b.materials[2])(
+            albedo=(1.0, 1.0, 1.0), ior=1.5, transmission=1.0,
+            dispersion=0.1)
+        scene = b.finalize()
+        d = _v(np.sin(0.6), 0.0, -np.cos(0.6))
+        o = _v(0.0, 0.0, 2.0)
+        hit = Hit(t=jnp.asarray([1.0], jnp.float32),
+                  mat=jnp.asarray([2], jnp.int32),
+                  normal=_v(0.0, 0.0, 1.0))
+        outs = []
+        for u6 in (0.1, 0.5, 0.9):  # channels 0 (R), 1 (G), 2 (B)
+            u = tuple(jnp.asarray([v], jnp.float32)
+                      for v in (0.99, 0.5, 0.5, 0.5, 0.5, 0.5, u6, 0.5))
+            out = shade_bounce(scene, o, d, hit, u)
+            L = np.array([float(np.asarray(c)[0])
+                          for c in (out.L.x, out.L.y, out.L.z)])
+            wgt = np.array([float(np.asarray(c)[0])
+                            for c in (out.weight.x, out.weight.y,
+                                      out.weight.z)])
+            outs.append((L, wgt))
+        # sin(theta_out) = n_air sin(theta_in) / ior_c: larger ior bends
+        # the ray closer to the normal -> smaller |L.x|
+        sx = [abs(L[0]) for L, _ in outs]
+        assert sx[0] > sx[1] > sx[2], sx
+        for c, (_, wgt) in enumerate(outs):
+            expect = np.zeros(3)
+            expect[c] = 3.0
+            np.testing.assert_allclose(wgt, expect, atol=1e-6)
+
     def test_opaque_scene_unchanged_by_flag_plumbing(self):
         # a transmission=0 scene must not set the static flag (and so
         # compiles the exact reference estimator)
