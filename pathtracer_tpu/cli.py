@@ -144,6 +144,11 @@ def main(argv=None):
                     help="a-trous denoiser iterations on the linear image "
                          "before the tonemap (the reference's 'denoising' "
                          "TODO, win32_main.cpp:184); 0 = raw estimator")
+    ap.add_argument("--tbn", action="store_true",
+                    help="rotate normal maps into the surface tangent "
+                         "frame (the reference's non-up-surface normal-map "
+                         "TODO, win32_main.cpp:175); off = world-space "
+                         "replacement parity (:642)")
     args = ap.parse_args(rest)
 
     import jax
@@ -176,6 +181,8 @@ def main(argv=None):
             use_metalness_maps=not ref["m"],
             use_roughness_maps=not ref["r"],
         )
+        if args.tbn:
+            scene = scene.replace(tbn_normal_maps=True)
         if args.fog > 0.0:
             scene = scene.replace(
                 fog_sigma_t=float(args.fog),

@@ -183,6 +183,7 @@ class HostWorld:
         self.textures = b.textures
         self.quad_light = b.quad_light  # -1, or NEE targets this quad
         self.fog = b.fog  # (sigma_t, albedo3, g); sigma_t 0 = no medium
+        self.tbn_normal_maps = getattr(b, "tbn_normal_maps", False)
 
     def intersect(self, o, d):
         """RayCastIntersect order: spheres, quads, planes, triangles."""
@@ -517,7 +518,12 @@ def trace_path(world: HostWorld, o, d, u_bounce, just_cosine,
             if use_normal_maps and mat.normal_idx != 0:
                 nt = bespoke_sample_host(
                     texs[mat.normal_idx - 1], hitpoint[0], hitpoint[1])
-                N = normalize(F32(2.0) * nt - np.ones(3, F32))
+                n_dec = F32(2.0) * nt - np.ones(3, F32)
+                if getattr(world, "tbn_normal_maps", False):
+                    # tangent-frame twin (integrator tbn_normal_maps)
+                    bu, bv, bw = orthonormal_basis(N)
+                    n_dec = n_dec[0] * bu + n_dec[1] * bv + n_dec[2] * bw
+                N = normalize(n_dec)
 
         ndotv = dot(N, V)
         if ndotv <= 0.0:

@@ -285,9 +285,16 @@ def shade_bounce(
         if scene.use_roughness_maps:
             roughness = jnp.where(mat["roughness_idx"] != 0, rgh_c, roughness)
         if scene.use_normal_maps:
-            n_mapped = normalize(
-                Vec3(2.0 * nrm_c.x - 1.0, 2.0 * nrm_c.y - 1.0, 2.0 * nrm_c.z - 1.0),
-                eps=1e-30)
+            n_dec = Vec3(2.0 * nrm_c.x - 1.0, 2.0 * nrm_c.y - 1.0,
+                         2.0 * nrm_c.z - 1.0)
+            if scene.tbn_normal_maps:
+                # rotate the decoded (z-up tangent space) normal into the
+                # geometric frame — the reference's non-up-surface TODO
+                # (win32_main.cpp:175); default replaces N in world space
+                # exactly like :642
+                bx, by, bz = orthonormal_basis(N_geom)
+                n_dec = from_tangent(n_dec, bx, by, bz)
+            n_mapped = normalize(n_dec, eps=1e-30)
             N = vwhere(mat["normal_idx"] != 0, n_mapped, N)
         albedo_tex = (has_tex, alb_c)
     elif scene.n_textures:
@@ -300,10 +307,13 @@ def shade_bounce(
             roughness = jnp.where(mat["roughness_idx"] != 0, rgh_tex.x, roughness)
         if scene.use_normal_maps:
             n_tex = bespoke_sample(scene, jnp.maximum(mat["normal_idx"] - 1, 0), uvx, uvy)
-            n_mapped = normalize(
-                Vec3(2.0 * n_tex.x - 1.0, 2.0 * n_tex.y - 1.0, 2.0 * n_tex.z - 1.0),
-                eps=1e-30,
-            )
+            n_dec = Vec3(2.0 * n_tex.x - 1.0, 2.0 * n_tex.y - 1.0,
+                         2.0 * n_tex.z - 1.0)
+            if scene.tbn_normal_maps:
+                # see the combined-set branch above
+                bx, by, bz = orthonormal_basis(N_geom)
+                n_dec = from_tangent(n_dec, bx, by, bz)
+            n_mapped = normalize(n_dec, eps=1e-30)
             use_nm = mat["normal_idx"] != 0
             N = vwhere(use_nm, n_mapped, N)
 

@@ -280,6 +280,12 @@ class Scene:
     n_materials: int = struct.field(pytree_node=False, default=0)
     n_textures: int = struct.field(pytree_node=False, default=0)
     grid_res: int = struct.field(pytree_node=False, default=0)
+    # Opt-in tangent-frame normal mapping (the reference's "support normal
+    # maps applied to surface where the normal is not pointing directly
+    # up" TODO, win32_main.cpp:175): decoded map normals rotate into the
+    # geometric surface frame instead of replacing N in world space (the
+    # reference behavior, :642, kept as the parity default).
+    tbn_normal_maps: bool = struct.field(pytree_node=False, default=False)
     # texture enablement flags (-n -m -r CLI flags, win32_main.cpp:2173-2178)
     use_normal_maps: bool = struct.field(pytree_node=False, default=True)
     use_metalness_maps: bool = struct.field(pytree_node=False, default=True)
@@ -329,6 +335,7 @@ class WorldBuilder:
         self.textures: list[np.ndarray] = []         # (H, W, 3) float32 each
         self.quad_light: int = -1                    # see set_quad_light
         self.fog: tuple = (0.0, (1.0, 1.0, 1.0), 0.0)  # see set_fog
+        self.tbn_normal_maps: bool = False  # see Scene.tbn_normal_maps
 
     def add_material(self, **kw) -> int:
         self.materials.append(HostMaterial(**kw))
@@ -714,6 +721,7 @@ class WorldBuilder:
             world_kind=world_kind,
             just_cosine=(world_kind == WORLD_RAYTRACING_ONE_WEEKEND),
             quad_light=self.quad_light,
+            tbn_normal_maps=self.tbn_normal_maps,
             fog_sigma_t=self.fog[0],
             fog_albedo=self.fog[1],
             fog_g=self.fog[2],
