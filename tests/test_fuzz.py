@@ -143,3 +143,59 @@ def test_random_scene_with_rr_matches_oracle(seed):
     d = np.abs(img - oracle).max(axis=-1)
     assert np.median(d) < 1e-4, float(np.median(d))
     assert (d > 1e-2).mean() < 0.05, float((d > 1e-2).mean())
+
+
+@pytest.mark.parametrize("seed", [5, 31])
+def test_everything_at_once_matches_oracle(seed):
+    """Maximal interaction coverage: fog (HG phase + volume NEE) x
+    dispersive glass x plain glass x RR x random geometry, renderer vs
+    oracle on the shared streams. Every new estimator branch must stay in
+    lockstep with every old one."""
+    rng = np.random.RandomState(seed + 7)
+    b = _random_world(seed)
+    glass = b.add_material(albedo=tuple(0.9 + 0.1 * rng.rand(3)),
+                           ior=float(1.3 + 0.4 * rng.rand()),
+                           transmission=1.0,
+                           dispersion=float(0.05 + 0.1 * rng.rand()))
+    b.add_sphere(rng.uniform(-2, 2, 3), 0.6 + rng.rand() * 0.8, glass)
+    plain = b.add_material(albedo=(0.95, 0.95, 0.98), ior=1.5,
+                           transmission=1.0)
+    b.add_sphere(rng.uniform(-2, 2, 3), 0.4 + rng.rand() * 0.5, plain)
+    b.set_fog(float(0.02 + 0.04 * rng.rand()),
+              albedo=tuple(0.6 + 0.4 * rng.rand(3)),
+              g=float(rng.uniform(-0.5, 0.7)))
+    w, h, pp = 16, 12, 2
+    cam = define_camera((0, -8, 1), (0, 0, 0), 35.0, w, h)
+    scene = b.finalize()
+    assert scene.any_dispersive and scene.fog_sigma_t > 0
+    cfg = RenderConfig(width=w, height=h, pp=pp, seed=seed,
+                       use_russian_roulette=True)
+    img, _, _ = render_image(scene, cam, cfg)
+    oracle = render_oracle(b, cam, w, h, pp, seed=seed, world_kind=0,
+                           use_russian_roulette=True)
+    img = np.asarray(img)
+    d = np.abs(img - oracle).max(axis=-1)
+    assert np.median(d) < 1e-4, (seed, float(np.median(d)))
+    assert (d > 1e-2).mean() < 0.05, (seed, float((d > 1e-2).mean()))
+    assert np.isfinite(img).all()
+
+
+def test_fog_quad_light_kernel_equivalence():
+    """Fog + quad-light NEE (the god-rays configuration) through the
+    interpret-mode kernel vs the XLA driver."""
+    from pathtracer_tpu.scene.worlds import build_world
+    from pathtracer_tpu.scene.schema import WORLD_CORNELL_QUAD
+    b, cam_d = build_world(WORLD_CORNELL_QUAD)
+    b.set_fog(0.0012, albedo=(0.9, 0.9, 0.95), g=0.5)
+    scene = b.finalize()
+    w, h, pp = 16, 10, 2
+    cam = define_camera(cam_d.pos, cam_d.target, cam_d.fov, w, h)
+    imgs = []
+    for backend in ("xla", "pallas-interpret"):
+        cfg = RenderConfig(width=w, height=h, pp=pp, seed=2,
+                           backend=backend)
+        img, _, _ = render_image(scene, cam, cfg)
+        imgs.append(np.asarray(img))
+    d = np.abs(imgs[0] - imgs[1]).max(axis=-1)
+    assert np.median(d) < 1e-5, float(np.median(d))
+    assert (d > 1e-2).mean() < 0.05, float((d > 1e-2).mean())
