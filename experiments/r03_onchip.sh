@@ -67,4 +67,10 @@ timeout 3000 python experiments/render_feature_demos.py dispersion 1024 960x540 
 timeout 1800 python experiments/render_feature_demos.py denoise 9 960x540 \
     > "$OUT/demo_denoise.log" 2>&1 || log "   denoise demo failed"
 
+log "9. world-2 leaf-size sweep (tile-coherent pinhole blocks may like small leaves)"
+for ls in 16 32 64 96; do
+    PT_LEAF_SIZE=$ls timeout 2400 python bench.py --world 2 --spp 64 \
+        > "$OUT/bench_w2_leaf$ls.json" 2>&1 || log "   w2 leaf $ls failed"
+done
+
 log "done; results in $OUT (bench_*.json, cross_*.log) + VERIFY_r03.json + images/"
