@@ -94,11 +94,13 @@ def ray_planar_quad(
     return t, hit
 
 
-def ray_planar_triangle(
+def ray_planar_triangle_uv(
     o: Vec3, d: Vec3, A: Vec3, u: Vec3, v: Vec3,
     min_hit: float = MIN_HIT_DISTANCE,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """RayIntersectPlanarShape<PLANAR_TRIANGLE> (ray_math.hpp:357-381)."""
+):
+    """ray_planar_triangle + its barycentrics (alpha along u, beta along
+    v; hitpoint = A + alpha*u + beta*v), for per-vertex attribute
+    interpolation at the winning hit."""
     n = cross(u, v)
     n_unit = normalize(n, eps=1e-30)
     d_coef = dot(A, n_unit)
@@ -106,6 +108,15 @@ def ray_planar_triangle(
     alpha, beta = _planar_coords(o, d, t, A, u, v)
     inside = (alpha >= 0.0) & (beta >= 0.0) & ((alpha + beta) <= 1.0)
     hit = valid & inside & (t > min_hit)
+    return t, hit, alpha, beta
+
+
+def ray_planar_triangle(
+    o: Vec3, d: Vec3, A: Vec3, u: Vec3, v: Vec3,
+    min_hit: float = MIN_HIT_DISTANCE,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """RayIntersectPlanarShape<PLANAR_TRIANGLE> (ray_math.hpp:357-381)."""
+    t, hit, _, _ = ray_planar_triangle_uv(o, d, A, u, v, min_hit)
     return t, hit
 
 
@@ -739,3 +750,72 @@ def intersect_scene(scene: Scene, o: Vec3, d: Vec3) -> Hit:
             best = intersect_triangles_brute(scene, o, d, best)
     best = intersect_boxes(scene, o, d, best)
     return best
+
+
+def _intersect_triangles_brute_uv(scene: Scene, o: Vec3, d: Vec3, best: Hit):
+    """Triangle pass that additionally tracks the winner's barycentrics and
+    triangle index for per-vertex UV interpolation (mesh-UV scenes; see
+    intersect_scene_uv). The hit decision graph is ray_planar_triangle's
+    exactly, so t/mat/normal match intersect_triangles_brute bit-for-bit."""
+    shape = jnp.shape(o.x)
+    T = scene.tri_a.x.shape[0]
+    tables = dict(
+        ax=scene.tri_a.x, ay=scene.tri_a.y, az=scene.tri_a.z,
+        ux=scene.tri_u.x, uy=scene.tri_u.y, uz=scene.tri_u.z,
+        vx=scene.tri_v.x, vy=scene.tri_v.y, vz=scene.tri_v.z,
+        m=scene.tri_mat,
+        ti=jnp.arange(T, dtype=jnp.int32),
+    )
+
+    def body(row, valid, carry):
+        h, ca, cb, ci = carry
+        A = Vec3(row["ax"], row["ay"], row["az"])
+        u = Vec3(row["ux"], row["uy"], row["uz"])
+        v = Vec3(row["vx"], row["vy"], row["vz"])
+        n = normalize(cross(u, v), eps=1e-30)
+        t, hit, alpha, beta = ray_planar_triangle_uv(o, d, A, u, v)
+        take = hit & (t < h.t) & valid
+        return (
+            Hit(jnp.where(take, t, h.t),
+                jnp.where(take, row["m"], h.mat),
+                vwhere(take, n, h.normal)),
+            jnp.where(take, alpha, ca),
+            jnp.where(take, beta, cb),
+            jnp.where(take, row["ti"], ci),
+        )
+
+    init = (best, jnp.zeros(shape), jnp.zeros(shape),
+            jnp.full(shape, -1, jnp.int32))
+    return _scan_table_chunked(scene.n_tris, tables, body, init)
+
+
+def intersect_scene_uv(scene: Scene, o: Vec3, d: Vec3):
+    """intersect_scene for mesh-UV scenes (scene.has_mesh_uvs): returns
+    (hit, uvx, uvy, uv_ok) where (uvx, uvy) is the per-vertex-interpolated
+    texture coordinate of the winning triangle and uv_ok marks lanes whose
+    winner IS a triangle. Triangles are the last live category
+    (world->aabbs is never populated, win32_main.cpp:2039-2045, and this
+    path asserts it), so a post-triangle strict-< comparison identifies
+    them. XLA drivers only — the Pallas kernel gates off mesh-UV scenes
+    in render/pallas_backend.supports()."""
+    assert scene.n_boxes == 0, "mesh-UV path assumes the dead aabbs table"
+    shape = jnp.shape(o.x)
+    best = Hit(
+        jnp.full(shape, F32_MAX),
+        jnp.zeros(shape, jnp.int32),
+        Vec3(jnp.zeros(shape), jnp.zeros(shape), jnp.zeros(shape)),
+    )
+    best = intersect_spheres(scene, o, d, best)
+    best = intersect_quads(scene, o, d, best)
+    best = intersect_planes(scene, o, d, best)
+    t_pre = best.t
+    best, alpha, beta, tidx = _intersect_triangles_brute_uv(scene, o, d, best)
+    uv_ok = (best.t < t_pre) & (tidx >= 0)
+    ti = jnp.maximum(tidx, 0)
+    # uv = uv0 + alpha * (uv1 - uv0) + beta * (uv2 - uv0): barycentric
+    # weights (1-a-b, a, b) for vertices (A, B, C) with u = B-A, v = C-A
+    uvx = (scene.tri_uv0u[ti] + alpha * scene.tri_uvdu1[ti]
+           + beta * scene.tri_uvdu2[ti])
+    uvy = (scene.tri_uv0v[ti] + alpha * scene.tri_uvdv1[ti]
+           + beta * scene.tri_uvdv2[ti])
+    return best, uvx, uvy, uv_ok

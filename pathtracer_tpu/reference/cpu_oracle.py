@@ -143,6 +143,13 @@ def ray_plane(o, d, n, d_coef, min_hit):
 
 
 def ray_planar(o, d, A, u, v, min_hit, quad):
+    r = ray_planar_coords(o, d, A, u, v, min_hit, quad)
+    return None if r is None else r[0]
+
+
+def ray_planar_coords(o, d, A, u, v, min_hit, quad):
+    """ray_planar + the hit's (alpha, beta) — the scalar twin of
+    ops/intersect.ray_planar_triangle_uv, for uv interpolation."""
     n = cross(u, v)
     n_unit = normalize(n)
     d_coef = dot(A, n_unit)
@@ -159,7 +166,7 @@ def ray_planar(o, d, A, u, v, min_hit, quad):
         ok = alpha >= 0.0 and beta >= 0.0 and (alpha + beta) <= 1.0
     if not ok or t <= min_hit:
         return None
-    return t
+    return t, alpha, beta
 
 
 class HostWorld:
@@ -178,16 +185,25 @@ class HostWorld:
                  int(b.tri_mats[i]))
                 for i in range(len(b.triangles))
             ]
+            # per-triangle uv triples (mesh-UV scenes, set_mesh uvs)
+            uvs = getattr(b, "tri_uvs", None)
+            self.tri_uvs = (None if uvs is None
+                            else [uvs[i].astype(F32)
+                                  for i in range(len(uvs))])
         else:
             self.tris = []
+            self.tri_uvs = None
         self.textures = b.textures
         self.quad_light = b.quad_light  # -1, or NEE targets this quad
         self.fog = b.fog  # (sigma_t, albedo3, g); sigma_t 0 = no medium
         self.tbn_normal_maps = getattr(b, "tbn_normal_maps", False)
 
     def intersect(self, o, d):
-        """RayCastIntersect order: spheres, quads, planes, triangles."""
+        """RayCastIntersect order: spheres, quads, planes, triangles.
+        Returns (t, mat, normal, uv) — uv is the winning triangle's
+        interpolated texcoord (mesh-UV scenes) or None."""
         best_t, best_mat, best_n = np.float32(np.finfo(np.float32).max), 0, v3(0, 0, 0)
+        best_uv = None
         for (c, r, m) in self.spheres:
             res = ray_sphere(o, d, c, r, MIN_HIT_DISTANCE)
             if res is not None and res[0] < best_t:
@@ -201,11 +217,21 @@ class HostWorld:
             t = ray_plane(o, d, n, dc, MIN_HIT_DISTANCE)
             if t is not None and t > MIN_HIT_DISTANCE and t < best_t:
                 best_t, best_mat, best_n = t, m, n
-        for (A, u, v, m) in self.tris:
-            t = ray_planar(o, d, A, u, v, MIN_HIT_DISTANCE, quad=False)
-            if t is not None and t < best_t:
-                best_t, best_mat, best_n = t, m, normalize(cross(u, v))
-        return best_t, best_mat, best_n
+        for ti, (A, u, v, m) in enumerate(self.tris):
+            r = ray_planar_coords(o, d, A, u, v, MIN_HIT_DISTANCE, quad=False)
+            if r is not None and r[0] < best_t:
+                best_t, best_mat, best_n = r[0], m, normalize(cross(u, v))
+                if self.tri_uvs is not None:
+                    uvt = self.tri_uvs[ti]  # (3, 2): uv at A, B, C
+                    # uv0 + alpha*(uv1-uv0) + beta*(uv2-uv0), f32 order
+                    # matching intersect_scene_uv
+                    best_uv = (
+                        uvt[0, 0] + r[1] * (uvt[1, 0] - uvt[0, 0])
+                        + r[2] * (uvt[2, 0] - uvt[0, 0]),
+                        uvt[0, 1] + r[1] * (uvt[1, 1] - uvt[0, 1])
+                        + r[2] * (uvt[2, 1] - uvt[0, 1]),
+                    )
+        return best_t, best_mat, best_n, best_uv
 
 
 # --- samplers (scalar, consuming explicit uniforms) --------------------------
@@ -384,7 +410,7 @@ def trace_path(world: HostWorld, o, d, u_bounce, just_cosine,
     light = world.spheres[0] if world.spheres else None
 
     for b in range(MAX_BOUNCE_COUNT):
-        t, mat_i, N = world.intersect(o, d)
+        t, mat_i, N, hit_uv = world.intersect(o, d)
 
         fog_sigma, fog_albedo, fog_g = world.fog
         if fog_sigma > 0.0:
@@ -492,6 +518,10 @@ def trace_path(world: HostWorld, o, d, u_bounce, just_cosine,
                 albedo = bespoke_sample_host(
                     texs[mat.albedo_idx - 1],
                     hitpoint[0], hitpoint[1])
+            if hit_uv is not None and mat.albedo_idx != 0:
+                # mesh-UV twin: texel MODULATES the material albedo
+                albedo = np.asarray(mat.albedo, F32) * sample_texture_host(
+                    texs[mat.albedo_idx - 1], hit_uv[0], hit_uv[1])
             if ch is not None:
                 mask = np.zeros(3, F32)
                 mask[ch] = F32(3.0)
@@ -612,6 +642,10 @@ def trace_path(world: HostWorld, o, d, u_bounce, just_cosine,
             if world.textures and mat.albedo_idx != 0:
                 albedo = bespoke_sample_host(
                     texs[mat.albedo_idx - 1], hitpoint[0], hitpoint[1])
+            if hit_uv is not None and mat.albedo_idx != 0:
+                # mesh-UV twin (integrator uv branch): MODULATES
+                albedo = np.asarray(mat.albedo, F32) * sample_texture_host(
+                    texs[mat.albedo_idx - 1], hit_uv[0], hit_uv[1])
             brdf = ndotl * kd * albedo / PI
 
         new_thr = throughput * (F32(2.0) / px) * brdf

@@ -52,7 +52,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.intersect import Hit, intersect_scene, ray_planar_quad, ray_sphere
+from ..ops.intersect import (
+    Hit, intersect_scene, intersect_scene_uv, ray_planar_quad, ray_sphere,
+)
 from ..ops.sampling import (
     cosine_hemisphere, from_tangent, ggx_half_vector,
     henyey_greenstein_sample, orthonormal_basis, pdf_cosine,
@@ -220,6 +222,7 @@ def shade_bounce(
     u,  # tuple of BOUNCE_SLOTS (N,) uniforms
     just_importance: bool = False,
     mip_scale: float = 0.0,
+    uv=None,  # (uvx, uvy, uv_ok) from intersect_scene_uv (mesh-UV scenes)
 ) -> BounceOut:
     """One bounce of RayCast's surface interaction (win32_main.cpp:576-792):
     material fetch, texture-driven parameters, estimator selection, BSDF
@@ -428,6 +431,19 @@ def shade_bounce(
         alb_tex = bespoke_sample(scene, jnp.maximum(mat["albedo_idx"] - 1, 0),
                                  hitpoint.x, hitpoint.y)
         albedo = vwhere(mat["albedo_idx"] != 0, alb_tex, albedo)
+    if uv is not None:
+        # Mesh-UV textured materials (gltf.load_gltf_textured — the
+        # reference's "load materials with textures" TODO,
+        # win32_main.cpp:172): lanes whose winner is a UV triangle sample
+        # the material's texture at the interpolated texcoord, MODULATED
+        # by the material albedo (= glTF baseColorFactor, spec semantics)
+        # — unlike the bespoke path, which replaces.
+        from ..ops.texture import sample_texture
+        uvx, uvy, uv_ok = uv
+        tex_uv = sample_texture(scene, jnp.maximum(mat["albedo_idx"] - 1, 0),
+                                uvx, uvy)
+        albedo = vwhere(uv_ok & (mat["albedo_idx"] != 0),
+                        hadamard(mat["albedo"], tex_uv), albedo)
     brdf_diff = hadamard(kd, albedo) * (ndotl / PI)
     spec_scalar = brdf_specular_scalar(N, L, V, H, roughness)
     brdf_spec = ks * spec_scalar
@@ -619,12 +635,16 @@ def trace(
     for b in range(MAX_BOUNCE_COUNT):
         rays_cast = rays_cast + jnp.sum(alive.astype(jnp.float32))
         lane_casts = lane_casts + alive.astype(jnp.float32)
-        hit = intersect_scene(scene, o, d)
+        if scene.has_mesh_uvs:
+            hit, uvx, uvy, uv_ok = intersect_scene_uv(scene, o, d)
+            uv = (uvx, uvy, uv_ok)
+        else:
+            hit, uv = intersect_scene(scene, o, d), None
         is_terminal_depth = b == MAX_BOUNCE_COUNT - 1
 
         u = prng.bounce_uniforms_v(pkeys, b)
         out = shade_bounce(scene, o, d, hit, u, just_importance=just_importance,
-                           mip_scale=mip_scale)
+                           mip_scale=mip_scale, uv=uv)
 
         if accumulate_regular:
             # radiance += emitColor at every level (win32_main.cpp:799),

@@ -110,6 +110,9 @@ def supports(scene: Scene, config: RenderConfig) -> bool:
         and (scene.n_tris <= _UNROLL_MAX_KERNEL or scene.tri_streamed)
         and config.debug_kind in (REGULAR, VARIANCE)
         and not config.just_importance
+        # mesh-UV textured materials ride the XLA drivers for now: the
+        # winner-uv resolution (intersect_scene_uv) gathers per lane
+        and not scene.has_mesh_uvs
     )
 
 

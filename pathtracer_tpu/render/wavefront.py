@@ -112,14 +112,19 @@ def render_chunk_wavefront(
 
         # --- one bounce ----------------------------------------------------
         rays = st.rays + jnp.sum(active.astype(jnp.float32))
-        hit = intersect_scene(scene, o, d)
+        if scene.has_mesh_uvs:
+            from ..ops.intersect import intersect_scene_uv
+            hit, uvx, uvy, uv_ok = intersect_scene_uv(scene, o, d)
+            uv = (uvx, uvy, uv_ok)
+        else:
+            hit, uv = intersect_scene(scene, o, d), None
         stream = prng.PathStream(
             jnp.broadcast_to(jnp.uint32(key), shape),
             pixel_idx.astype(jnp.uint32), s_abs.astype(jnp.uint32))
         u = prng.bounce_uniforms_v(stream, st.bounce)
         out = shade_bounce(scene, o, d, hit, u,
                            just_importance=config.just_importance,
-                           mip_scale=config.mip_scale)
+                           mip_scale=config.mip_scale, uv=uv)
 
         contrib = hadamard(thr, out.emit)
         prad = Vec3(

@@ -170,19 +170,44 @@ def read_accessor(doc: dict, buffers, accessor_idx: int) -> np.ndarray:
     return out
 
 
-def load_gltf_triangles(path: str, builder) -> Tuple[Optional[np.ndarray], Optional[np.ndarray]]:
-    """LoadGltf (win32_main.cpp:1454-1593): returns (points (T*3,3) float32,
-    mat_indices (T*3,) int32) appending any new materials to ``builder``.
-    Accepts .glb or text .gltf. Returns (None, None) when the file is
-    absent/unreadable (the reference silently no-ops on parse failure,
-    win32_main.cpp:1464-1465)."""
+def _decode_image(doc: dict, buffers, base_dir: str, image_idx: int):
+    """doc["images"][i] -> (H, W, 3) float32 in [0, 1] via PIL (the stbi
+    role for glTF-embedded PNG/JPEG), from a bufferView or a uri
+    (external file / data URI)."""
+    import io as _io
+
+    from PIL import Image
+
+    img = doc["images"][image_idx]
+    if "bufferView" in img:
+        bv = doc["bufferViews"][img["bufferView"]]
+        blob = buffers[bv.get("buffer", 0)]
+        off = bv.get("byteOffset", 0)
+        raw = blob[off: off + bv["byteLength"]]
+    else:
+        uri = img["uri"]
+        if uri.startswith("data:"):
+            raw = base64.b64decode(uri[uri.find(",") + 1:])
+        else:
+            with open(os.path.join(base_dir,
+                                   urllib.parse.unquote(uri)), "rb") as f:
+                raw = f.read()
+    arr = np.asarray(Image.open(_io.BytesIO(raw)).convert("RGB"), np.float32)
+    return arr / 255.0
+
+
+def _load(path: str, builder, want_textures: bool):
     try:
         doc, buffers = parse_gltf(path)
     except (OSError, ValueError, KeyError, json.JSONDecodeError):
-        return None, None
+        return None, None, None
 
+    base_dir = os.path.dirname(os.path.abspath(path))
     points_out = []
     mats_out = []
+    uvs_out = []
+    any_uv = False
+    tex_cache: dict = {}  # glTF image index -> builder texture index
 
     stack = []
     for scene in doc.get("scenes", []):
@@ -192,6 +217,7 @@ def load_gltf_triangles(path: str, builder) -> Tuple[Optional[np.ndarray], Optio
     nodes = doc.get("nodes", [])
     meshes = doc.get("meshes", [])
     materials = doc.get("materials", [])
+    textures = doc.get("textures", [])
 
     while stack:
         ni = stack.pop()
@@ -201,7 +227,9 @@ def load_gltf_triangles(path: str, builder) -> Tuple[Optional[np.ndarray], Optio
             for prim in mesh.get("primitives", []):
                 if prim.get("mode", 4) != 4:  # triangles only
                     continue
+                attrs = prim.get("attributes", {})
                 mat_idx = 1  # reference default (win32_main.cpp:1504)
+                uv_attr = None
                 mi = prim.get("material")
                 if mi is not None:
                     gmat = materials[mi]
@@ -209,23 +237,81 @@ def load_gltf_triangles(path: str, builder) -> Tuple[Optional[np.ndarray], Optio
                     if pbr is not None and "baseColorTexture" not in pbr:
                         f = pbr.get("baseColorFactor", [1.0, 1.0, 1.0, 1.0])
                         mat_idx = builder.add_material(albedo=(f[0], f[1], f[2]))
-                attrs = prim.get("attributes", {})
+                    elif (want_textures and pbr is not None
+                          and "baseColorTexture" in pbr):
+                        # Textured materials — the reference's unrealized
+                        # "load materials with textures" TODO
+                        # (win32_main.cpp:172). baseColorFactor MODULATES
+                        # the texel (glTF 2.0 spec), so it becomes the
+                        # material albedo and the sampled texel multiplies
+                        # it at shade time (integrator uv branch).
+                        bct = pbr["baseColorTexture"]
+                        src = textures[bct["index"]].get("source")
+                        tc = bct.get("texCoord", 0)
+                        uv_attr = attrs.get(f"TEXCOORD_{tc}")
+                        if src is not None and uv_attr is not None:
+                            if src not in tex_cache:
+                                tex_cache[src] = builder.add_texture(
+                                    _decode_image(doc, buffers, base_dir,
+                                                  src))
+                            f = pbr.get("baseColorFactor",
+                                        [1.0, 1.0, 1.0, 1.0])
+                            mat_idx = builder.add_material(
+                                albedo=(f[0], f[1], f[2]),
+                                albedo_idx=tex_cache[src])
+                        else:
+                            uv_attr = None
                 if "POSITION" not in attrs:
                     continue
                 pos = read_accessor(doc, buffers, attrs["POSITION"]).astype(np.float32)
+                uv = None
+                if uv_attr is not None:
+                    uv = read_accessor(doc, buffers, uv_attr).astype(np.float32)
                 if "indices" in prim:
                     idx = read_accessor(doc, buffers, prim["indices"]).reshape(-1).astype(np.int64)
                     tri_pts = pos[idx]  # (3*ntris, 3)
+                    tri_uv = uv[idx] if uv is not None else None
                 else:
-                    tri_pts = pos[: (len(pos) // 3) * 3]
+                    n3 = (len(pos) // 3) * 3
+                    tri_pts = pos[:n3]
+                    tri_uv = uv[:n3] if uv is not None else None
                 points_out.append(tri_pts.reshape(-1, 3))
                 mats_out.append(np.full((len(tri_pts),), mat_idx, np.int32))
+                if tri_uv is not None:
+                    any_uv = True
+                    uvs_out.append(tri_uv.reshape(-1, 2)[:, :2])
+                else:
+                    uvs_out.append(np.zeros((len(tri_pts), 2), np.float32))
         for child in node.get("children", []):
             stack.append(child)
 
     if not points_out:
-        return None, None
-    return np.concatenate(points_out, 0), np.concatenate(mats_out, 0)
+        return None, None, None
+    uvs = np.concatenate(uvs_out, 0) if any_uv else None
+    return np.concatenate(points_out, 0), np.concatenate(mats_out, 0), uvs
+
+
+def load_gltf_triangles(path: str, builder) -> Tuple[Optional[np.ndarray], Optional[np.ndarray]]:
+    """LoadGltf (win32_main.cpp:1454-1593): returns (points (T*3,3) float32,
+    mat_indices (T*3,) int32) appending any new materials to ``builder``.
+    Accepts .glb or text .gltf. Returns (None, None) when the file is
+    absent/unreadable (the reference silently no-ops on parse failure,
+    win32_main.cpp:1464-1465). Textured materials keep the reference's
+    default-1 quirk; use :func:`load_gltf_textured` for real bindings."""
+    pts, mats, _ = _load(path, builder, want_textures=False)
+    return pts, mats
+
+
+def load_gltf_textured(path: str, builder):
+    """LoadGltf + the reference's unrealized "load materials with
+    textures" TODO (win32_main.cpp:172): primitives whose material has a
+    pbr baseColorTexture AND texcoords get the image decoded into the
+    builder's texture stack, a material with albedo = baseColorFactor and
+    albedo_idx = that texture, and per-vertex UVs returned for
+    interpolation at hit time. Returns (points (T*3,3), mats (T*3,),
+    uvs (T*3,2) | None); untextured primitives keep the plain path's
+    semantics and contribute (0,0) UVs."""
+    return _load(path, builder, want_textures=True)
 
 
 # GLB-era name; worlds.py and external callers may use either.

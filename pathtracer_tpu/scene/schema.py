@@ -111,6 +111,16 @@ class Scene:
     tri_u: Vec3             # B - A
     tri_v: Vec3             # C - A
     tri_mat: jnp.ndarray
+    # Per-triangle texture coordinates (mesh-UV scenes, has_mesh_uvs):
+    # uv of vertex A plus the edge deltas to B and C, so the winner's uv
+    # interpolates directly from the hit barycentrics
+    # (ops/intersect.intersect_scene_uv). (1,) dummies otherwise.
+    tri_uv0u: jnp.ndarray
+    tri_uv0v: jnp.ndarray
+    tri_uvdu1: jnp.ndarray
+    tri_uvdv1: jnp.ndarray
+    tri_uvdu2: jnp.ndarray
+    tri_uvdv2: jnp.ndarray
     tri_mask: jnp.ndarray
 
     # --- clustered (reordered) primitive copies ---------------------------
@@ -257,6 +267,12 @@ class Scene:
     # True iff any transmissive material disperses; static so plain-glass
     # scenes compile the single-ior lobe unchanged.
     any_dispersive: bool = struct.field(pytree_node=False, default=False)
+    # True iff the mesh carries per-vertex texture coordinates
+    # (WorldBuilder.set_mesh uvs / gltf.load_gltf_textured): the XLA
+    # drivers then route intersection through intersect_scene_uv and the
+    # winner's uv modulates the material albedo by its texture. Static so
+    # uv-less scenes compile exactly the reference pipeline.
+    has_mesh_uvs: bool = struct.field(pytree_node=False, default=False)
     # Index of the quad the NEE mixture targets, or -1 for the reference
     # default (spheres[0], win32_main.cpp:683). Static so sphere-light
     # scenes compile exactly the reference estimator; >= 0 swaps the
@@ -332,6 +348,7 @@ class WorldBuilder:
         self.planes: list[tuple] = []       # (n, d, mat)
         self.triangles: Optional[np.ndarray] = None  # (T, 3, 3) float32
         self.tri_mats: Optional[np.ndarray] = None   # (T,) int32
+        self.tri_uvs: Optional[np.ndarray] = None    # (T, 3, 2) float32
         self.textures: list[np.ndarray] = []         # (H, W, 3) float32 each
         self.quad_light: int = -1                    # see set_quad_light
         self.fog: tuple = (0.0, (1.0, 1.0, 1.0), 0.0)  # see set_fog
@@ -376,12 +393,18 @@ class WorldBuilder:
         self.planes.append((tuple(n), float(d), int(mat)))
         return len(self.planes) - 1
 
-    def set_mesh(self, points: np.ndarray, mat_indices: np.ndarray):
+    def set_mesh(self, points: np.ndarray, mat_indices: np.ndarray,
+                 uvs: Optional[np.ndarray] = None):
         """points: (T*3, 3) flat vertex array, 3 consecutive verts per tri
-        (mesh_t SoA convention, ray.hpp:102-106)."""
+        (mesh_t SoA convention, ray.hpp:102-106). ``uvs``: optional
+        (T*3, 2) per-vertex texture coordinates (gltf.load_gltf_textured —
+        the reference's unrealized textured-materials TODO,
+        win32_main.cpp:172)."""
         pts = np.asarray(points, np.float32).reshape(-1, 3, 3)
         self.triangles = pts
         self.tri_mats = np.asarray(mat_indices, np.int32).reshape(-1, 3)[:, 0]
+        self.tri_uvs = (None if uvs is None
+                        else np.asarray(uvs, np.float32).reshape(-1, 3, 2))
 
     def add_texture(self, data: np.ndarray) -> int:
         """Returns the 1-based texture index used by material *_idx fields."""
@@ -434,6 +457,13 @@ class WorldBuilder:
             tri_u[:ntri] = self.triangles[:, 1] - self.triangles[:, 0]
             tri_v[:ntri] = self.triangles[:, 2] - self.triangles[:, 0]
             tri_m[:ntri] = self.tri_mats
+        has_mesh_uvs = getattr(self, "tri_uvs", None) is not None and ntri > 0
+        tri_uvt = np.zeros((T if has_mesh_uvs else 1, 6), f32)
+        if has_mesh_uvs:
+            uv = self.tri_uvs
+            tri_uvt[:ntri, 0:2] = uv[:, 0]
+            tri_uvt[:ntri, 2:4] = uv[:, 1] - uv[:, 0]
+            tri_uvt[:ntri, 4:6] = uv[:, 2] - uv[:, 0]
 
         # packet-culling clusters (scene/clusters.py): reordered copies of
         # big sphere/triangle tables, cluster-contiguous; tiny tables skip
@@ -680,6 +710,13 @@ class WorldBuilder:
             ctri_a0=jnp.asarray(ctri["a0"]),
             ctri_b0=jnp.asarray(ctri["b0"]),
             ctri_mat=jnp.asarray(ctri_m),
+            tri_uv0u=jnp.asarray(tri_uvt[:, 0]),
+            tri_uv0v=jnp.asarray(tri_uvt[:, 1]),
+            tri_uvdu1=jnp.asarray(tri_uvt[:, 2]),
+            tri_uvdv1=jnp.asarray(tri_uvt[:, 3]),
+            tri_uvdu2=jnp.asarray(tri_uvt[:, 4]),
+            tri_uvdv2=jnp.asarray(tri_uvt[:, 5]),
+            has_mesh_uvs=has_mesh_uvs,
             mtri_bounds=jnp.asarray(mtri_bounds),
             mtri_pack=jnp.asarray(mtri_pack),
             mtri_parents=jnp.asarray(mtri_parents),

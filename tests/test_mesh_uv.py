@@ -1,0 +1,173 @@
+"""Mesh-UV textured materials — the reference's unrealized "load
+materials with textures" TODO (win32_main.cpp:172): glTF baseColorTexture
++ TEXCOORD_0 ingestion (gltf.load_gltf_textured), winner-hit UV
+interpolation (ops/intersect.intersect_scene_uv), and the
+texel-modulates-albedo shading branch, golden-gated against the oracle."""
+
+import io
+import json
+import struct
+
+import numpy as np
+import pytest
+
+from pathtracer_tpu.render.renderer import RenderConfig, render_image
+from pathtracer_tpu.reference.cpu_oracle import render_oracle
+from pathtracer_tpu.scene.camera import define_camera
+from pathtracer_tpu.scene.gltf import load_gltf_textured, load_gltf_triangles
+from pathtracer_tpu.scene.schema import WorldBuilder
+
+
+def _checker(n=8):
+    c = np.indices((n, n)).sum(0) % 2
+    tex = np.stack([c * (200 / 255.0) + 30 / 255.0] * 3, -1)
+    tex[..., 2] *= 0.25
+    return tex.astype(np.float32)
+
+
+def _textured_glb(tmp_path, factor=(1.0, 1.0, 1.0)):
+    """Two-triangle quad with TEXCOORD_0 + an embedded PNG texture."""
+    from PIL import Image
+    pos = np.array([[-2, 0, -1], [2, 0, -1], [2, 0, 3], [-2, 0, 3]],
+                   np.float32)
+    uv = np.array([[0, 0], [2, 0], [2, 2], [0, 2]], np.float32)
+    idx = np.array([0, 1, 2, 0, 2, 3], np.uint16)
+    png = io.BytesIO()
+    Image.fromarray((_checker() * 255).round().astype(np.uint8)).save(
+        png, format="PNG")
+    png = png.getvalue()
+
+    blob = pos.tobytes() + uv.tobytes() + idx.tobytes() + png
+    views = [
+        {"buffer": 0, "byteOffset": 0, "byteLength": pos.nbytes},
+        {"buffer": 0, "byteOffset": pos.nbytes, "byteLength": uv.nbytes},
+        {"buffer": 0, "byteOffset": pos.nbytes + uv.nbytes,
+         "byteLength": idx.nbytes},
+        {"buffer": 0, "byteOffset": pos.nbytes + uv.nbytes + idx.nbytes,
+         "byteLength": len(png)},
+    ]
+    doc = {
+        "asset": {"version": "2.0"},
+        "scenes": [{"nodes": [0]}],
+        "nodes": [{"mesh": 0}],
+        "meshes": [{"primitives": [{
+            "attributes": {"POSITION": 0, "TEXCOORD_0": 1},
+            "indices": 2, "material": 0,
+        }]}],
+        "materials": [{"pbrMetallicRoughness": {
+            "baseColorTexture": {"index": 0},
+            "baseColorFactor": list(factor) + [1.0],
+        }}],
+        "textures": [{"source": 0}],
+        "images": [{"bufferView": 3, "mimeType": "image/png"}],
+        "accessors": [
+            {"bufferView": 0, "componentType": 5126, "count": 4,
+             "type": "VEC3"},
+            {"bufferView": 1, "componentType": 5126, "count": 4,
+             "type": "VEC2"},
+            {"bufferView": 2, "componentType": 5123, "count": 6,
+             "type": "SCALAR"},
+        ],
+        "bufferViews": views,
+        "buffers": [{"byteLength": len(blob)}],
+    }
+    js = json.dumps(doc).encode()
+    js += b" " * (-len(js) % 4)
+    blob += b"\0" * (-len(blob) % 4)
+    glb = (struct.pack("<III", 0x46546C67, 2, 12 + 8 + len(js) + 8 + len(blob))
+           + struct.pack("<II", len(js), 0x4E4F534A) + js
+           + struct.pack("<II", len(blob), 0x004E4942) + blob)
+    p = str(tmp_path / "tex.glb")
+    with open(p, "wb") as f:
+        f.write(glb)
+    return p
+
+
+class TestGltfTextured:
+    def test_loader_binds_texture_and_uvs(self, tmp_path):
+        p = _textured_glb(tmp_path, factor=(0.5, 1.0, 0.25))
+        b = WorldBuilder()
+        b.add_material(emit=(0.1, 0.1, 0.1))
+        b.add_material(emit=(5, 5, 5))
+        pts, mats, uvs = load_gltf_textured(p, b)
+        assert pts.shape == (6, 3) and uvs.shape == (6, 2)
+        assert len(b.textures) == 1
+        # vs the PNG's actual 8-bit payload (the checker's blue channel is
+        # off the 8-bit grid and rounds at encode time)
+        np.testing.assert_allclose(
+            b.textures[0], np.round(_checker() * 255.0) / 255.0, atol=1e-7)
+        m = b.materials[mats[0]]
+        assert m.albedo_idx == 1  # bound to the loaded texture
+        np.testing.assert_allclose(m.albedo, (0.5, 1.0, 0.25))
+        np.testing.assert_allclose(uvs[:3], [[0, 0], [2, 0], [2, 2]])
+
+    def test_plain_loader_keeps_reference_quirk(self, tmp_path):
+        """load_gltf_triangles on a textured doc must keep mat_idx = 1
+        (the reference default, win32_main.cpp:1504) and load no image."""
+        p = _textured_glb(tmp_path)
+        b = WorldBuilder()
+        b.add_material(emit=(0.1, 0.1, 0.1))
+        b.add_material(emit=(5, 5, 5))
+        pts, mats = load_gltf_triangles(p, b)
+        assert pts.shape == (6, 3)
+        assert (mats == 1).all()
+        assert len(b.textures) == 0
+
+    def test_end_to_end_matches_oracle(self, tmp_path):
+        """Full pipeline: textured GLB -> WorldBuilder -> renderer vs the
+        scalar oracle (which interpolates the same per-vertex UVs)."""
+        p = _textured_glb(tmp_path, factor=(1.0, 0.9, 0.8))
+        b = WorldBuilder()
+        b.add_material(emit=(0.3, 0.35, 0.45))
+        light = b.add_material(emit=(6.0, 5.5, 5.0))
+        b.add_sphere((3, -3, 6), 1.0, light)
+        pts, mats, uvs = load_gltf_textured(p, b)
+        b.set_mesh(pts, mats, uvs=uvs)
+        floor = b.add_material(albedo=(0.5, 0.45, 0.4), roughness=0.9)
+        b.add_plane((0, 0, 1), 1.5, floor)
+        scene = b.finalize()
+        assert scene.has_mesh_uvs
+        w, h, pp = 16, 12, 2
+        cam = define_camera((0, -8, 1), (0, 0, 1), 35.0, w, h)
+        cfg = RenderConfig(width=w, height=h, pp=pp, seed=3)
+        img, _, _ = render_image(scene, cam, cfg)
+        oracle = render_oracle(b, cam, w, h, pp, seed=3, world_kind=0)
+        img = np.asarray(img)
+        d = np.abs(img - oracle).max(axis=-1)
+        assert np.median(d) < 1e-4, float(np.median(d))
+        assert (d > 1e-2).mean() < 0.05, float((d > 1e-2).mean())
+        # the checker must actually be visible (texture varies the image)
+        assert img.std() > 0.01
+
+    def test_kernel_gates_off_uv_scenes(self, tmp_path):
+        from pathtracer_tpu.render.pallas_backend import supports
+        p = _textured_glb(tmp_path)
+        b = WorldBuilder()
+        b.add_material(emit=(0.1, 0.1, 0.1))
+        b.add_material(emit=(5, 5, 5))
+        pts, mats, uvs = load_gltf_textured(p, b)
+        b.set_mesh(pts, mats, uvs=uvs)
+        scene = b.finalize()
+        assert not supports(scene, RenderConfig(width=8, height=8, pp=1))
+
+    def test_wavefront_matches_unrolled_on_uv_scene(self, tmp_path):
+        """Driver agreement on a UV scene. NOT asserted bit-equal: the uv
+        interpolation's gather + mul + add chain contracts to fma
+        differently between the unrolled and while-loop compilations
+        (measured max diff 1 ulp on ~7% of pixels); the oracle golden is
+        the absolute gate."""
+        p = _textured_glb(tmp_path)
+        b = WorldBuilder()
+        b.add_material(emit=(0.3, 0.35, 0.45))
+        light = b.add_material(emit=(6.0, 5.5, 5.0))
+        b.add_sphere((3, -3, 6), 1.0, light)
+        pts, mats, uvs = load_gltf_textured(p, b)
+        b.set_mesh(pts, mats, uvs=uvs)
+        scene = b.finalize()
+        cam = define_camera((0, -8, 1), (0, 0, 1), 35.0, 16, 12)
+        imgs = []
+        for mode in ("unrolled", "wavefront"):
+            cfg = RenderConfig(width=16, height=12, pp=2, seed=5, mode=mode)
+            img, _, _ = render_image(scene, cam, cfg)
+            imgs.append(np.asarray(img))
+        np.testing.assert_allclose(imgs[0], imgs[1], atol=2e-7)
