@@ -196,7 +196,36 @@ def _decode_image(doc: dict, buffers, base_dir: str, image_idx: int):
     return arr / 255.0
 
 
-def _load(path: str, builder, want_textures: bool):
+def _node_matrix(node: dict) -> np.ndarray:
+    """Local 4x4 transform of a node: ``matrix`` (column-major per spec)
+    or TRS composed as T * R * S (glTF 2.0 section 5.25)."""
+    if "matrix" in node:
+        return np.asarray(node["matrix"], np.float64).reshape(4, 4).T
+    m = np.eye(4)
+    s = node.get("scale")
+    if s is not None:
+        m = np.diag([s[0], s[1], s[2], 1.0]) @ m
+    q = node.get("rotation")
+    if q is not None:
+        x, y, z, w = (float(v) for v in q)  # glTF order: xyzw
+        r = np.array([
+            [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+            [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+            [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
+        ])
+        rm = np.eye(4)
+        rm[:3, :3] = r
+        m = rm @ m
+    t = node.get("translation")
+    if t is not None:
+        tm = np.eye(4)
+        tm[:3, 3] = t
+        m = tm @ m
+    return m
+
+
+def _load(path: str, builder, want_textures: bool,
+          apply_transforms: bool = False):
     try:
         doc, buffers = parse_gltf(path)
     except (OSError, ValueError, KeyError, json.JSONDecodeError):
@@ -209,10 +238,11 @@ def _load(path: str, builder, want_textures: bool):
     any_uv = False
     tex_cache: dict = {}  # glTF image index -> builder texture index
 
+    eye = np.eye(4)
     stack = []
     for scene in doc.get("scenes", []):
         for ni in scene.get("nodes", []):
-            stack.append(ni)
+            stack.append((ni, eye))
 
     nodes = doc.get("nodes", [])
     meshes = doc.get("meshes", [])
@@ -220,8 +250,10 @@ def _load(path: str, builder, want_textures: bool):
     textures = doc.get("textures", [])
 
     while stack:
-        ni = stack.pop()
+        ni, parent_m = stack.pop()
         node = nodes[ni]
+        world_m = (parent_m @ _node_matrix(node) if apply_transforms
+                   else eye)
         if "mesh" in node:
             mesh = meshes[node["mesh"]]
             for prim in mesh.get("primitives", []):
@@ -264,6 +296,9 @@ def _load(path: str, builder, want_textures: bool):
                 if "POSITION" not in attrs:
                     continue
                 pos = read_accessor(doc, buffers, attrs["POSITION"]).astype(np.float32)
+                if apply_transforms:
+                    pos = (pos.astype(np.float64) @ world_m[:3, :3].T
+                           + world_m[:3, 3]).astype(np.float32)
                 uv = None
                 if uv_attr is not None:
                     uv = read_accessor(doc, buffers, uv_attr).astype(np.float32)
@@ -283,7 +318,7 @@ def _load(path: str, builder, want_textures: bool):
                 else:
                     uvs_out.append(np.zeros((len(tri_pts), 2), np.float32))
         for child in node.get("children", []):
-            stack.append(child)
+            stack.append((child, world_m))
 
     if not points_out:
         return None, None, None
@@ -302,7 +337,7 @@ def load_gltf_triangles(path: str, builder) -> Tuple[Optional[np.ndarray], Optio
     return pts, mats
 
 
-def load_gltf_textured(path: str, builder):
+def load_gltf_textured(path: str, builder, apply_transforms: bool = False):
     """LoadGltf + the reference's unrealized "load materials with
     textures" TODO (win32_main.cpp:172): primitives whose material has a
     pbr baseColorTexture AND texcoords get the image decoded into the
@@ -310,8 +345,15 @@ def load_gltf_textured(path: str, builder):
     albedo_idx = that texture, and per-vertex UVs returned for
     interpolation at hit time. Returns (points (T*3,3), mats (T*3,),
     uvs (T*3,2) | None); untextured primitives keep the plain path's
-    semantics and contribute (0,0) UVs."""
-    return _load(path, builder, want_textures=True)
+    semantics and contribute (0,0) UVs.
+
+    ``apply_transforms`` additionally bakes each node's world matrix
+    (``matrix`` or T*R*S, accumulated down the hierarchy) into the
+    positions — the reference (and cgltf_accessor_unpack) ignores node
+    transforms, which its own TODO flags under 'instance transforms'
+    (win32_main.cpp:189-190); OFF keeps that parity."""
+    return _load(path, builder, want_textures=True,
+                 apply_transforms=apply_transforms)
 
 
 # GLB-era name; worlds.py and external callers may use either.

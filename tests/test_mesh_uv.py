@@ -150,6 +150,52 @@ class TestGltfTextured:
         scene = b.finalize()
         assert not supports(scene, RenderConfig(width=8, height=8, pp=1))
 
+    def test_node_transforms_baked(self, tmp_path):
+        """apply_transforms bakes the node hierarchy's world matrices —
+        the reference's 'instance transforms' TODO (win32_main.cpp:189):
+        the same mesh instanced under two nodes (one TRS, one matrix,
+        under a translating parent) lands at hand-computed positions;
+        OFF keeps the reference's ignore-transforms parity."""
+        pos = np.array([[1, 0, 0], [0, 1, 0], [0, 0, 1]], np.float32)
+        blob = pos.tobytes()
+        doc = {
+            "asset": {"version": "2.0"},
+            "scenes": [{"nodes": [0]}],
+            "nodes": [
+                {"translation": [10, 0, 0], "children": [1, 2]},
+                {"mesh": 0, "scale": [2, 2, 2]},
+                # column-major matrix: translate by (0, 5, 0)
+                {"mesh": 0, "matrix": [1, 0, 0, 0, 0, 1, 0, 0,
+                                       0, 0, 1, 0, 0, 5, 0, 1]},
+            ],
+            "meshes": [{"primitives": [{"attributes": {"POSITION": 0}}]}],
+            "accessors": [{"bufferView": 0, "componentType": 5126,
+                           "count": 3, "type": "VEC3"}],
+            "bufferViews": [{"buffer": 0, "byteOffset": 0,
+                             "byteLength": len(blob)}],
+            "buffers": [{"byteLength": len(blob)}],
+        }
+        import base64
+        doc["buffers"][0]["uri"] = ("data:application/octet-stream;base64,"
+                                    + base64.b64encode(blob).decode())
+        p = str(tmp_path / "inst.gltf")
+        with open(p, "w") as f:
+            json.dump(doc, f)
+        from pathtracer_tpu.scene.gltf import load_gltf_textured as lgt
+        b = WorldBuilder()
+        b.add_material(emit=(0, 0, 0))
+        b.add_material(emit=(1, 1, 1))
+        pts, _, _ = lgt(p, b, apply_transforms=True)
+        assert pts.shape == (6, 3)
+        got = {tuple(np.round(v, 5)) for v in pts}
+        expect = {tuple(v) for v in
+                  np.concatenate([pos * 2 + [10, 0, 0],
+                                  pos + [10, 5, 0]])}
+        assert got == expect, (got, expect)
+        # parity: transforms ignored by default
+        pts_raw, _, _ = lgt(p, WorldBuilder())
+        assert {tuple(v) for v in pts_raw} == {tuple(v) for v in pos}
+
     def test_wavefront_matches_unrolled_on_uv_scene(self, tmp_path):
         """Driver agreement on a UV scene. NOT asserted bit-equal: the uv
         interpolation's gather + mul + add chain contracts to fma
