@@ -554,6 +554,18 @@ def trace_path(world: HostWorld, o, d, u_bounce, just_cosine,
                     bu, bv, bw = orthonormal_basis(N)
                     n_dec = n_dec[0] * bu + n_dec[1] * bv + n_dec[2] * bw
                 N = normalize(n_dec)
+            if getattr(mat, "bump_idx", 0) != 0:
+                # bump-map twin (integrator any_bump block)
+                beps = F32(0.01)
+                bt = texs[mat.bump_idx - 1]
+                h0 = bespoke_sample_host(bt, hitpoint[0], hitpoint[1])[0]
+                hx = bespoke_sample_host(bt, hitpoint[0] + beps,
+                                         hitpoint[1])[0]
+                hy = bespoke_sample_host(bt, hitpoint[0],
+                                         hitpoint[1] + beps)[0]
+                gx = (hx - h0) / beps * F32(mat.bump_scale)
+                gy = (hy - h0) / beps * F32(mat.bump_scale)
+                N = normalize(v3(N[0] - gx, N[1] - gy, N[2]))
 
         ndotv = dot(N, V)
         if ndotv <= 0.0:

@@ -141,6 +141,9 @@ def _material_fields(scene: Scene) -> dict:
         fields["transmission"] = scene.mat_transmission
     if scene.any_dispersive:
         fields["dispersion"] = scene.mat_dispersion
+    if scene.any_bump:
+        fields["bump_idx"] = scene.mat_bump_idx
+        fields["bump_scale"] = scene.mat_bump_scale
     return fields
 
 
@@ -319,6 +322,23 @@ def shade_bounce(
             n_mapped = normalize(n_dec, eps=1e-30)
             use_nm = mat["normal_idx"] != 0
             N = vwhere(use_nm, n_mapped, N)
+
+    if scene.any_bump and scene.n_textures:
+        # Height (bump) maps — the reference's unrealized "bump map" TODO
+        # (win32_main.cpp:173). Forward-difference the height in the
+        # bespoke planar frame (world-xy UVs, the same z-up convention as
+        # the reference's normal maps :642) and tilt N against the
+        # gradient: heightfield normal ∝ (-dh/dx, -dh/dy, 1).
+        bl = jnp.maximum(mat["bump_idx"] - 1, 0)
+        beps = jnp.float32(0.01)
+        h0 = bespoke_sample(scene, bl, hitpoint.x, hitpoint.y).x
+        hx = bespoke_sample(scene, bl, hitpoint.x + beps, hitpoint.y).x
+        hy = bespoke_sample(scene, bl, hitpoint.x, hitpoint.y + beps).x
+        bs = mat["bump_scale"]
+        gx = (hx - h0) / beps * bs
+        gy = (hy - h0) / beps * bs
+        nb = normalize(Vec3(N.x - gx, N.y - gy, N.z), eps=1e-30)
+        N = vwhere(mat["bump_idx"] != 0, nb, N)
 
     ndotv = dot(N, V)
     front_facing = ndotv > 0.0

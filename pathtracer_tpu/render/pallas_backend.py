@@ -113,6 +113,9 @@ def supports(scene: Scene, config: RenderConfig) -> bool:
         # mesh-UV textured materials ride the XLA drivers for now: the
         # winner-uv resolution (intersect_scene_uv) gathers per lane
         and not scene.has_mesh_uvs
+        # bump maps use the generic per-lane texture gather (no Mosaic
+        # lowering); the canonical combined set has no height plane anyway
+        and not scene.any_bump
     )
 
 

@@ -83,6 +83,8 @@ class Scene:
     # never read by its render path; stored for struct parity.
     mat_alpha: jnp.ndarray
     mat_albedo_idx: jnp.ndarray     # int32, 0 = none else 1-based texture id
+    mat_bump_idx: jnp.ndarray       # int32, 0 = none (see HostMaterial.bump_idx)
+    mat_bump_scale: jnp.ndarray
     mat_metalness_idx: jnp.ndarray
     mat_roughness_idx: jnp.ndarray
     mat_normal_idx: jnp.ndarray
@@ -267,6 +269,9 @@ class Scene:
     # True iff any transmissive material disperses; static so plain-glass
     # scenes compile the single-ior lobe unchanged.
     any_dispersive: bool = struct.field(pytree_node=False, default=False)
+    # True iff any material carries a bump (height) map; static so
+    # bump-free scenes compile the exact reference texture pipeline.
+    any_bump: bool = struct.field(pytree_node=False, default=False)
     # True iff the mesh carries per-vertex texture coordinates
     # (WorldBuilder.set_mesh uvs / gltf.load_gltf_textured): the XLA
     # drivers then route intersection through intersect_scene_uv and the
@@ -335,6 +340,11 @@ class HostMaterial:
     metalness_idx: int = 0
     roughness_idx: int = 0
     normal_idx: int = 0
+    # Height (bump) map — the reference's unrealized "bump map" TODO
+    # (win32_main.cpp:173): the geometric normal tilts against the
+    # height's finite-difference gradient in the bespoke planar frame.
+    bump_idx: int = 0
+    bump_scale: float = 1.0
 
 
 class WorldBuilder:
@@ -675,6 +685,10 @@ class WorldBuilder:
             any_dispersive=any(m.transmission > 0.0 and m.dispersion > 0.0
                                for m in mats),
             mat_albedo_idx=scalar_table([m.albedo_idx for m in mats], M, i32),
+            mat_bump_idx=scalar_table([m.bump_idx for m in mats], M, i32),
+            mat_bump_scale=scalar_table([m.bump_scale for m in mats], M,
+                                        fill=1),
+            any_bump=any(m.bump_idx != 0 for m in mats),
             mat_metalness_idx=scalar_table([m.metalness_idx for m in mats], M, i32),
             mat_roughness_idx=scalar_table([m.roughness_idx for m in mats], M, i32),
             mat_normal_idx=scalar_table([m.normal_idx for m in mats], M, i32),
