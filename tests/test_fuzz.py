@@ -164,10 +164,29 @@ def test_everything_at_once_matches_oracle(seed):
     b.set_fog(float(0.02 + 0.04 * rng.rand()),
               albedo=tuple(0.6 + 0.4 * rng.rand(3)),
               g=float(rng.uniform(-0.5, 0.7)))
+    # a bump-mapped floor and a UV-textured mesh join the party
+    bump_tex = np.repeat(rng.rand(8, 8, 1), 3, 2).astype(np.float32)
+    bump_tex = np.round(bump_tex * 255.0) / 255.0
+    bti = b.add_texture(bump_tex.astype(np.float32))
+    bm = b.add_material(albedo=(0.5, 0.45, 0.4), roughness=0.9,
+                        bump_idx=bti, bump_scale=0.3)
+    b.add_plane((0, 0, 1), 4.0, bm)
+    check = (np.indices((8, 8)).sum(0) % 2)[..., None].repeat(3, 2)
+    uv_tex = (check * 0.7 + 0.2).astype(np.float32)
+    uv_tex = (np.round(uv_tex * 255.0) / 255.0).astype(np.float32)
+    uti = b.add_texture(uv_tex)
+    um = b.add_material(albedo=(1.0, 0.9, 0.8), albedo_idx=uti,
+                        roughness=0.7)
+    base = rng.uniform(-2, 2, 3)
+    pts = np.asarray([base + [-1, 0, -1], base + [1, 0, -1],
+                      base + [0, 0, 1.2]], np.float32)
+    b.set_mesh(pts, np.full(3, um, np.int32),
+               uvs=np.asarray([[0, 0], [2, 0], [1, 2]], np.float32))
     w, h, pp = 16, 12, 2
     cam = define_camera((0, -8, 1), (0, 0, 0), 35.0, w, h)
     scene = b.finalize()
     assert scene.any_dispersive and scene.fog_sigma_t > 0
+    assert scene.any_bump and scene.has_mesh_uvs
     cfg = RenderConfig(width=w, height=h, pp=pp, seed=seed,
                        use_russian_roulette=True)
     img, _, _ = render_image(scene, cam, cfg)
