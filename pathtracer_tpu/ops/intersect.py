@@ -753,39 +753,50 @@ def intersect_scene(scene: Scene, o: Vec3, d: Vec3) -> Hit:
 
 
 def _intersect_triangles_brute_uv(scene: Scene, o: Vec3, d: Vec3, best: Hit):
-    """Triangle pass that additionally tracks the winner's barycentrics and
-    triangle index for per-vertex UV interpolation (mesh-UV scenes; see
-    intersect_scene_uv). The hit decision graph is ray_planar_triangle's
-    exactly, so t/mat/normal match intersect_triangles_brute bit-for-bit."""
+    """Triangle pass that additionally interpolates the winner's texture
+    coordinate IN the loop body (mesh-UV scenes; see intersect_scene_uv):
+    uv = uv0 + alpha * (uv1 - uv0) + beta * (uv2 - uv0) — barycentric
+    weights (1-a-b, a, b) for vertices (A, B, C) with u = B-A, v = C-A —
+    selected at take time. Carrying the interpolated (uvx, uvy) instead
+    of (alpha, beta, winner index) costs the same three selects per
+    triangle but needs NO per-lane gather afterwards, which is what lets
+    this path run inside the Pallas kernel (Mosaic has no vector random
+    access) — and drops six gathers from the XLA drivers too. The hit
+    decision graph is ray_planar_triangle's exactly, so t/mat/normal
+    match intersect_triangles_brute bit-for-bit."""
     shape = jnp.shape(o.x)
-    T = scene.tri_a.x.shape[0]
     tables = dict(
         ax=scene.tri_a.x, ay=scene.tri_a.y, az=scene.tri_a.z,
         ux=scene.tri_u.x, uy=scene.tri_u.y, uz=scene.tri_u.z,
         vx=scene.tri_v.x, vy=scene.tri_v.y, vz=scene.tri_v.z,
         m=scene.tri_mat,
-        ti=jnp.arange(T, dtype=jnp.int32),
+        u0=scene.tri_uv0u, v0=scene.tri_uv0v,
+        du1=scene.tri_uvdu1, dv1=scene.tri_uvdv1,
+        du2=scene.tri_uvdu2, dv2=scene.tri_uvdv2,
     )
 
     def body(row, valid, carry):
-        h, ca, cb, ci = carry
+        h, cu, cv, took = carry
         A = Vec3(row["ax"], row["ay"], row["az"])
         u = Vec3(row["ux"], row["uy"], row["uz"])
         v = Vec3(row["vx"], row["vy"], row["vz"])
         n = normalize(cross(u, v), eps=1e-30)
         t, hit, alpha, beta = ray_planar_triangle_uv(o, d, A, u, v)
         take = hit & (t < h.t) & valid
+        uvx = row["u0"] + alpha * row["du1"] + beta * row["du2"]
+        uvy = row["v0"] + alpha * row["dv1"] + beta * row["dv2"]
         return (
             Hit(jnp.where(take, t, h.t),
                 jnp.where(take, row["m"], h.mat),
                 vwhere(take, n, h.normal)),
-            jnp.where(take, alpha, ca),
-            jnp.where(take, beta, cb),
-            jnp.where(take, row["ti"], ci),
+            jnp.where(take, uvx, cu),
+            jnp.where(take, uvy, cv),
+            # int32 flag, not bool: bool while/fori carries crash Mosaic
+            jnp.where(take, jnp.int32(1), took),
         )
 
     init = (best, jnp.zeros(shape), jnp.zeros(shape),
-            jnp.full(shape, -1, jnp.int32))
+            jnp.zeros(shape, jnp.int32))
     return _scan_table_chunked(scene.n_tris, tables, body, init)
 
 
@@ -793,11 +804,14 @@ def intersect_scene_uv(scene: Scene, o: Vec3, d: Vec3):
     """intersect_scene for mesh-UV scenes (scene.has_mesh_uvs): returns
     (hit, uvx, uvy, uv_ok) where (uvx, uvy) is the per-vertex-interpolated
     texture coordinate of the winning triangle and uv_ok marks lanes whose
-    winner IS a triangle. Triangles are the last live category
-    (world->aabbs is never populated, win32_main.cpp:2039-2045, and this
-    path asserts it), so a post-triangle strict-< comparison identifies
-    them. XLA drivers only — the Pallas kernel gates off mesh-UV scenes
-    in render/pallas_backend.supports()."""
+    winner IS a triangle (triangles are the last live category —
+    world->aabbs is never populated, win32_main.cpp:2039-2045, and this
+    path asserts it). Shared by the XLA drivers and the Pallas kernel:
+    the UV interpolation rides the triangle loop itself (see
+    _intersect_triangles_brute_uv), so nothing here gathers per lane.
+    In-kernel, render/pallas_backend.supports() gates mesh-UV scenes to
+    the static-unroll budget (the chunked fallback dynamic-slices the
+    LANE axis, which Mosaic cannot)."""
     assert scene.n_boxes == 0, "mesh-UV path assumes the dead aabbs table"
     shape = jnp.shape(o.x)
     best = Hit(
@@ -808,14 +822,5 @@ def intersect_scene_uv(scene: Scene, o: Vec3, d: Vec3):
     best = intersect_spheres(scene, o, d, best)
     best = intersect_quads(scene, o, d, best)
     best = intersect_planes(scene, o, d, best)
-    t_pre = best.t
-    best, alpha, beta, tidx = _intersect_triangles_brute_uv(scene, o, d, best)
-    uv_ok = (best.t < t_pre) & (tidx >= 0)
-    ti = jnp.maximum(tidx, 0)
-    # uv = uv0 + alpha * (uv1 - uv0) + beta * (uv2 - uv0): barycentric
-    # weights (1-a-b, a, b) for vertices (A, B, C) with u = B-A, v = C-A
-    uvx = (scene.tri_uv0u[ti] + alpha * scene.tri_uvdu1[ti]
-           + beta * scene.tri_uvdu2[ti])
-    uvy = (scene.tri_uv0v[ti] + alpha * scene.tri_uvdv1[ti]
-           + beta * scene.tri_uvdv2[ti])
-    return best, uvx, uvy, uv_ok
+    best, uvx, uvy, took = _intersect_triangles_brute_uv(scene, o, d, best)
+    return best, uvx, uvy, took != 0

@@ -33,6 +33,9 @@ _INV255 = 1.0 / 255.0
 # shared by every driver — can dynamic-slice tile rows from VMEM. None
 # outside kernel tracing (the XLA drivers then use the flat gathers).
 KERNEL_TEX_REF = None
+# Same side channel for the mesh-UV tiled stack (Scene.tex_uvtile): set
+# when the kernel covers a mesh-UV textured scene (scene.tex_uv_tiled).
+KERNEL_UVTEX_REF = None
 
 
 def _unpack(word: jnp.ndarray) -> Vec3:
@@ -67,6 +70,13 @@ def sample_texture(scene: Scene, layer: jnp.ndarray, u: jnp.ndarray, v: jnp.ndar
 
     c11, c12 = fetch(y1, x1), fetch(y1, x2)
     c21, c22 = fetch(y2, x1), fetch(y2, x2)
+    return _bilerp_vec3(c11, c12, c21, c22, s, t)
+
+
+def _bilerp_vec3(c11: Vec3, c12: Vec3, c21: Vec3, c22: Vec3, s, t) -> Vec3:
+    """Bilinear blend of four Vec3 corners — the exact f32 expression of
+    SampleTexture's blend (win32_main.cpp:1699-1708), shared by the XLA
+    gather path and the Pallas windowed path so both are bit-identical."""
     top = Vec3(
         (1 - s) * c11.x + s * c12.x,
         (1 - s) * c11.y + s * c12.y,
@@ -269,20 +279,40 @@ def bespoke_sample_combined_windowed(scene: Scene, tab_ref, u, v, needs,
 
         def tile_of(y, x):
             return row_off + (y >> 3) * tiles_x_l + (x >> 3)
-    BIG = jnp.int32(1 << 30)
-
     def off_of(y, x):
         return (((y & 7) << 3) | (x & 7)) << 1
 
     corners = ((y1, x1), (y1, x2), (y2, x1), (y2, x2))
     # lanes that never sample sit at the BIG sentinel and contribute no tiles
+    BIG = jnp.int32(1 << 30)
     wins = [jnp.where(needs, tile_of(y, x), BIG) for (y, x) in corners]
     offs = [off_of(y, x) for (y, x) in corners]
+    words = _windowed_words(tab_ref, wins, offs, shape, nwords=2)
+    wa = tuple(w_[0] for w_ in words)
+    wb = tuple(w_[1] for w_ in words)
+    if return_words:
+        return wa, wb, s, t
+    return _blend_combined(wa, wb, s, t)
 
-    # The loop's cost is SERIAL LATENCY per distinct tile (the min-reduce
+
+def _windowed_words(tab_ref, wins, offs, shape, nwords: int):
+    """Distinct-row iteration core shared by every windowed fetch: visit
+    the DISTINCT table rows named by ``wins`` (four corner row ids per
+    lane; the 1<<30 sentinel marks lanes that fetch nothing), lane-LUT
+    ``nwords`` consecutive words at each corner's lane offset, and return
+    a 4-tuple (per corner) of ``nwords``-tuples of gathered (R, 128)
+    int32 words. ``tab_ref`` is a (rows, 128) VMEM ref (or plain array in
+    XLA/interpret equivalence paths). int32 masks throughout — bool
+    while-carries crash Mosaic (experiments/bisect_crash)."""
+    import jax
+    from jax.experimental import pallas as pl
+
+    BIG = jnp.int32(1 << 30)
+    n_rows = int(tab_ref.shape[0])
+    # The loop's cost is SERIAL LATENCY per distinct row (the min-reduce
     # chain), not gather throughput. Splitting the block into one
     # independent chain per (8, 128) register tile lets Mosaic overlap C
-    # reduce chains: each 8-row group iterates its own outstanding tile
+    # reduce chains: each 8-row group iterates its own outstanding row
     # set, and total iterations drop toward max-per-group.
     C = shape[0] // 8 if (shape[0] % 8 == 0 and shape[0] > 8) else 1
     rows_per = shape[0] // C
@@ -296,8 +326,8 @@ def bespoke_sample_combined_windowed(scene: Scene, tab_ref, u, v, needs,
                               (rows_per, shape[1]))
              for c in range(C)], axis=0)
 
-    # Tiles are visited in increasing id order per chain, so no done-masks
-    # are needed: a corner fires exactly when its tile id equals its
+    # Rows are visited in increasing id order per chain, so no done-masks
+    # are needed: a corner fires exactly when its row id equals its
     # chain's current tid, and the next tid is the min over ids strictly
     # greater. The next tid is computed BEFORE the gathers (software
     # pipelining): the serial dependency chain is then compare ->
@@ -322,24 +352,75 @@ def bespoke_sample_combined_windowed(scene: Scene, tab_ref, u, v, needs,
         return jnp.any(c[0] != BIG)
 
     def body(c):
-        tid_b, acc_a, acc_b = c
+        tid_b, accs = c
         nxt = nxt_tid(tid_b)
         row = fetch_rows(tid_b)
-        new_a, new_b = [], []
-        for w_, o, aa, bb in zip(wins, offs, acc_a, acc_b):
+        new = []
+        for w_, o, acc in zip(wins, offs, accs):
             # the != BIG guard keeps sentinel lanes zero after their chain
             # exhausts (tid parks at BIG while other chains still run)
             hit = (w_ == tid_b) & (w_ != BIG)
-            ga = jnp.take_along_axis(row, o, axis=1)
-            gb = jnp.take_along_axis(row, o + 1, axis=1)
-            new_a.append(jnp.where(hit, ga, aa))
-            new_b.append(jnp.where(hit, gb, bb))
-        return nxt, tuple(new_a), tuple(new_b)
+            new.append(tuple(
+                jnp.where(hit, jnp.take_along_axis(row, o + k, axis=1), a)
+                for k, a in enumerate(acc)))
+        return nxt, tuple(new)
 
-    zero = x1 * 0
-    tid0 = nxt_tid(zero - 1)  # min over all tile ids (ids are >= 0 > -1)
-    init = (tid0, tuple(zero for _ in range(4)), tuple(zero for _ in range(4)))
-    _, wa, wb = jax.lax.while_loop(cond, body, init)
-    if return_words:
-        return wa, wb, s, t
-    return _blend_combined(wa, wb, s, t)
+    zero = wins[0] * 0
+    tid0 = nxt_tid(zero - 1)  # min over all row ids (ids are >= 0 > -1)
+    init = (tid0, tuple(tuple(zero for _ in range(nwords))
+                        for _ in range(4)))
+    _, words = jax.lax.while_loop(cond, body, init)
+    return words
+
+
+def sample_texture_uv_windowed(scene: Scene, tab_ref, layer, u, v, needs):
+    """The Pallas-kernel twin of :func:`sample_texture` for mesh-UV
+    textured scenes (the general per-layer texture stack, not world 1's
+    canonical combined set).
+
+    ``tab_ref`` is the tiled stack (Scene.tex_uvtile): one 128-word row
+    per PAIR of horizontally adjacent 8x8-texel tiles (lanes 0-63 the
+    even tile, 64-127 the odd — no interleave, textures are single RGB8
+    words). Per-lane layer metadata (row offset, row pitch, width,
+    height) resolves by a select sweep over the static per-layer table
+    (Scene.tex_uv_meta — same pattern as the mip select), and wrap is a
+    pow2 mask (schema gates tex_uv_tiled on pow2 sizes; non-pow2 stacks
+    stay on the XLA drivers). Texel selection and blend are the exact
+    expressions of sample_texture, so compiled results match the XLA
+    gather path bit for bit. ``needs`` masks lanes that sample at all
+    (non-triangle winners and untextured materials contribute no rows)."""
+    shape = u.shape
+    meta = scene.tex_uv_meta  # ((row_off, pitch, w, h), ...) per layer
+
+    def sweep(j):
+        acc = jnp.full(shape, meta[0][j], jnp.int32)
+        for l in range(1, len(meta)):
+            acc = jnp.where(layer == l, jnp.int32(meta[l][j]), acc)
+        return acc
+
+    row_off, pitch, w, h = (sweep(j) for j in range(4))
+    u = jnp.abs(u)
+    v = jnp.abs(v)
+    x1 = u.astype(jnp.int32)
+    y1 = v.astype(jnp.int32)
+    s = jnp.clip(u - x1.astype(u.dtype), 0.0, 1.0)
+    t = jnp.clip(v - y1.astype(v.dtype), 0.0, 1.0)
+    wm, hm = w - 1, h - 1
+    x1 = x1 & wm
+    x2 = (x1 + 1) & wm
+    y1 = y1 & hm
+    y2 = (y1 + 1) & hm
+
+    def row_of(y, x):
+        return row_off + (y >> 3) * pitch + (x >> 4)
+
+    def off_of(y, x):
+        return ((y & 7) << 3) | (x & 7) | (((x >> 3) & 1) << 6)
+
+    corners = ((y1, x1), (y1, x2), (y2, x1), (y2, x2))
+    BIG = jnp.int32(1 << 30)
+    wins = [jnp.where(needs, row_of(y, x), BIG) for (y, x) in corners]
+    offs = [off_of(y, x) for (y, x) in corners]
+    words = _windowed_words(tab_ref, wins, offs, shape, nwords=1)
+    c11, c12, c21, c22 = (_unpack(w_[0]) for w_ in words)
+    return _bilerp_vec3(c11, c12, c21, c22, s, t)

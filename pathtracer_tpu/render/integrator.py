@@ -303,7 +303,11 @@ def shade_bounce(
             n_mapped = normalize(n_dec, eps=1e-30)
             N = vwhere(mat["normal_idx"] != 0, n_mapped, N)
         albedo_tex = (has_tex, alb_c)
-    elif scene.n_textures:
+    elif scene.n_textures and not scene.tex_mesh_only:
+        # (tex_mesh_only: every textured material is a triangle-albedo
+        # binding, so these planar bespoke fetches can never apply — and
+        # skipping them statically is what keeps mesh-UV scenes free of
+        # per-lane gathers inside the Pallas kernel)
         uvx, uvy = hitpoint.x, hitpoint.y
         if scene.use_metalness_maps:
             mtl_tex = bespoke_sample(scene, jnp.maximum(mat["metalness_idx"] - 1, 0), uvx, uvy)
@@ -447,7 +451,7 @@ def shade_bounce(
     albedo = mat["albedo"]
     if albedo_tex is not None:
         albedo = vwhere(albedo_tex[0], albedo_tex[1], albedo)
-    elif scene.n_textures:
+    elif scene.n_textures and not scene.tex_mesh_only:
         alb_tex = bespoke_sample(scene, jnp.maximum(mat["albedo_idx"] - 1, 0),
                                  hitpoint.x, hitpoint.y)
         albedo = vwhere(mat["albedo_idx"] != 0, alb_tex, albedo)
@@ -457,13 +461,20 @@ def shade_bounce(
         # win32_main.cpp:172): lanes whose winner is a UV triangle sample
         # the material's texture at the interpolated texcoord, MODULATED
         # by the material albedo (= glTF baseColorFactor, spec semantics)
-        # — unlike the bespoke path, which replaces.
-        from ..ops.texture import sample_texture
+        # — unlike the bespoke path, which replaces. Inside the Pallas
+        # kernel the stack rides VMEM tiled (Scene.tex_uvtile) and the
+        # fetch is the windowed lane-LUT iteration; same texels, same
+        # blend expression, bit-identical results.
+        from ..ops import texture as _tex
         uvx, uvy, uv_ok = uv
-        tex_uv = sample_texture(scene, jnp.maximum(mat["albedo_idx"] - 1, 0),
-                                uvx, uvy)
-        albedo = vwhere(uv_ok & (mat["albedo_idx"] != 0),
-                        hadamard(mat["albedo"], tex_uv), albedo)
+        layer = jnp.maximum(mat["albedo_idx"] - 1, 0)
+        use_uv = uv_ok & (mat["albedo_idx"] != 0)
+        if _tex.KERNEL_UVTEX_REF is not None:
+            tex_uv = _tex.sample_texture_uv_windowed(
+                scene, _tex.KERNEL_UVTEX_REF, layer, uvx, uvy, use_uv)
+        else:
+            tex_uv = _tex.sample_texture(scene, layer, uvx, uvy)
+        albedo = vwhere(use_uv, hadamard(mat["albedo"], tex_uv), albedo)
     brdf_diff = hadamard(kd, albedo) * (ndotl / PI)
     spec_scalar = brdf_specular_scalar(N, L, V, H, roughness)
     brdf_spec = ks * spec_scalar

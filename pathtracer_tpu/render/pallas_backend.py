@@ -21,9 +21,11 @@ to fully unroll/sweep (worlds 2, 3, 4, 5 — the 494-sphere and 752-triangle
 tables unroll fine under Mosaic, ~60s compile) plus combined-texture-set
 scenes (world 1), whose texel fetches run in-kernel from a VMEM-resident
 tiled table via the windowed lane-LUT iteration
-(ops/texture.bespoke_sample_combined_windowed). Grid-traversal scenes and
-general multi-size texture stacks stay on the XLA path;
-renderer.render_chunk dispatches automatically. Compiled-TPU equivalence
+(ops/texture.bespoke_sample_combined_windowed), plus mesh-UV textured
+glTF scenes whose per-layer stack tiles (pow2 sizes, triangle-albedo-only
+bindings — ops/texture.sample_texture_uv_windowed over Scene.tex_uvtile).
+Grid-traversal scenes and non-qualifying texture stacks stay on the XLA
+path; renderer.render_chunk dispatches automatically. Compiled-TPU equivalence
 vs the XLA wavefront (256x144, 4spp): >=50% of pixels bit-equal, <0.1%
 with boundary-flip differences, ray counts within a few paths of 278k.
 """
@@ -82,7 +84,7 @@ def _block_rows(scene: Scene) -> int:
     import os
     if os.environ.get("PT_BLOCK_ROWS"):  # perf-sweep knob (experiments/)
         return int(os.environ["PT_BLOCK_ROWS"])
-    if scene.n_textures and scene.tex_combined:
+    if scene.n_textures and (scene.tex_combined or scene.tex_uv_tiled):
         return _BLOCK_ROWS_TEXTURED
     if scene.tri_streamed:
         return _BLOCK_ROWS_STREAMED
@@ -102,7 +104,7 @@ def supports(scene: Scene, config: RenderConfig) -> bool:
     # (materials of any count are covered: small tables sweep, large ones
     # use the windowed lane-LUT lookup — integrator._material_lookup)
     return (
-        (scene.n_textures == 0 or scene.tex_combined)
+        (scene.n_textures == 0 or scene.tex_combined or scene.tex_uv_tiled)
         and (scene.n_tris == 0 or scene.grid_res == 0)
         and max(scene.n_spheres, scene.n_quads, scene.n_planes) <= _UNROLL_MAX_KERNEL
         # meshes: static unroll up to the Mosaic budget, then the streamed
@@ -110,9 +112,16 @@ def supports(scene: Scene, config: RenderConfig) -> bool:
         and (scene.n_tris <= _UNROLL_MAX_KERNEL or scene.tri_streamed)
         and config.debug_kind in (REGULAR, VARIANCE)
         and not config.just_importance
-        # mesh-UV textured materials ride the XLA drivers for now: the
-        # winner-uv resolution (intersect_scene_uv) gathers per lane
-        and not scene.has_mesh_uvs
+        # mesh-UV textured scenes: the UV interpolation rides the triangle
+        # loop itself (no per-lane gathers, ops/intersect
+        # _intersect_triangles_brute_uv) and the texel fetch is the
+        # windowed iteration over the tiled stack (Scene.tex_uvtile) — but
+        # the UV triangle loop must fully UNROLL (its chunked fallback
+        # dynamic-slices the LANE axis, which Mosaic cannot), so only up
+        # to the static budget; larger UV meshes stay on the XLA drivers
+        and (not scene.has_mesh_uvs
+             or (scene.tex_uv_tiled
+                 and scene.n_tris <= _UNROLL_MAX_KERNEL))
         # bump maps use the generic per-lane texture gather (no Mosaic
         # lowering); the canonical combined set has no height plane anyway
         and not scene.any_bump
@@ -379,13 +388,16 @@ def render_chunk_pallas(
     # that restart every lane at (sample, bounce 0) lockstep — measured on
     # world 5: 29 Mrays/s at 64-sample dispatches vs ~90 at 4.
     use_sort = bool(scene.tex_combined and scene.n_textures)
+    # mesh-UV textured scenes: windowed fetch from the tiled UV stack
+    use_uvtex = bool(scene.tex_uv_tiled and scene.has_mesh_uvs
+                     and scene.n_textures)
     # tri_streamed matters here: streamed scenes have tri_clusters == ()
     # (the descriptors live in stream_parents/mtri_bounds), and omitting
     # them made streamed blocks full-width scanline strips whose frustum
     # crossed the whole mesh — no cluster could ever be culled (round-3
     # fix; the round-2 crossover numbers above 1024 tris paid this).
-    coherent = use_sort or bool(scene.sph_clusters or scene.tri_clusters
-                                or scene.tri_streamed)
+    coherent = use_sort or use_uvtex or bool(
+        scene.sph_clusters or scene.tri_clusters or scene.tri_streamed)
     perm = inv = None
     if use_sort:
         perm = _texel_sort(scene, camera, config, pixel_idx)
@@ -396,7 +408,8 @@ def render_chunk_pallas(
         pixel_idx = pixel_idx[perm]
     # textured scenes run the bounce-lockstep driver — every sample is
     # already synchronized, so sub-chunk restarts would only add dispatches
-    sub = _SUB_CHUNK_SAMPLES if (coherent and not use_sort) else n_samples
+    sub = (_SUB_CHUNK_SAMPLES if (coherent and not use_sort and not use_uvtex)
+           else n_samples)
 
     n_pad = ((n + block - 1) // block) * block
     pix = jnp.concatenate(
@@ -414,6 +427,10 @@ def render_chunk_pallas(
             tex_comb_a=jnp.zeros((1,), jnp.int32),
             tex_comb_b=jnp.zeros((1,), jnp.int32),
         )
+    elif use_uvtex:
+        # mesh-UV kernels read only tex_uvtile; the padded flat stack
+        # ((K, Hmax, Wmax) words) is dead VMEM weight
+        scene = scene.replace(tex_packed=jnp.zeros((1,), jnp.int32))
     if scene.tri_streamed:
         # the streamed tier reads only mtri_bounds/mtri_pack; the brute
         # triangle tables are dead weight in the kernel (~4 MB VMEM at
@@ -432,6 +449,11 @@ def render_chunk_pallas(
         (i for i, l in enumerate(scene_leaves) if l is scene.tex_tile), None)
     use_tex_ref = scene.tex_combined and scene.n_textures > 0
     ref_slots = {tex_idx} if use_tex_ref else set()
+    uvtex_idx = None
+    if use_uvtex:
+        uvtex_idx = next(i for i, l in enumerate(scene_leaves)
+                         if l is scene.tex_uvtile)
+        ref_slots |= {uvtex_idx}
     pack_idx = None
     prange_idx = None
     if scene.tri_streamed:
@@ -467,11 +489,17 @@ def render_chunk_pallas(
                     stream_scratch=scratch_ref, stream_sem=sem_ref)
             if use_tex_ref:
                 _texture_mod.KERNEL_TEX_REF = scene_refs[tex_idx]
+            if use_uvtex:
+                _texture_mod.KERNEL_UVTEX_REF = scene_refs[uvtex_idx]
             pixel_block = pix_ref[:]
             import os
             clustered = bool(scene.sph_clusters or scene.tri_clusters
                              or scene.tri_streamed)
-            use_lockstep = use_tex_ref or (
+            # mesh-UV scenes also run lockstep: the windowed UV fetch pays
+            # per distinct row a block touches, and bounce-synchronized
+            # lanes keep each bounce's row set small (same coherence
+            # argument as the combined-set fetch)
+            use_lockstep = use_tex_ref or use_uvtex or (
                 clustered and os.environ.get("PT_LOCKSTEP_CLUSTERED"))
             loop = _lockstep_loop if use_lockstep else _wave_loop
             acc_sum, acc_sq, count, nan_c, ray_c = loop(
@@ -538,6 +566,7 @@ def render_chunk_pallas(
     finally:
         _intersect_mod._tracing_pallas_kernel = False
         _texture_mod.KERNEL_TEX_REF = None
+        _texture_mod.KERNEL_UVTEX_REF = None
 
     per_pixel = [a.reshape(-1)[:n] for a in outs[:7]]
     if perm is not None:

@@ -222,6 +222,20 @@ class Scene:
     # sampling via RenderConfig.mip_scale (the reference's unfinished
     # "mipmapping" TODO, GenerateMipmapChain win32_main.cpp:2307-2328).
     tex_mip_meta: tuple = struct.field(pytree_node=False, default=())
+    # Mesh-UV tiled stack (general per-layer textures, kernel path): one
+    # 128-word row per PAIR of horizontally adjacent 8x8-texel tiles
+    # (lanes 0-63 even tile, 64-127 odd; y-major within a tile). Built
+    # when tex_uv_tiled: has_mesh_uvs, textures bound ONLY to triangle
+    # materials' albedo (tex_mesh_only), every size pow2 (wrap = mask in
+    # Mosaic), total rows under the VMEM cap. (1, 128) dummy otherwise.
+    tex_uvtile: jnp.ndarray = None
+    # per-layer (row_off, pair_pitch, w, h) for the select sweep
+    tex_uv_meta: tuple = struct.field(pytree_node=False, default=())
+    tex_uv_tiled: bool = struct.field(pytree_node=False, default=False)
+    # every textured material uses ONLY albedo_idx and is referenced only
+    # by triangles: shade_bounce then skips the bespoke planar fetches
+    # entirely (semantics-neutral — such lanes are always mesh-UV winners)
+    tex_mesh_only: bool = struct.field(pytree_node=False, default=False)
 
     # --- static (compile-time) metadata -----------------------------------
     # Cluster descriptors for the packet-culling path: tuples of
@@ -407,14 +421,31 @@ class WorldBuilder:
                  uvs: Optional[np.ndarray] = None):
         """points: (T*3, 3) flat vertex array, 3 consecutive verts per tri
         (mesh_t SoA convention, ray.hpp:102-106). ``uvs``: optional
-        (T*3, 2) per-vertex texture coordinates (gltf.load_gltf_textured —
-        the reference's unrealized textured-materials TODO,
-        win32_main.cpp:172)."""
+        (T*3, 2) per-vertex texture coordinates in glTF [0, 1] units
+        (gltf.load_gltf_textured — the reference's unrealized
+        textured-materials TODO, win32_main.cpp:172). They are converted
+        HERE to the texel-space convention every sampler in this framework
+        uses (SampleTexture takes texel units and wraps, win32_main.cpp:
+        1680-1698): each triangle's UVs scale by its material's bound
+        albedo-texture size, so uv (2, 2) tiles an 8x8 texture twice.
+        Materials and textures must therefore be registered before
+        set_mesh; triangles without a bound texture keep scale 1 (their
+        UVs are never sampled)."""
         pts = np.asarray(points, np.float32).reshape(-1, 3, 3)
         self.triangles = pts
         self.tri_mats = np.asarray(mat_indices, np.int32).reshape(-1, 3)[:, 0]
-        self.tri_uvs = (None if uvs is None
-                        else np.asarray(uvs, np.float32).reshape(-1, 3, 2))
+        if uvs is None:
+            self.tri_uvs = None
+            return
+        uv = np.asarray(uvs, np.float32).reshape(-1, 3, 2)
+        mw = np.ones((len(self.materials),), np.float32)
+        mh = np.ones((len(self.materials),), np.float32)
+        for j, m in enumerate(self.materials):
+            if m.albedo_idx and m.albedo_idx <= len(self.textures):
+                mh[j], mw[j] = self.textures[m.albedo_idx - 1].shape[:2]
+        scale = np.stack([mw[self.tri_mats], mh[self.tri_mats]],
+                         axis=-1)[:, None, :]  # (T, 1, 2)
+        self.tri_uvs = (uv * scale).astype(np.float32)
 
     def add_texture(self, data: np.ndarray) -> int:
         """Returns the 1-based texture index used by material *_idx fields."""
@@ -661,6 +692,48 @@ class WorldBuilder:
             tiles_x = 1
             mip_meta = ()
 
+        # Mesh-UV tiled stack (Scene.tex_uvtile) for the Pallas kernel's
+        # windowed fetch (ops/texture.sample_texture_uv_windowed). Gated:
+        # textures bound only to triangle-material albedos (the bespoke
+        # planar fetches then never run), pow2 sizes (wrap = mask), and a
+        # VMEM budget. Non-qualifying scenes keep the XLA gather path.
+        non_tri_mats = ({s[2] for s in self.spheres}
+                        | {q[3] for q in self.quads}
+                        | {p[2] for p in self.planes})
+        tex_mesh_only = bool(
+            has_mesh_uvs and self.textures
+            and all(
+                m.metalness_idx == 0 and m.roughness_idx == 0
+                and m.normal_idx == 0 and m.bump_idx == 0
+                and (m.albedo_idx == 0 or j not in non_tri_mats)
+                for j, m in enumerate(mats)))
+        _UVTILE_MAX_ROWS = 8192  # 128 words/row -> 4 MB of VMEM
+        uv_meta: tuple = ()
+        uvtile = np.zeros((1, 128), i32)
+        tex_uv_tiled = False
+        if tex_mesh_only and all(
+                (t.shape[0] & (t.shape[0] - 1)) == 0
+                and (t.shape[1] & (t.shape[1] - 1)) == 0
+                for t in self.textures):
+            metas, parts, row_off = [], [], 0
+            for k, t in enumerate(self.textures):
+                hh, ww = t.shape[:2]
+                hp, wp = -(-hh // 8) * 8, -(-ww // 16) * 16
+                p = np.zeros((hp, wp), i32)
+                p[:hh, :ww] = packed[k, :hh, :ww]
+                tx = wp // 8  # tile columns (even by construction)
+                t64 = (p.reshape(hp // 8, 8, tx, 8)
+                       .transpose(0, 2, 1, 3).reshape(hp // 8, tx, 64))
+                rows = np.concatenate([t64[:, 0::2, :], t64[:, 1::2, :]],
+                                      axis=-1).reshape(-1, 128)
+                metas.append((row_off, tx // 2, ww, hh))
+                parts.append(rows)
+                row_off += rows.shape[0]
+            if row_off <= _UVTILE_MAX_ROWS:
+                uvtile = np.concatenate(parts).astype(i32)
+                uv_meta = tuple(metas)
+                tex_uv_tiled = True
+
         if grid is None:
             grid_start = jnp.zeros((1,), i32)
             grid_count = jnp.zeros((1,), i32)
@@ -769,6 +842,10 @@ class WorldBuilder:
             tex_comb_h=ch,
             tex_tiles_x=tiles_x,
             tex_mip_meta=mip_meta,
+            tex_uvtile=jnp.asarray(uvtile),
+            tex_uv_meta=uv_meta,
+            tex_uv_tiled=tex_uv_tiled,
+            tex_mesh_only=tex_mesh_only,
             world_kind=world_kind,
             just_cosine=(world_kind == WORLD_RAYTRACING_ONE_WEEKEND),
             quad_light=self.quad_light,

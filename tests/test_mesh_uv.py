@@ -101,6 +101,24 @@ class TestGltfTextured:
         np.testing.assert_allclose(m.albedo, (0.5, 1.0, 0.25))
         np.testing.assert_allclose(uvs[:3], [[0, 0], [2, 0], [2, 2]])
 
+    def test_uvs_scale_to_texel_space(self, tmp_path):
+        """set_mesh converts glTF [0, 1] UVs to the texel-unit convention
+        every sampler uses (SampleTexture wraps texel coords,
+        win32_main.cpp:1680-1698): uv (2, 2) on the 8x8 checker must land
+        at texel 16 — the texture tiles twice across the quad, not once
+        across its first two texels."""
+        p = _textured_glb(tmp_path)
+        b = WorldBuilder()
+        b.add_material(emit=(0.1, 0.1, 0.1))
+        b.add_material(emit=(5, 5, 5))
+        pts, mats, uvs = load_gltf_textured(p, b)
+        b.set_mesh(pts, mats, uvs=uvs)
+        np.testing.assert_allclose(b.tri_uvs[0], uvs[:3] * 8.0)
+        scene = b.finalize()
+        # device tables carry the scaled uv0 + edge deltas
+        np.testing.assert_allclose(np.asarray(scene.tri_uv0u)[:2], [0.0, 0.0])
+        np.testing.assert_allclose(np.asarray(scene.tri_uvdu1)[0], 16.0)
+
     def test_plain_loader_keeps_reference_quirk(self, tmp_path):
         """load_gltf_triangles on a textured doc must keep mat_idx = 1
         (the reference default, win32_main.cpp:1504) and load no image."""
@@ -139,8 +157,13 @@ class TestGltfTextured:
         # the checker must actually be visible (texture varies the image)
         assert img.std() > 0.01
 
-    def test_kernel_gates_off_uv_scenes(self, tmp_path):
+    def test_kernel_support_gating(self, tmp_path):
+        """Mesh-UV scenes ride the Pallas kernel when the tiled UV stack
+        qualifies (pow2 textures bound only to triangle albedos); non-pow2
+        sizes and texture bindings shared with non-triangle primitives
+        fall back to the XLA drivers (schema gates tex_uv_tiled off)."""
         from pathtracer_tpu.render.pallas_backend import supports
+        cfg = RenderConfig(width=8, height=8, pp=1)
         p = _textured_glb(tmp_path)
         b = WorldBuilder()
         b.add_material(emit=(0.1, 0.1, 0.1))
@@ -148,7 +171,137 @@ class TestGltfTextured:
         pts, mats, uvs = load_gltf_textured(p, b)
         b.set_mesh(pts, mats, uvs=uvs)
         scene = b.finalize()
-        assert not supports(scene, RenderConfig(width=8, height=8, pp=1))
+        assert scene.tex_mesh_only and scene.tex_uv_tiled
+        assert supports(scene, cfg)
+        # tile-pair rows: the 8x8 checker pads to one 8x16 pair row
+        assert scene.tex_uvtile.shape == (1, 128)
+        assert scene.tex_uv_meta == ((0, 1, 8, 8),)
+
+        # non-pow2 texture -> XLA fallback
+        b2 = WorldBuilder()
+        b2.add_material(emit=(0.1, 0.1, 0.1))
+        b2.add_material(emit=(5, 5, 5))
+        ti = b2.add_texture(np.full((6, 10, 3), 0.5, np.float32))
+        m = b2.add_material(albedo=(1, 1, 1), albedo_idx=ti)
+        b2.set_mesh(pts, np.full(len(pts), m, np.int32), uvs=uvs)
+        s2 = b2.finalize()
+        assert s2.has_mesh_uvs and not s2.tex_uv_tiled
+        assert not supports(s2, cfg)
+
+        # texture bound to a PLANE material -> bespoke fetches stay live,
+        # scene is not mesh-only -> XLA fallback
+        b3 = WorldBuilder()
+        b3.add_material(emit=(0.1, 0.1, 0.1))
+        b3.add_material(emit=(5, 5, 5))
+        pts3, mats3, uvs3 = load_gltf_textured(p, b3)
+        b3.set_mesh(pts3, mats3, uvs=uvs3)
+        ti3 = b3.add_texture(np.full((8, 8, 3), 0.5, np.float32))
+        pm = b3.add_material(albedo=(1, 1, 1), albedo_idx=ti3)
+        b3.add_plane((0, 0, 1), 1.5, pm)
+        s3 = b3.finalize()
+        assert s3.has_mesh_uvs and not s3.tex_mesh_only
+        assert not supports(s3, cfg)
+
+    def test_kernel_interpret_matches_xla(self, tmp_path):
+        """The mesh-UV scene through the interpret-mode Pallas kernel
+        (in-loop UV interpolation + windowed tiled-stack fetch) vs the XLA
+        chunk. Not asserted bit-equal: the uv interpolation's mul+add
+        chain contracts to fma differently between the two compilations
+        (same class as the driver-agreement test below); gate on
+        overwhelmingly-bit-equal with tiny residuals."""
+        import jax.numpy as jnp
+        from pathtracer_tpu.render.pallas_backend import (
+            render_chunk_pallas, supports)
+        from pathtracer_tpu.render.renderer import init_accum, render_chunk
+        from pathtracer_tpu.utils import prng
+        p = _textured_glb(tmp_path, factor=(1.0, 0.9, 0.8))
+        b = WorldBuilder()
+        b.add_material(emit=(0.3, 0.35, 0.45))
+        light = b.add_material(emit=(6.0, 5.5, 5.0))
+        b.add_sphere((3, -3, 6), 1.0, light)
+        pts, mats, uvs = load_gltf_textured(p, b)
+        b.set_mesh(pts, mats, uvs=uvs)
+        floor = b.add_material(albedo=(0.5, 0.45, 0.4), roughness=0.9)
+        b.add_plane((0, 0, 1), 1.5, floor)
+        scene = b.finalize()
+        w, h = 16, 12
+        cfg = RenderConfig(width=w, height=h, pp=2, seed=3)
+        assert supports(scene, cfg)
+        cam = define_camera((0, -8, 1), (0, 0, 1), 35.0, w, h)
+        key = prng.base_key(3)
+        n = w * h
+        ref = render_chunk(scene, cam, cfg, key, jnp.int32(0), 2,
+                           init_accum(n))
+        pal = render_chunk_pallas(scene, cam, cfg, key, jnp.int32(0), 2,
+                                  init_accum(n),
+                                  jnp.arange(n, dtype=jnp.int32),
+                                  interpret=True)
+        for ch in ("x", "y", "z"):
+            a = np.asarray(getattr(ref.sum, ch))
+            p_ = np.asarray(getattr(pal.sum, ch))
+            d = np.abs(a - p_)
+            assert (a == p_).mean() > 0.9, f"{ch}: {(a == p_).mean():.2%}"
+            assert (d > 1e-2).mean() == 0.0, f"{ch}: flips {(d > 1e-2).mean()}"
+        np.testing.assert_array_equal(np.asarray(ref.count),
+                                      np.asarray(pal.count))
+
+    def test_kernel_multi_layer_stack(self):
+        """Two textures of DIFFERENT pow2 sizes (16x8 and 32x32) in one
+        tiled stack: the per-lane layer metadata select sweep (row offset,
+        pair pitch, wrap masks) must route each triangle's lanes to its
+        own texture. XLA driver gates bit-exact vs the oracle; the
+        interpret kernel gates at the fma-contraction tolerance."""
+        import jax.numpy as jnp
+        from pathtracer_tpu.render.pallas_backend import (
+            render_chunk_pallas, supports)
+        from pathtracer_tpu.render.renderer import init_accum, render_chunk
+        from pathtracer_tpu.utils import prng
+        rng = np.random.default_rng(0)
+        b = WorldBuilder()
+        b.add_material(emit=(0.3, 0.35, 0.45))
+        light = b.add_material(emit=(6.0, 5.5, 5.0))
+        b.add_sphere((3, -3, 6), 1.0, light)
+        t1 = (np.round(rng.uniform(0, 1, (8, 16, 3)) * 255) / 255
+              ).astype(np.float32)
+        t2 = (np.round(rng.uniform(0, 1, (32, 32, 3)) * 255) / 255
+              ).astype(np.float32)
+        m1 = b.add_material(albedo=(1.0, 0.9, 0.8),
+                            albedo_idx=b.add_texture(t1), roughness=0.7)
+        m2 = b.add_material(albedo=(0.8, 1.0, 0.9),
+                            albedo_idx=b.add_texture(t2), roughness=0.4)
+        pts = np.array([[-2, 0, -1], [2, 0, -1], [2, 0, 3],
+                        [-2, 0, -1], [2, 0, 3], [-2, 0, 3],
+                        [-4, 1, -1], [-2.5, 1, -1], [-2.5, 1, 2]],
+                       np.float32)
+        mats = np.array([m1] * 6 + [m2] * 3, np.int32)
+        uvs = np.array([[0, 0], [2, 0], [2, 2], [0, 0], [2, 2], [0, 2],
+                        [0, 0], [1, 0], [1, 1]], np.float32)
+        b.set_mesh(pts, mats, uvs=uvs)
+        floor = b.add_material(albedo=(0.5, 0.45, 0.4), roughness=0.9)
+        b.add_plane((0, 0, 1), 1.5, floor)
+        scene = b.finalize()
+        # layer 0: one 8x16 pair row; layer 1: 4 rows of 2 pairs
+        assert scene.tex_uv_meta == ((0, 1, 16, 8), (1, 2, 32, 32))
+        assert scene.tex_uvtile.shape == (9, 128)
+        w, h = 16, 12
+        cfg = RenderConfig(width=w, height=h, pp=2, seed=3)
+        assert supports(scene, cfg)
+        cam = define_camera((0, -8, 1), (0, 0, 1), 35.0, w, h)
+        img, _, _ = render_image(scene, cam, cfg)
+        oracle = render_oracle(b, cam, w, h, 2, seed=3, world_kind=0)
+        d = np.abs(np.asarray(img) - oracle).max(axis=-1)
+        assert np.median(d) < 1e-4, float(np.median(d))
+        key = prng.base_key(3)
+        n = w * h
+        ref = render_chunk(scene, cam, cfg, key, jnp.int32(0), 2,
+                           init_accum(n))
+        pal = render_chunk_pallas(scene, cam, cfg, key, jnp.int32(0), 2,
+                                  init_accum(n),
+                                  jnp.arange(n, dtype=jnp.int32),
+                                  interpret=True)
+        a, p_ = np.asarray(ref.sum.x), np.asarray(pal.sum.x)
+        dd = np.abs(a - p_)
+        assert (a == p_).mean() > 0.9 and dd.max() < 1e-3
 
     def test_node_transforms_baked(self, tmp_path):
         """apply_transforms bakes the node hierarchy's world matrices —
