@@ -214,7 +214,7 @@ def verify_all(args) -> int:
     w, h = (int(x) for x in (args.size or "320x180").split("x"))
     worlds = []
     all_ok = True
-    for world in (1, 2, 3, 4, 5, 6):
+    for world in (1, 2, 3, 4, 5, 6, 7):
         r = _verify_world(world, w, h, min(args.spp, 16))
         worlds.append(r)
         all_ok = all_ok and r.get("ok", True)

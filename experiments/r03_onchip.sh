@@ -18,7 +18,7 @@ log "0. tunnel check"
 timeout 120 python -c "import jax; print(jax.devices())" || {
     echo "tunnel down"; exit 1; }
 
-log "1. VERIFY artifact (all 6 worlds, kernel-vs-XLA gates)"
+log "1. VERIFY artifact (all 7 worlds, kernel-vs-XLA gates)"
 timeout 3000 python bench.py --verify --json \
     > VERIFY_r03.json 2> "$OUT/verify.log" \
     && log "   VERIFY_r03.json written (gate ok)" \
@@ -28,8 +28,8 @@ log "2. Russian-roulette bench (Cornell 720p)"
 timeout 2400 python bench.py --rr --spp 64 > "$OUT/bench_rr.json" 2>&1 \
     || log "   rr bench failed"
 
-log "3. per-world official numbers (64 spp; w6 included)"
-for wld in 1 2 3 4 5 6; do
+log "3. per-world official numbers (64 spp; w6/w7 included)"
+for wld in 1 2 3 4 5 6 7; do
     timeout 2400 python bench.py --world $wld --spp 64 \
         > "$OUT/bench_w$wld.json" 2>&1 || log "   world $wld failed"
 done
@@ -72,5 +72,12 @@ for ls in 16 32 64 96; do
     PT_LEAF_SIZE=$ls timeout 2400 python bench.py --world 2 --spp 64 \
         > "$OUT/bench_w2_leaf$ls.json" 2>&1 || log "   w2 leaf $ls failed"
 done
+
+log "10. mesh-UV kernel on real Mosaic (new lowering surface: windowed"
+log "    uv fetch, streamed uv-row cond-in-fori, clustered uv resolve)"
+timeout 1800 python -m pathtracer_tpu -w7 -p4 --size 320x180 \
+    --out "$OUT/meshuv_chip.png" > "$OUT/meshuv_kernel.log" 2>&1 \
+    && log "   mesh-UV kernel ok" \
+    || log "   mesh-UV kernel FAILED ($OUT/meshuv_kernel.log)"
 
 log "done; results in $OUT (bench_*.json, cross_*.log) + VERIFY_r03.json + images/"

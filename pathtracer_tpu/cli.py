@@ -75,7 +75,9 @@ def print_help():
           "\t\t3:\tCornell box.\n\t\t4:\tRay Tracing in One Weekend book cover.\n"
           "\t\t5:\tMario N64 model.\n"
           "\t\t6:\tCornell box with a quad AREA light (TPU extension;\n"
-          "\t\t\texercises the reference's unused PdfValueQuad).")
+          "\t\t\texercises the reference's unused PdfValueQuad).\n"
+          "\t\t7:\tUV-textured sphere mesh (TPU extension; the\n"
+          "\t\t\ttextured-materials TODO as a benchable scene).")
     print("\td       - Enable depth of field via thin-lens approximation.")
     print("\tn       - Disable loading normal map textures.")
     print("\tm       - Disable loading metalness material textures.")

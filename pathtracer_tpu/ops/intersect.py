@@ -260,8 +260,17 @@ def _intersect_clustered_idx(clusters, test_idx, o: Vec3, d: Vec3, best: Hit,
 
 
 def _intersect_triangles_streamed(scene: Scene, o: Vec3, d: Vec3,
-                                  best: Hit) -> Hit:
+                                  best: Hit, want_uv: bool = False):
     """Streamed mesh tier: packet culling with DYNAMIC record reads.
+
+    ``want_uv`` (mesh-UV scenes): the carry additionally tracks the
+    winner's interpolated texcoord. Each record row's 9 tests also keep
+    row-local (winner slot, alpha, beta); when ANY lane improved in the
+    row, a real branch loads the PARALLEL uv row (Scene.mtri_uvpack,
+    clusters.pack_stream_uv) and selects the interpolated uv — so the
+    54-lane uv extraction is paid on winning rows only, not per visit.
+    Returns (hit, uvx, uvy, uv_ok) instead of a bare Hit. Resident tier
+    only (pallas_backend.supports() gates the DMA tier off mesh-UV).
 
     Meshes above the static-unroll budget (scene.tri_streamed,
     clusters.STREAM_MIN) loop a `lax.fori_loop` over clusters: the
@@ -287,6 +296,8 @@ def _intersect_triangles_streamed(scene: Scene, o: Vec3, d: Vec3,
     # kernel sets them — the XLA drivers read mtri_pack directly (XLA
     # manages residency itself).
     dma = scene.stream_scratch is not None
+    assert not (want_uv and dma), \
+        "mesh-UV streaming is resident-tier only (supports() gates DMA)"
 
     def _dma_copy(c, slot):
         from jax.experimental.pallas import tpu as pltpu
@@ -373,8 +384,14 @@ def _intersect_triangles_streamed(scene: Scene, o: Vec3, d: Vec3,
                     trow = row_bcast(scene.mtri_pack, c * rpc + r)
 
                 def test9(cc):
+                    t_r2, nx, ny, nz, mf = cc[:5]
+                    if want_uv:
+                        uvx, uvy = cc[5], cc[6]
+                        zero = t_r2 * 0.0
+                        # row-local winner slot + barycentrics (f32 slot
+                        # id: -1 = no winner in this row)
+                        jw, aw, bw = zero - 1.0, zero, zero
                     for jj in range(per):  # static 9-way unroll
-                        t_r2, nx, ny, nz, mf = cc
                         base = jj * F
                         f = lambda j, base=base: lane(trow, base + j)
                         n = Vec3(f(0), f(1), f(2))
@@ -389,12 +406,41 @@ def _intersect_triangles_streamed(scene: Scene, o: Vec3, d: Vec3,
                                   & ((alpha + beta) <= 1.0))
                         hit = valid & inside & (t > MIN_HIT_DISTANCE)
                         take = hit & (t < t_r2)
-                        cc = (jnp.where(take, t, t_r2),
-                              jnp.where(take, n.x, nx),
-                              jnp.where(take, n.y, ny),
-                              jnp.where(take, n.z, nz),
-                              jnp.where(take, f(12), mf))
-                    return cc
+                        t_r2 = jnp.where(take, t, t_r2)
+                        nx = jnp.where(take, n.x, nx)
+                        ny = jnp.where(take, n.y, ny)
+                        nz = jnp.where(take, n.z, nz)
+                        mf = jnp.where(take, f(12), mf)
+                        if want_uv:
+                            jw = jnp.where(take, jnp.float32(jj), jw)
+                            aw = jnp.where(take, alpha, aw)
+                            bw = jnp.where(take, beta, bw)
+                    if not want_uv:
+                        return (t_r2, nx, ny, nz, mf)
+
+                    def fetch_uv(uv):
+                        # load the PARALLEL uv row only when this record
+                        # row improved some lane (takes are rare: the
+                        # running min improves a handful of times per
+                        # block per bounce)
+                        ux, uy = uv
+                        uvrow = row_bcast(scene.mtri_uvpack, c * rpc + r)
+                        for jj in range(per):
+                            sel = jw == jnp.float32(jj)
+                            b6 = jj * 6
+                            nux = (lane(uvrow, b6 + 0)
+                                   + aw * lane(uvrow, b6 + 2)
+                                   + bw * lane(uvrow, b6 + 4))
+                            nuy = (lane(uvrow, b6 + 1)
+                                   + aw * lane(uvrow, b6 + 3)
+                                   + bw * lane(uvrow, b6 + 5))
+                            ux = jnp.where(sel, nux, ux)
+                            uy = jnp.where(sel, nuy, uy)
+                        return ux, uy
+
+                    uvx, uvy = jax.lax.cond(jnp.any(jw >= 0.0), fetch_uv,
+                                            lambda uv: uv, (uvx, uvy))
+                    return (t_r2, nx, ny, nz, mf, uvx, uvy)
 
                 if not scene.stream_row_cull:
                     return test9(cc)
@@ -426,6 +472,8 @@ def _intersect_triangles_streamed(scene: Scene, o: Vec3, d: Vec3,
     zero = o.x * 0.0
     mat_sentinel = zero - 1.0  # f32 mat carry; >= 0 marks a real winner
     init = (t_init, zero, zero, zero, mat_sentinel)
+    if want_uv:
+        init = init + (zero, zero)
     if scene.n_stream_parents > 0:
         # DYNAMIC parent level (DMA tier): parent AABBs are rows read by
         # dynamic index (same form as cluster bounds) and the (start,
@@ -469,13 +517,16 @@ def _intersect_triangles_streamed(scene: Scene, o: Vec3, d: Vec3,
                                      lambda cc: cc, carry)
     else:
         carry = run_range(0, scene.n_stream_clusters, init)
-    t_run, nx, ny, nz, mf = carry
+    t_run, nx, ny, nz, mf = carry[:5]
     found = mf >= 0.0
-    return Hit(
+    h = Hit(
         t_run,
         jnp.where(found, mf.astype(jnp.int32), best.mat),
         vwhere(found, Vec3(nx, ny, nz), best.normal),
     )
+    if want_uv:
+        return h, carry[5], carry[6], found
+    return h
 
 
 def _windowed_lut(tab: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
@@ -647,6 +698,29 @@ def intersect_planes(scene: Scene, o: Vec3, d: Vec3, best: Hit) -> Hit:
     return _scan_table(scene.n_planes, body, best)
 
 
+def _ctri_test_idx(scene: Scene, o: Vec3, d: Vec3):
+    """Per-triangle (t, hit) test over the clustered tables in
+    precomputed barycentric form (scene/clusters.py triangle_precompute):
+    no per-test normalize/cross, and every per-triangle quantity is a
+    baked scalar — the VPU does only the per-lane dots/compares. Same
+    geometry as ray_planar_triangle up to f32 rounding
+    (tests/test_clusters). Shared by the plain and mesh-UV clustered
+    kernel paths."""
+    def test_idx(i):
+        n = Vec3(scene.ctri_n.x[i], scene.ctri_n.y[i], scene.ctri_n.z[i])
+        e1 = Vec3(scene.ctri_e1.x[i], scene.ctri_e1.y[i], scene.ctri_e1.z[i])
+        e2 = Vec3(scene.ctri_e2.x[i], scene.ctri_e2.y[i], scene.ctri_e2.z[i])
+        denom = dot(n, d)
+        valid = (denom < -TOLERANCE) | (denom > TOLERANCE)
+        t = (scene.ctri_d[i] - dot(n, o)) / jnp.where(valid, denom, 1.0)
+        alpha = (dot(e1, o) - scene.ctri_a0[i]) + t * dot(e1, d)
+        beta = (dot(e2, o) - scene.ctri_b0[i]) + t * dot(e2, d)
+        inside = (alpha >= 0.0) & (beta >= 0.0) & ((alpha + beta) <= 1.0)
+        hit = valid & inside & (t > MIN_HIT_DISTANCE)
+        return t, hit
+    return test_idx
+
+
 def intersect_triangles_brute(scene: Scene, o: Vec3, d: Vec3, best: Hit) -> Hit:
     """Nearest hit over all triangles. Semantically identical to the octree
     traversal (win32_main.cpp:476-526): the octree only prunes work, never
@@ -657,23 +731,7 @@ def intersect_triangles_brute(scene: Scene, o: Vec3, d: Vec3, best: Hit) -> Hit:
         return _intersect_triangles_streamed(scene, o, d, best)
 
     if scene.tri_clusters and _tracing_pallas_kernel:
-        def test_idx(i):
-            # precomputed barycentric form (scene/clusters.py
-            # triangle_precompute): no per-test normalize/cross, and every
-            # per-triangle quantity is a baked scalar — the VPU does only
-            # the per-lane dots/compares. Same geometry as
-            # ray_planar_triangle up to f32 rounding (tests/test_clusters).
-            n = Vec3(scene.ctri_n.x[i], scene.ctri_n.y[i], scene.ctri_n.z[i])
-            e1 = Vec3(scene.ctri_e1.x[i], scene.ctri_e1.y[i], scene.ctri_e1.z[i])
-            e2 = Vec3(scene.ctri_e2.x[i], scene.ctri_e2.y[i], scene.ctri_e2.z[i])
-            denom = dot(n, d)
-            valid = (denom < -TOLERANCE) | (denom > TOLERANCE)
-            t = (scene.ctri_d[i] - dot(n, o)) / jnp.where(valid, denom, 1.0)
-            alpha = (dot(e1, o) - scene.ctri_a0[i]) + t * dot(e1, d)
-            beta = (dot(e2, o) - scene.ctri_b0[i]) + t * dot(e2, d)
-            inside = (alpha >= 0.0) & (beta >= 0.0) & ((alpha + beta) <= 1.0)
-            hit = valid & inside & (t > MIN_HIT_DISTANCE)
-            return t, hit
+        test_idx = _ctri_test_idx(scene, o, d)
 
         def resolve(t, idx, found, prior):
             n = Vec3(_windowed_lut(scene.ctri_n.x, idx),
@@ -800,6 +858,57 @@ def _intersect_triangles_brute_uv(scene: Scene, o: Vec3, d: Vec3, best: Hit):
     return _scan_table_chunked(scene.n_tris, tables, body, init)
 
 
+def _intersect_triangles_clustered_uv(scene: Scene, o: Vec3, d: Vec3,
+                                      best: Hit):
+    """Packet-culled triangle pass for mesh-UV scenes (kernel only):
+    carries (t, winner index) exactly like intersect_triangles_brute's
+    clustered path — the hot loop is untouched — and the once-per-bounce
+    resolve ADDITIONALLY reconstructs the winner's texcoord: alpha/beta
+    recompute from the windowed-LUT'd covectors with the SAME f32
+    expression the in-loop test used (bit-equal by construction), then
+    six more lane-LUTs interpolate the cluster-ordered uv tables
+    (Scene.ctri_uv*). Geometry matches ray_planar_triangle up to f32
+    rounding (the precomputed-form class, tests/test_clusters.py).
+    Returns (hit, uvx, uvy, uv_ok)."""
+    out = {}
+    test_idx = _ctri_test_idx(scene, o, d)
+
+    def resolve(t, idx, found, prior):
+        e1 = Vec3(_windowed_lut(scene.ctri_e1.x, idx),
+                  _windowed_lut(scene.ctri_e1.y, idx),
+                  _windowed_lut(scene.ctri_e1.z, idx))
+        e2 = Vec3(_windowed_lut(scene.ctri_e2.x, idx),
+                  _windowed_lut(scene.ctri_e2.y, idx),
+                  _windowed_lut(scene.ctri_e2.z, idx))
+        alpha = (dot(e1, o) - _windowed_lut(scene.ctri_a0, idx)) \
+            + t * dot(e1, d)
+        beta = (dot(e2, o) - _windowed_lut(scene.ctri_b0, idx)) \
+            + t * dot(e2, d)
+        uvx = (_windowed_lut(scene.ctri_uv0u, idx)
+               + alpha * _windowed_lut(scene.ctri_uvdu1, idx)
+               + beta * _windowed_lut(scene.ctri_uvdu2, idx))
+        uvy = (_windowed_lut(scene.ctri_uv0v, idx)
+               + alpha * _windowed_lut(scene.ctri_uvdv1, idx)
+               + beta * _windowed_lut(scene.ctri_uvdv2, idx))
+        # resolve runs once at trace time; stash the extra outputs for
+        # the caller (the _intersect_clustered_idx contract returns Hit)
+        out["uv"] = (jnp.where(found, uvx, 0.0),
+                     jnp.where(found, uvy, 0.0), found)
+        n = Vec3(_windowed_lut(scene.ctri_n.x, idx),
+                 _windowed_lut(scene.ctri_n.y, idx),
+                 _windowed_lut(scene.ctri_n.z, idx))
+        return Hit(
+            t,
+            jnp.where(found, _windowed_lut(scene.ctri_mat, idx), prior.mat),
+            vwhere(found, n, prior.normal),
+        )
+
+    h = _intersect_clustered_idx(scene.tri_clusters, test_idx, o, d, best,
+                                 resolve)
+    uvx, uvy, uv_ok = out["uv"]
+    return h, uvx, uvy, uv_ok
+
+
 def intersect_scene_uv(scene: Scene, o: Vec3, d: Vec3):
     """intersect_scene for mesh-UV scenes (scene.has_mesh_uvs): returns
     (hit, uvx, uvy, uv_ok) where (uvx, uvy) is the per-vertex-interpolated
@@ -822,5 +931,12 @@ def intersect_scene_uv(scene: Scene, o: Vec3, d: Vec3):
     best = intersect_spheres(scene, o, d, best)
     best = intersect_quads(scene, o, d, best)
     best = intersect_planes(scene, o, d, best)
+    if _tracing_pallas_kernel and scene.tri_streamed:
+        # streamed tier with UV rows (clusters.pack_stream_uv); the DMA
+        # tier is gated off mesh-UV kernels in pallas_backend.supports()
+        return _intersect_triangles_streamed(scene, o, d, best,
+                                             want_uv=True)
+    if _tracing_pallas_kernel and scene.tri_clusters:
+        return _intersect_triangles_clustered_uv(scene, o, d, best)
     best, uvx, uvy, took = _intersect_triangles_brute_uv(scene, o, d, best)
     return best, uvx, uvy, took != 0

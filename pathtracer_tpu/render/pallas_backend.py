@@ -113,15 +113,16 @@ def supports(scene: Scene, config: RenderConfig) -> bool:
         and config.debug_kind in (REGULAR, VARIANCE)
         and not config.just_importance
         # mesh-UV textured scenes: the UV interpolation rides the triangle
-        # loop itself (no per-lane gathers, ops/intersect
-        # _intersect_triangles_brute_uv) and the texel fetch is the
-        # windowed iteration over the tiled stack (Scene.tex_uvtile) — but
-        # the UV triangle loop must fully UNROLL (its chunked fallback
-        # dynamic-slices the LANE axis, which Mosaic cannot), so only up
-        # to the static budget; larger UV meshes stay on the XLA drivers
+        # loops themselves (no per-lane gathers — brute select-at-take,
+        # clustered deferred resolve, streamed parallel uv rows) and the
+        # texel fetch is the windowed iteration over the tiled stack
+        # (Scene.tex_uvtile). Covered up to the RESIDENT streamed tier;
+        # the DMA tier (> clusters.STREAM_MAX tris) would need a second
+        # double-buffer pipeline for the uv rows — XLA drivers for now
         and (not scene.has_mesh_uvs
              or (scene.tex_uv_tiled
-                 and scene.n_tris <= _UNROLL_MAX_KERNEL))
+                 and (scene.n_tris <= _UNROLL_MAX_KERNEL
+                      or (scene.tri_streamed and not scene.tri_dma))))
         # bump maps use the generic per-lane texture gather (no Mosaic
         # lowering); the canonical combined set has no height plane anyway
         and not scene.any_bump
@@ -432,14 +433,17 @@ def render_chunk_pallas(
         # ((K, Hmax, Wmax) words) is dead VMEM weight
         scene = scene.replace(tex_packed=jnp.zeros((1,), jnp.int32))
     if scene.tri_streamed:
-        # the streamed tier reads only mtri_bounds/mtri_pack; the brute
-        # triangle tables are dead weight in the kernel (~4 MB VMEM at
-        # 100k tris) — the XLA drivers keep using the ORIGINAL scene
+        # the streamed tier reads only mtri_bounds/mtri_pack(/uvpack);
+        # the brute triangle tables are dead weight in the kernel (~4 MB
+        # VMEM at 100k tris) — the XLA drivers keep the ORIGINAL scene
         zv = Vec3(jnp.zeros((1,)), jnp.zeros((1,)), jnp.zeros((1,)))
+        z1 = jnp.zeros((1,), jnp.float32)
         scene = scene.replace(
             tri_a=zv, tri_u=zv, tri_v=zv,
             tri_mat=jnp.zeros((1,), jnp.int32),
             tri_mask=jnp.zeros((1,), bool),
+            tri_uv0u=z1, tri_uv0v=z1, tri_uvdu1=z1,
+            tri_uvdv1=z1, tri_uvdu2=z1, tri_uvdv2=z1,
         )
     scene_leaves, scene_def = jax.tree_util.tree_flatten(scene)
     # tex_tile (and the streamed-mesh tables) stay REFS inside the kernel
@@ -459,7 +463,8 @@ def render_chunk_pallas(
     if scene.tri_streamed:
         ref_slots |= {i for i, l in enumerate(scene_leaves)
                       if l is scene.mtri_bounds or l is scene.mtri_pack
-                      or l is scene.mtri_parents or l is scene.mtri_prange}
+                      or l is scene.mtri_parents or l is scene.mtri_prange
+                      or (scene.has_mesh_uvs and l is scene.mtri_uvpack)}
         pack_idx = next(i for i, l in enumerate(scene_leaves)
                         if l is scene.mtri_pack)
         prange_idx = next(i for i, l in enumerate(scene_leaves)

@@ -395,6 +395,24 @@ def pack_stream_clusters(pre: dict, mats: np.ndarray,
     return np.stack(bounds), pack, flat
 
 
+def pack_stream_uv(uvt: np.ndarray, clusters: tuple, leaf: int):
+    """UV rows PARALLEL to pack_stream_clusters' record rows (mesh-UV
+    streamed scenes): row c*rpc + r carries the 6 texel-space uv fields
+    (u0 v0 du1 dv1 du2 dv2) of the SAME 9 triangles at lane base jj*6
+    (lanes 54-127 zero). The kernel loads a UV row only when its record
+    row improved the running hit, so the extraction tax is paid on
+    winning rows alone (ops/intersect streamed branch, want_uv).
+    ``uvt`` is the (T, 6) per-triangle uv table in cluster order."""
+    per = STREAM_TRIS_PER_ROW
+    rpc = stream_rows_per_cluster(leaf)
+    rows = np.zeros((len(clusters) * rpc, 128), np.float32)
+    for ci, (off, cnt, _, _) in enumerate(clusters):
+        block = np.zeros((rpc * per, 6), np.float32)
+        block[:cnt] = uvt[off:off + cnt]
+        rows[ci * rpc:(ci + 1) * rpc, : per * 6] = block.reshape(rpc, per * 6)
+    return rows
+
+
 def sphere_bounds(centers: np.ndarray, radii: np.ndarray):
     """Per-sphere AABBs from (N,3) centers and (N,) radii."""
     c = np.asarray(centers, np.float64)

@@ -54,7 +54,12 @@ WORLD_MARIO = 4
 # scene the reference's dead PdfValueQuad (win32_main.cpp:301-322) was
 # written for. Exercises the quad-light NEE mixture (Scene.quad_light).
 WORLD_CORNELL_QUAD = 5
-WORLD_KIND_COUNT = 6
+# Our seventh world (-w7): a procedurally UV-mapped sphere mesh with a
+# generated pow2 texture — the mesh-UV textured-materials path (the
+# reference's "load materials with textures" TODO realized) end-to-end
+# through the streamed kernel tier, asset-free and deterministic.
+WORLD_MESH_UV = 6
+WORLD_KIND_COUNT = 7
 
 
 def _pad(n: int, multiple: int = 16) -> int:
@@ -147,6 +152,16 @@ class Scene:
     ctri_a0: jnp.ndarray
     ctri_b0: jnp.ndarray
     ctri_mat: jnp.ndarray
+    # Cluster-ordered twins of the tri_uv* tables (mesh-UV scenes with
+    # clusters): the kernel's clustered/deferred triangle path resolves
+    # the winner's UV by windowed lane-LUT over these. (1,) dummies
+    # otherwise (streamed scenes resolve from mtri_uvpack instead).
+    ctri_uv0u: jnp.ndarray
+    ctri_uv0v: jnp.ndarray
+    ctri_uvdu1: jnp.ndarray
+    ctri_uvdv1: jnp.ndarray
+    ctri_uvdu2: jnp.ndarray
+    ctri_uvdv2: jnp.ndarray
 
     # --- streamed mesh tier (ntri > clusters.STREAM_MIN) ------------------
     # Meshes too large to statically unroll in the kernel: per-cluster
@@ -157,6 +172,11 @@ class Scene:
     # pack_stream_clusters and ops/intersect streamed branch.
     mtri_bounds: jnp.ndarray      # (n_clusters, 128) f32: mn3 mx3 pad
     mtri_pack: jnp.ndarray        # (n_rows, 128) f32: 9 tris x 13 fields
+    # Mesh-UV streamed scenes: UV rows PARALLEL to mtri_pack (row
+    # c*rpc + r carries the 6 uv fields of the same 9 triangles at lane
+    # base jj*6), loaded only when a row improved the running hit
+    # (clusters.pack_stream_uv). (1, 128) dummy otherwise.
+    mtri_uvpack: jnp.ndarray
     # DMA-tier dynamic parent tables (clusters.pack_parents): parent AABBs
     # as rows (VMEM) + (start, count) cluster ranges as int32 scalars
     # (SMEM in the kernel). The resident tier keeps parents as STATIC
@@ -532,8 +552,10 @@ class WorldBuilder:
         ctri = {k: np.zeros((1, 3) if k in ("n", "e1", "e2") else (1,), f32)
                 for k in ("n", "d", "e1", "e2", "a0", "b0")}
         ctri_m = np.zeros((1,), i32)
+        ctri_uvt = np.zeros((1, 6), f32)
         mtri_bounds = np.zeros((1, 128), f32)
         mtri_pack = np.zeros((1, 128), f32)
+        mtri_uvpack = np.zeros((1, 128), f32)
         mtri_parents = np.zeros((1, 128), f32)
         mtri_prange = np.zeros((1, 2), i32)
         tri_streamed = False
@@ -548,6 +570,8 @@ class WorldBuilder:
             ctri = clu.triangle_precompute(
                 tri_a[:ntri][order], tri_u[:ntri][order], tri_v[:ntri][order])
             ctri_m = tri_m[:ntri][order]
+            if has_mesh_uvs:
+                ctri_uvt = tri_uvt[:ntri][order]
             if clu.STREAM_MIN < ntri <= clu.DMA_MAX:
                 # streamed tier: dynamic row reads instead of a static
                 # unroll; resolve tables switch to the cluster-padded
@@ -563,6 +587,10 @@ class WorldBuilder:
                 mtri_bounds, mtri_pack, flat = clu.pack_stream_clusters(
                     ctri, ctri_m, tri_clusters, stream_leaf,
                     tri_bounds=(bmn[order], bmx[order]))
+                if has_mesh_uvs:
+                    mtri_uvpack = clu.pack_stream_uv(
+                        ctri_uvt, tri_clusters, stream_leaf)
+                    ctri_uvt = np.zeros((1, 6), f32)
                 n_stream_clusters = len(tri_clusters)
                 tri_streamed = True
                 # DMA tier: pack rows leave VMEM above STREAM_MAX (HBM +
@@ -594,6 +622,10 @@ class WorldBuilder:
                      np.zeros((pad,) + np.asarray(v).shape[1:], f32)])
                     for k, v in ctri.items()}
                 ctri_m = np.concatenate([ctri_m, np.zeros((pad,), i32)])
+            uvpad = -len(ctri_uvt) % 128
+            if uvpad:
+                ctri_uvt = np.concatenate(
+                    [ctri_uvt, np.zeros((uvpad, 6), f32)])
 
         # textures: pad to common max extent (mip 0 only on device),
         # packed RGB8 per texel (values are 8-bit-grid floats, textures.py)
@@ -797,6 +829,12 @@ class WorldBuilder:
             ctri_a0=jnp.asarray(ctri["a0"]),
             ctri_b0=jnp.asarray(ctri["b0"]),
             ctri_mat=jnp.asarray(ctri_m),
+            ctri_uv0u=jnp.asarray(ctri_uvt[:, 0]),
+            ctri_uv0v=jnp.asarray(ctri_uvt[:, 1]),
+            ctri_uvdu1=jnp.asarray(ctri_uvt[:, 2]),
+            ctri_uvdv1=jnp.asarray(ctri_uvt[:, 3]),
+            ctri_uvdu2=jnp.asarray(ctri_uvt[:, 4]),
+            ctri_uvdv2=jnp.asarray(ctri_uvt[:, 5]),
             tri_uv0u=jnp.asarray(tri_uvt[:, 0]),
             tri_uv0v=jnp.asarray(tri_uvt[:, 1]),
             tri_uvdu1=jnp.asarray(tri_uvt[:, 2]),
@@ -806,6 +844,7 @@ class WorldBuilder:
             has_mesh_uvs=has_mesh_uvs,
             mtri_bounds=jnp.asarray(mtri_bounds),
             mtri_pack=jnp.asarray(mtri_pack),
+            mtri_uvpack=jnp.asarray(mtri_uvpack),
             mtri_parents=jnp.asarray(mtri_parents),
             mtri_prange=jnp.asarray(mtri_prange),
             tri_streamed=tri_streamed,

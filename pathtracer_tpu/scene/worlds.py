@@ -19,7 +19,7 @@ from .schema import (
     Scene, WorldBuilder,
     WORLD_DEFAULT, WORLD_BRDF_TEST, WORLD_CORNELL_BOX,
     WORLD_RAYTRACING_ONE_WEEKEND, WORLD_MARIO, WORLD_CORNELL_QUAD,
-    WORLD_KIND_COUNT,
+    WORLD_MESH_UV, WORLD_KIND_COUNT,
 )
 from . import textures as tex_mod
 
@@ -51,6 +51,52 @@ def _add_sun(b: WorldBuilder):
 def _ground_plane(b: WorldBuilder, mat: int):
     """MakeGroundPlane (win32_main.cpp:2069-2074): n=(0,0,1), d=0."""
     b.add_plane((0.0, 0.0, 1.0), 0.0, mat)
+
+
+def _uv_sphere_mesh(center, radius, n_seg: int = 32, n_ring: int = 24):
+    """Deterministic UV-sphere triangle soup with per-vertex [0,1]^2
+    texcoords (longitude, colatitude). Pole rows emit single triangles
+    (the collapsed quad edge would make degenerate records). 1472 tris
+    at the default resolution — above clusters.STREAM_MIN, so world 7
+    exercises the streamed kernel tier with UV rows."""
+    cs = np.asarray(center, np.float32)
+    th = np.linspace(0.0, np.pi, n_ring + 1)
+    ph = np.linspace(0.0, 2.0 * np.pi, n_seg + 1)
+    T, P = np.meshgrid(th, ph, indexing="ij")
+    V = (np.stack([np.sin(T) * np.cos(P), np.sin(T) * np.sin(P),
+                   np.cos(T)], -1) * radius + cs).astype(np.float32)
+    UV = np.stack([P / (2.0 * np.pi), T / np.pi], -1).astype(np.float32)
+    pts, uvs = [], []
+    for i in range(n_ring):
+        for j in range(n_seg):
+            quad = [(i, j), (i, j + 1), (i + 1, j + 1), (i + 1, j)]
+            a, bq, c, dq = quad
+            # winding chosen so cross(B-A, C-A) points radially OUTWARD:
+            # the estimator kills back-face hits (NdotV <= 0,
+            # win32_main.cpp:600-606), so inward normals render black
+            if i > 0:  # top pole row: a == b
+                for k in (a, c, bq):
+                    pts.append(V[k])
+                    uvs.append(UV[k])
+            if i < n_ring - 1:  # bottom pole row: c == d
+                for k in (a, dq, c):
+                    pts.append(V[k])
+                    uvs.append(UV[k])
+    return np.asarray(pts, np.float32), np.asarray(uvs, np.float32)
+
+
+def _mesh_uv_demo_texture(n: int = 64):
+    """Procedural pow2 texture on the 8-bit grid (schema packs RGB8; the
+    oracle bit-matches only 8-bit-grid texels, textures.quantize8 class):
+    a checker with color gradients so both tiling and interpolation are
+    visible."""
+    yy, xx = (np.indices((n, n)).astype(np.float32) + 0.5) / n
+    checker = ((xx * 8).astype(np.int32) + (yy * 8).astype(np.int32)) % 2
+    r = 0.2 + 0.6 * checker
+    g = 0.25 + 0.6 * yy
+    bch = 0.85 - 0.55 * xx
+    t = np.stack([r, g, bch], -1).astype(np.float32)
+    return (np.round(t * 255.0) / 255.0).astype(np.float32)
 
 
 def build_world(
@@ -196,6 +242,30 @@ def build_world(
         cam.target = (0.0, 0.0, 1.0)
         cam.pos = (-5.0, -5.0, 1.0)
         cam.fov = 30.0
+
+    elif kind == WORLD_MESH_UV:
+        # Our seventh world (-w7, beyond the reference's five): the
+        # mesh-UV textured-materials path (the reference's "load
+        # materials with textures" TODO, win32_main.cpp:172) as a
+        # first-class benchable scene — a procedurally UV-mapped sphere
+        # mesh (1472 tris: the streamed kernel tier with parallel UV
+        # rows) wearing a generated pow2 checker, on the reference
+        # ground plane, lit by an emissive sphere (spheres[0] = the NEE
+        # target, :683). Asset-free and deterministic so goldens,
+        # bench --world 7 and bench --verify can all cover it.
+        _add_sky(b, (0.35, 0.45, 0.6))
+        light = b.add_material(albedo=(0, 0, 0), emit=(10.0, 9.5, 9.0))
+        b.add_sphere((5.0, -4.0, 7.0), 1.2, light)
+        mt = b.add_material(albedo=(1.0, 1.0, 1.0), roughness=0.55,
+                            albedo_idx=b.add_texture(_mesh_uv_demo_texture()))
+        pts, uvs = _uv_sphere_mesh((0.0, 0.0, 1.4), 1.4)
+        b.set_mesh(pts, np.full((len(pts),), mt, np.int32), uvs=uvs)
+        floor = b.add_material(albedo=(0.55, 0.5, 0.45), roughness=0.9)
+        _ground_plane(b, floor)
+
+        cam.pos = (0.0, -7.0, 2.2)
+        cam.target = (0.0, 0.0, 1.3)
+        cam.fov = 32.0
 
     elif kind == WORLD_RAYTRACING_ONE_WEEKEND:
         # win32_main.cpp:1960-2035 — RTIOW book cover.

@@ -70,6 +70,13 @@ class TestGolden:
         # win32_main.cpp:301-322 — defined there, never called)
         assert _compare(WORLD_CORNELL_QUAD, 24, 16, 2) < 1e-4
 
+    def test_world_mesh_uv(self):
+        # -w7: UV-textured sphere mesh (1472 tris, streamed tier on the
+        # kernel; brute UV loop here on the XLA driver) vs the oracle.
+        # textured: texel selection amplifies 1-ulp diffs into flips.
+        from pathtracer_tpu.scene.schema import WORLD_MESH_UV
+        assert _compare(WORLD_MESH_UV, 16, 12, 2, textured=True) < 5e-3
+
     def test_world_rtiow_thin_lens(self):
         # ~500 spheres, thin-lens DoF, cosine-only (config 4); silhouette
         # boundary flips put it under the robust gate

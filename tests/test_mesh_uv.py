@@ -370,3 +370,114 @@ class TestGltfTextured:
             img, _, _ = render_image(scene, cam, cfg)
             imgs.append(np.asarray(img))
         np.testing.assert_allclose(imgs[0], imgs[1], atol=2e-7)
+
+
+def _uv_mesh_builder(n, seed=7, tex_size=16):
+    """Random n-triangle mesh with per-vertex UVs + a pow2 texture."""
+    rng = np.random.RandomState(seed)
+    b = WorldBuilder()
+    b.add_material(emit=(0.3, 0.35, 0.45))
+    light = b.add_material(emit=(6.0, 5.5, 5.0))
+    b.add_sphere((6, -5, 9), 1.2, light)
+    tex = (np.round(rng.rand(tex_size, tex_size, 3) * 255) / 255
+           ).astype(np.float32)
+    m = b.add_material(albedo=(0.9, 0.85, 0.8), roughness=0.8,
+                       albedo_idx=b.add_texture(tex))
+    base = (rng.rand(n, 1, 3) - 0.5) * 16.0
+    tris = base + (rng.rand(n, 3, 3) - 0.5) * 1.0
+    uvs = rng.rand(n * 3, 2).astype(np.float32) * 2.0
+    b.set_mesh(tris.reshape(-1, 3).astype(np.float32),
+               np.full((3 * n,), m, np.int32), uvs=uvs)
+    return b
+
+
+def _kernel_rays(rng, n=1024):
+    from pathtracer_tpu.utils.vec import Vec3
+    import jax.numpy as jnp
+    o1 = [(rng.rand(n) - 0.5) * 24.0 for _ in range(3)]
+    d_np = rng.randn(3, n).astype(np.float32)
+    d_np /= np.linalg.norm(d_np, axis=0, keepdims=True)
+    rs = lambda a: jnp.asarray(np.asarray(a, np.float32).reshape(8, 128))
+    return (Vec3(*(rs(x) for x in o1)), Vec3(*(rs(x) for x in d_np)))
+
+
+class TestMeshUVKernelTiers:
+    """The clustered (deferred-resolve) and streamed (parallel uv rows)
+    kernel triangle tiers must agree with the brute UV loop: same winners
+    (up to the precomputed-barycentric-form f32 rounding class that the
+    non-UV cluster tests already accept) and matching interpolated UVs."""
+
+    def _compare_tiers(self, scene):
+        from pathtracer_tpu.ops import intersect as isect
+        import jax.numpy as jnp
+        from pathtracer_tpu.utils.vec import Vec3
+        rng = np.random.RandomState(11)
+        o, d = _kernel_rays(rng)
+        isect._tracing_pallas_kernel = True
+        try:
+            hk, uk_x, uk_y, ok_k = isect.intersect_scene_uv(scene, o, d)
+        finally:
+            isect._tracing_pallas_kernel = False
+        hb, ub_x, ub_y, ok_b = isect.intersect_scene_uv(scene, o, d)
+        t_k, t_b = np.asarray(hk.t), np.asarray(hb.t)
+        # same winner for (almost) all lanes: the t values may differ by
+        # ulps between the two triangle-test forms
+        close = np.isclose(t_k, t_b, rtol=1e-4, atol=1e-5)
+        assert close.mean() > 0.999, float(close.mean())
+        assert (np.asarray(ok_k) == np.asarray(ok_b))[close].all()
+        sel = close & np.asarray(ok_b)
+        assert sel.any()
+        du = np.abs(np.asarray(uk_x) - np.asarray(ub_x))[sel]
+        dv = np.abs(np.asarray(uk_y) - np.asarray(ub_y))[sel]
+        # uv in texel units (<= 2*16 here); 1e-2 texels ~ f32 rounding of
+        # the two barycentric forms
+        assert np.median(du) < 1e-3 and np.median(dv) < 1e-3
+        assert (du < 3e-2).mean() > 0.999 and (dv < 3e-2).mean() > 0.999
+
+    def test_clustered_tier_matches_brute(self):
+        scene = _uv_mesh_builder(200).finalize()
+        assert scene.tri_clusters and not scene.tri_streamed
+        assert scene.ctri_uv0u.shape[0] >= 200
+        self._compare_tiers(scene)
+
+    def test_streamed_tier_matches_brute(self):
+        scene = _uv_mesh_builder(1500).finalize()
+        assert scene.tri_streamed
+        assert scene.mtri_uvpack.shape == scene.mtri_pack.shape
+        self._compare_tiers(scene)
+
+    def test_streamed_supports_and_dma_gates(self):
+        from pathtracer_tpu.render.pallas_backend import supports
+        cfg = RenderConfig(width=8, height=8, pp=1)
+        scene = _uv_mesh_builder(1500).finalize()
+        assert scene.tex_uv_tiled and supports(scene, cfg)
+        import os
+        os.environ["PT_STREAM_DMA"] = "1"
+        try:
+            dma_scene = _uv_mesh_builder(1500).finalize()
+        finally:
+            del os.environ["PT_STREAM_DMA"]
+        assert dma_scene.tri_dma and not supports(dma_scene, cfg)
+
+    def test_streamed_uv_render_matches_oracle(self):
+        """End-to-end: a 1500-tri UV-textured mesh through the
+        interpret-mode kernel (streamed records + parallel uv rows +
+        windowed texel fetch) vs the scalar oracle."""
+        from pathtracer_tpu.render.renderer import (
+            RenderConfig as RC, init_accum, render_chunk, resolve)
+        from pathtracer_tpu.scene.camera import define_camera
+        from pathtracer_tpu.utils import prng
+        b = _uv_mesh_builder(1500)
+        scene = b.finalize()
+        assert scene.tri_streamed and scene.tex_uv_tiled
+        w, h, pp = 16, 8, 2
+        cam = define_camera((0, -24, 2), (0, 0, 0), 35.0, w, h)
+        cfg = RC(width=w, height=h, pp=pp, seed=2,
+                 backend="pallas-interpret")
+        st = render_chunk(scene, cam, cfg, prng.base_key(2), np.int32(0),
+                          cfg.spp, init_accum(w * h))
+        img = np.asarray(resolve(st, cfg))
+        oracle = render_oracle(b, cam, w, h, pp, seed=2, world_kind=0)
+        dmax = np.abs(img - oracle).max(axis=-1)
+        assert np.median(dmax) < 1e-4, float(np.median(dmax))
+        assert (dmax > 1e-2).mean() < 0.05, float((dmax > 1e-2).mean())
