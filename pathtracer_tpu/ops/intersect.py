@@ -269,8 +269,11 @@ def _intersect_triangles_streamed(scene: Scene, o: Vec3, d: Vec3,
     row, a real branch loads the PARALLEL uv row (Scene.mtri_uvpack,
     clusters.pack_stream_uv) and selects the interpolated uv — so the
     54-lane uv extraction is paid on winning rows only, not per visit.
-    Returns (hit, uvx, uvy, uv_ok) instead of a bare Hit. Resident tier
-    only (pallas_backend.supports() gates the DMA tier off mesh-UV).
+    Returns (hit, uvx, uvy, uv_ok) instead of a bare Hit. In DMA mode
+    the uv rows ride their OWN double-buffered scratch + semaphore pair
+    (stream_uv_scratch/stream_uv_sem): copies start and wait alongside
+    the record copies (a wait inside the rare uv branch would unbalance
+    the semaphore), and only the rare branch's row read touches them.
 
     Meshes above the static-unroll budget (scene.tri_streamed,
     clusters.STREAM_MIN) loop a `lax.fori_loop` over clusters: the
@@ -296,8 +299,7 @@ def _intersect_triangles_streamed(scene: Scene, o: Vec3, d: Vec3,
     # kernel sets them — the XLA drivers read mtri_pack directly (XLA
     # manages residency itself).
     dma = scene.stream_scratch is not None
-    assert not (want_uv and dma), \
-        "mesh-UV streaming is resident-tier only (supports() gates DMA)"
+    dma_uv = want_uv and dma
 
     def _dma_copy(c, slot):
         from jax.experimental.pallas import tpu as pltpu
@@ -305,6 +307,13 @@ def _intersect_triangles_streamed(scene: Scene, o: Vec3, d: Vec3,
             scene.mtri_pack.at[pl.ds(c * rpc, rpc), :],
             scene.stream_scratch.at[pl.ds(slot * rpc, rpc), :],
             scene.stream_sem.at[slot])
+
+    def _dma_copy_uv(c, slot):
+        from jax.experimental.pallas import tpu as pltpu
+        return pltpu.make_async_copy(
+            scene.mtri_uvpack.at[pl.ds(c * rpc, rpc), :],
+            scene.stream_uv_scratch.at[pl.ds(slot * rpc, rpc), :],
+            scene.stream_uv_sem.at[slot])
 
     def row_bcast(tab, i):
         # refs (compiled OR interpret kernels) slide the sublane axis with
@@ -362,10 +371,14 @@ def _intersect_triangles_streamed(scene: Scene, o: Vec3, d: Vec3,
                 # slab-test + record-extraction cost.
                 slot = jax.lax.rem(c, 2)
                 _dma_copy(c, slot).wait()
+                if dma_uv:
+                    _dma_copy_uv(c, slot).wait()
 
                 @pl.when(c + 1 < hi)
                 def _prefetch():
                     _dma_copy(c + 1, 1 - slot).start()
+                    if dma_uv:
+                        _dma_copy_uv(c + 1, 1 - slot).start()
             brow = row_bcast(scene.mtri_bounds, c)
             relevant = row_slab_relevant(brow, t_r)
 
@@ -424,7 +437,11 @@ def _intersect_triangles_streamed(scene: Scene, o: Vec3, d: Vec3,
                         # running min improves a handful of times per
                         # block per bounce)
                         ux, uy = uv
-                        uvrow = row_bcast(scene.mtri_uvpack, c * rpc + r)
+                        if dma_uv:
+                            uvrow = row_bcast(scene.stream_uv_scratch,
+                                              slot * rpc + r)
+                        else:
+                            uvrow = row_bcast(scene.mtri_uvpack, c * rpc + r)
                         for jj in range(per):
                             sel = jw == jnp.float32(jj)
                             b6 = jj * 6
@@ -467,6 +484,8 @@ def _intersect_triangles_streamed(scene: Scene, o: Vec3, d: Vec3,
         # mode, seed the pipeline: first cluster's rows -> its parity slot.
         if dma:
             _dma_copy(lo, lo % 2).start()
+            if dma_uv:
+                _dma_copy_uv(lo, lo % 2).start()
         return jax.lax.fori_loop(lo, hi, make_cluster_body(hi), carry)
 
     zero = o.x * 0.0

@@ -259,11 +259,7 @@ def bespoke_sample_combined_windowed(scene: Scene, tab_ref, u, v, needs,
     pure-numpy reference on chip. The interpret-mode world-1 equivalence
     test therefore gates at a tolerance instead of bit equality.
     """
-    import jax
-    from jax.experimental import pallas as pl
-
     shape = u.shape
-    n_rows = int(tab_ref.shape[0])
     if lod is None:
         tiles_x = scene.tex_tiles_x
         x1, y1, x2, y2, s, t = _combined_coords(scene, u, v)
@@ -279,6 +275,7 @@ def bespoke_sample_combined_windowed(scene: Scene, tab_ref, u, v, needs,
 
         def tile_of(y, x):
             return row_off + (y >> 3) * tiles_x_l + (x >> 3)
+
     def off_of(y, x):
         return (((y & 7) << 3) | (x & 7)) << 1
 

@@ -114,15 +114,14 @@ def supports(scene: Scene, config: RenderConfig) -> bool:
         and not config.just_importance
         # mesh-UV textured scenes: the UV interpolation rides the triangle
         # loops themselves (no per-lane gathers — brute select-at-take,
-        # clustered deferred resolve, streamed parallel uv rows) and the
-        # texel fetch is the windowed iteration over the tiled stack
-        # (Scene.tex_uvtile). Covered up to the RESIDENT streamed tier;
-        # the DMA tier (> clusters.STREAM_MAX tris) would need a second
-        # double-buffer pipeline for the uv rows — XLA drivers for now
+        # clustered deferred resolve, streamed parallel uv rows; in DMA
+        # mode the uv rows double-buffer through their own scratch) and
+        # the texel fetch is the windowed iteration over the tiled stack
+        # (Scene.tex_uvtile) — all tiers covered up to clusters.DMA_MAX
         and (not scene.has_mesh_uvs
              or (scene.tex_uv_tiled
                  and (scene.n_tris <= _UNROLL_MAX_KERNEL
-                      or (scene.tri_streamed and not scene.tri_dma))))
+                      or scene.tri_streamed)))
         # bump maps use the generic per-lane texture gather (no Mosaic
         # lowering); the canonical combined set has no height plane anyway
         and not scene.any_bump
@@ -473,6 +472,12 @@ def render_chunk_pallas(
     # double-buffers each cluster's rows into a 2-slot VMEM scratch
     # (ops/intersect._intersect_triangles_streamed, dma branch).
     dma_mode = bool(scene.tri_streamed and scene.tri_dma)
+    uvpack_idx = None
+    if dma_mode and scene.has_mesh_uvs:
+        # the uv rows are as large as the pack rows — they stay in HBM
+        # too, with their own double-buffer scratch
+        uvpack_idx = next(i for i, l in enumerate(scene_leaves)
+                          if l is scene.mtri_uvpack)
     sk = jnp.asarray(key, jnp.uint32).reshape(1, 1)
 
     from ..ops import intersect as _intersect_mod
@@ -489,9 +494,12 @@ def render_chunk_pallas(
             scene_local = jax.tree_util.tree_unflatten(scene_def, vals)
             if dma_mode:
                 # scratch refs trail the outputs in the kernel signature
-                scratch_ref, sem_ref = refs[len(scene_leaves) + 9:]
+                tail = refs[len(scene_leaves) + 9:]
                 scene_local = scene_local.replace(
-                    stream_scratch=scratch_ref, stream_sem=sem_ref)
+                    stream_scratch=tail[0], stream_sem=tail[1])
+                if uvpack_idx is not None:
+                    scene_local = scene_local.replace(
+                        stream_uv_scratch=tail[2], stream_uv_sem=tail[3])
             if use_tex_ref:
                 _texture_mod.KERNEL_TEX_REF = scene_refs[tex_idx]
             if use_uvtex:
@@ -525,7 +533,7 @@ def render_chunk_pallas(
                        memory_space=pltpu.VMEM)
 
     def full(i, leaf):
-        if dma_mode and i == pack_idx:
+        if dma_mode and (i == pack_idx or i == uvpack_idx):
             return pl.BlockSpec(memory_space=pltpu.ANY)  # stays in HBM
         if i == prange_idx and scene.n_stream_parents > 0:
             # (start, count) scalars: fori bounds read from SMEM
@@ -538,6 +546,9 @@ def render_chunk_pallas(
         rpc = _clu.stream_rows_per_cluster(scene.stream_leaf)
         scratch_shapes = [pltpu.VMEM((2 * rpc, _LANES), jnp.float32),
                           pltpu.SemaphoreType.DMA((2,))]
+        if uvpack_idx is not None:
+            scratch_shapes += [pltpu.VMEM((2 * rpc, _LANES), jnp.float32),
+                               pltpu.SemaphoreType.DMA((2,))]
     out_shape = [jax.ShapeDtypeStruct((rows_total, _LANES), jnp.float32)
                  for _ in range(9)]
     calls = {}  # ns -> compiled pallas_call (1-2 distinct tail sizes)

@@ -287,6 +287,10 @@ class Scene:
     # kernel (None everywhere else — None flattens to no pytree leaves).
     stream_scratch: Optional[object] = None
     stream_sem: Optional[object] = None
+    # Same plumbing for the mesh-UV parallel uv rows (own scratch +
+    # semaphore pair so waits stay balanced with their copies).
+    stream_uv_scratch: Optional[object] = None
+    stream_uv_sem: Optional[object] = None
     # Two-level hierarchy over the streamed clusters: static
     # (start, count, mn3 | None, mx3 | None) parent descriptors in CLUSTER
     # units (clusters.build_parents). Parent bounds bake into the kernel as

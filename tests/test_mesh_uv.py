@@ -446,18 +446,44 @@ class TestMeshUVKernelTiers:
         assert scene.mtri_uvpack.shape == scene.mtri_pack.shape
         self._compare_tiers(scene)
 
-    def test_streamed_supports_and_dma_gates(self):
-        from pathtracer_tpu.render.pallas_backend import supports
-        cfg = RenderConfig(width=8, height=8, pp=1)
-        scene = _uv_mesh_builder(1500).finalize()
-        assert scene.tex_uv_tiled and supports(scene, cfg)
+    def test_dma_uv_tier_bit_equal_to_resident(self):
+        """PT_STREAM_DMA=1 forces the DMA tier on a mesh-UV scene: the uv
+        rows double-buffer through their OWN scratch + semaphore pair.
+        Same scene, same data, only residency changes — the interpret
+        kernel renders must be BIT-EQUAL to the resident tier's."""
         import os
-        os.environ["PT_STREAM_DMA"] = "1"
-        try:
-            dma_scene = _uv_mesh_builder(1500).finalize()
-        finally:
-            del os.environ["PT_STREAM_DMA"]
-        assert dma_scene.tri_dma and not supports(dma_scene, cfg)
+        import jax.numpy as jnp
+        from pathtracer_tpu.render.pallas_backend import (
+            render_chunk_pallas, supports)
+        from pathtracer_tpu.render.renderer import init_accum
+        from pathtracer_tpu.utils import prng
+        w, h = 16, 8
+        cfg = RenderConfig(width=w, height=h, pp=2, seed=4)
+        n = w * h
+        outs = []
+        for force in (False, True):
+            if force:
+                os.environ["PT_STREAM_DMA"] = "1"
+            try:
+                scene = _uv_mesh_builder(1500).finalize()
+            finally:
+                if force:
+                    del os.environ["PT_STREAM_DMA"]
+            assert scene.tri_dma == force and scene.tex_uv_tiled
+            assert supports(scene, cfg)
+            from pathtracer_tpu.scene.camera import define_camera
+            cam = define_camera((0, -24, 2), (0, 0, 0), 35.0, w, h)
+            st = render_chunk_pallas(scene, cam, cfg, prng.base_key(4),
+                                     jnp.int32(0), 2, init_accum(n),
+                                     jnp.arange(n, dtype=jnp.int32),
+                                     interpret=True)
+            outs.append(st)
+        np.testing.assert_array_equal(np.asarray(outs[0].sum.x),
+                                      np.asarray(outs[1].sum.x))
+        np.testing.assert_array_equal(np.asarray(outs[0].sum.z),
+                                      np.asarray(outs[1].sum.z))
+        np.testing.assert_array_equal(np.asarray(outs[0].count),
+                                      np.asarray(outs[1].count))
 
     def test_streamed_uv_render_matches_oracle(self):
         """End-to-end: a 1500-tri UV-textured mesh through the
