@@ -92,6 +92,22 @@ class TestShardedKernel:
         assert np.median(d) < 1e-4, float(np.median(d))
         assert (d > 1e-2).mean() < 0.05, float((d > 1e-2).mean())
 
+    def test_world7_mesh_uv_sharded_kernel_tolerance(self):
+        # world 7 (UV-textured sphere mesh): the streamed tier with
+        # parallel uv rows + the windowed uv-stack fetch, under
+        # shard_map. Same robust gate as world 1 (fma-contraction +
+        # XLA:CPU windowed-loop classes).
+        from pathtracer_tpu.scene.schema import WORLD_MESH_UV
+        scene, cam = finalize_world(WORLD_MESH_UV, 24, 16)
+        cfg = RenderConfig(width=24, height=16, pp=1, seed=0,
+                           backend="pallas-interpret")
+        cfg_x = RenderConfig(width=24, height=16, pp=1, seed=0)
+        img1, _, _ = render_image(scene, cam, cfg_x)
+        img8, _, _ = render_image_sharded(scene, cam, cfg)
+        d = np.abs(np.asarray(img1) - np.asarray(img8)).max(axis=-1)
+        assert np.median(d) < 1e-4, float(np.median(d))
+        assert (d > 1e-2).mean() < 0.05, float((d > 1e-2).mean())
+
 
 class TestGraftEntry:
     def test_entry_jits(self):
