@@ -80,4 +80,11 @@ timeout 1800 python -m pathtracer_tpu -w7 -p4 --size 320x180 \
     && log "   mesh-UV kernel ok" \
     || log "   mesh-UV kernel FAILED ($OUT/meshuv_kernel.log)"
 
+log "11. w7 block-rows sweep (the 128-row textured default was tuned on"
+log "    world 1's fetch profile; mesh-UV blocks fetch less per bounce)"
+for br in 32 64 128; do
+    PT_BLOCK_ROWS=$br timeout 2400 python bench.py --world 7 --spp 64 \
+        > "$OUT/bench_w7_rows$br.json" 2>&1 || log "   w7 rows $br failed"
+done
+
 log "done; results in $OUT (bench_*.json, cross_*.log) + VERIFY_r03.json + images/"
