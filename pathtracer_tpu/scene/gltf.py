@@ -226,11 +226,25 @@ def _node_matrix(node: dict) -> np.ndarray:
 
 def _load(path: str, builder, want_textures: bool,
           apply_transforms: bool = False):
+    # The reference silently no-ops when cgltf fails to parse
+    # (win32_main.cpp:1464-1465); match that for the WHOLE ingestion —
+    # truncated containers (struct.error), out-of-range indices
+    # (IndexError) and corrupt embedded images (PIL raises OSError) all
+    # land here. Materials/textures appended before the failure are
+    # rolled back so the builder is untouched on a no-op.
+    n_mats, n_texs = len(builder.materials), len(builder.textures)
     try:
-        doc, buffers = parse_gltf(path)
-    except (OSError, ValueError, KeyError, json.JSONDecodeError):
+        return _load_inner(path, builder, want_textures, apply_transforms)
+    except (OSError, ValueError, KeyError, IndexError, struct.error,
+            json.JSONDecodeError):
+        del builder.materials[n_mats:]
+        del builder.textures[n_texs:]
         return None, None, None
 
+
+def _load_inner(path: str, builder, want_textures: bool,
+                apply_transforms: bool = False):
+    doc, buffers = parse_gltf(path)
     base_dir = os.path.dirname(os.path.abspath(path))
     points_out = []
     mats_out = []

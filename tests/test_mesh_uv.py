@@ -303,6 +303,33 @@ class TestGltfTextured:
         dd = np.abs(a - p_)
         assert (a == p_).mean() > 0.9 and dd.max() < 1e-3
 
+    def test_malformed_files_no_op(self, tmp_path):
+        """Truncated or byte-corrupted containers must silently no-op —
+        the reference returns early when cgltf fails (win32_main.cpp:
+        1464-1465) — including rolling back any materials/textures
+        appended before the failure (a bad embedded image is discovered
+        mid-walk)."""
+        p = _textured_glb(tmp_path)
+        data = open(p, "rb").read()
+        rng = np.random.RandomState(0)
+        cases = [data[:c] for c in (0, 4, 12, 20, 50, 100,
+                                    len(data) // 2, len(data) - 40)]
+        for _ in range(25):
+            buf = bytearray(data)
+            for _ in range(8):
+                buf[rng.randint(20, len(buf))] = rng.randint(256)
+            cases.append(bytes(buf))
+        for i, payload in enumerate(cases):
+            q = str(tmp_path / f"fuzz{i}.glb")
+            with open(q, "wb") as f:
+                f.write(payload)
+            b = WorldBuilder()
+            b.add_material(emit=(0.1, 0.1, 0.1))
+            pts, mats, uvs = load_gltf_textured(q, b)  # must not raise
+            if pts is None:
+                assert len(b.materials) == 1 and len(b.textures) == 0, \
+                    f"builder leak on case {i}"
+
     def test_node_transforms_baked(self, tmp_path):
         """apply_transforms bakes the node hierarchy's world matrices —
         the reference's 'instance transforms' TODO (win32_main.cpp:189):
