@@ -21,6 +21,7 @@ from .scene.schema import (  # noqa: F401
     MAX_BOUNCE_COUNT, Scene, WorldBuilder,
     WORLD_DEFAULT, WORLD_BRDF_TEST, WORLD_CORNELL_BOX,
     WORLD_RAYTRACING_ONE_WEEKEND, WORLD_MARIO,
+    WORLD_CORNELL_QUAD, WORLD_MESH_UV,
 )
 from .scene.worlds import build_world, finalize_world  # noqa: F401
 from .scene.camera import Camera, define_camera  # noqa: F401

@@ -33,9 +33,11 @@ _INV255 = 1.0 / 255.0
 # shared by every driver — can dynamic-slice tile rows from VMEM. None
 # outside kernel tracing (the XLA drivers then use the flat gathers).
 KERNEL_TEX_REF = None
-# Same side channel for the mesh-UV tiled stack (Scene.tex_uvtile): set
-# when the kernel covers a mesh-UV textured scene (scene.tex_uv_tiled).
-KERNEL_UVTEX_REF = None
+# Same side channel for the tiled general stack (Scene.tex_stack_tile):
+# set when the kernel covers a non-combined textured scene
+# (scene.tex_stack_tiled) — serves the mesh-UV texel lookups AND the
+# bespoke planar fetches (albedo/metalness/roughness/normal/bump).
+KERNEL_STACK_REF = None
 
 
 def _unpack(word: jnp.ndarray) -> Vec3:
@@ -370,24 +372,37 @@ def _windowed_words(tab_ref, wins, offs, shape, nwords: int):
     return words
 
 
-def sample_texture_uv_windowed(scene: Scene, tab_ref, layer, u, v, needs):
-    """The Pallas-kernel twin of :func:`sample_texture` for mesh-UV
-    textured scenes (the general per-layer texture stack, not world 1's
-    canonical combined set).
+def bespoke_sample_stack_windowed(scene: Scene, tab_ref, layer, u, v,
+                                  needs):
+    """The Pallas-kernel twin of :func:`bespoke_sample` over the tiled
+    general stack: scale the world-plane (u, v) by the per-lane layer's
+    size/2 (the bespoke convention, win32_main.cpp:1675-1678) and sample.
+    Same f32 expressions as the XLA path (w gathered vs swept — same
+    values), so compiled results are bit-identical."""
+    return sample_texture_stack_windowed(scene, tab_ref, layer, u, v,
+                                         needs, bespoke=True)
 
-    ``tab_ref`` is the tiled stack (Scene.tex_uvtile): one 128-word row
-    per PAIR of horizontally adjacent 8x8-texel tiles (lanes 0-63 the
-    even tile, 64-127 the odd — no interleave, textures are single RGB8
-    words). Per-lane layer metadata (row offset, row pitch, width,
-    height) resolves by a select sweep over the static per-layer table
-    (Scene.tex_uv_meta — same pattern as the mip select), and wrap is a
-    pow2 mask (schema gates tex_uv_tiled on pow2 sizes; non-pow2 stacks
-    stay on the XLA drivers). Texel selection and blend are the exact
-    expressions of sample_texture, so compiled results match the XLA
-    gather path bit for bit. ``needs`` masks lanes that sample at all
-    (non-triangle winners and untextured materials contribute no rows)."""
+
+def sample_texture_stack_windowed(scene: Scene, tab_ref, layer, u, v,
+                                  needs, bespoke: bool = False):
+    """The Pallas-kernel twin of :func:`sample_texture` for the general
+    per-layer texture stack (every non-combined textured scene: mesh-UV
+    texel lookups with ``bespoke=False``, planar material maps through
+    :func:`bespoke_sample_stack_windowed`).
+
+    ``tab_ref`` is the tiled stack (Scene.tex_stack_tile): one 128-word
+    row per PAIR of horizontally adjacent 8x8-texel tiles (lanes 0-63
+    the even tile, 64-127 the odd — no interleave, single RGB8 words).
+    Per-lane layer metadata (row offset, row pitch, width, height)
+    resolves by a select sweep over the static per-layer table
+    (Scene.tex_stack_meta — same pattern as the mip select), and wrap is
+    a pow2 mask (schema gates tex_stack_tiled on pow2 sizes; non-pow2
+    stacks stay on the XLA drivers). Texel selection and blend are the
+    exact expressions of sample_texture, so compiled results match the
+    XLA gather path bit for bit. ``needs`` masks lanes that sample at
+    all (untextured-material lanes contribute no rows)."""
     shape = u.shape
-    meta = scene.tex_uv_meta  # ((row_off, pitch, w, h), ...) per layer
+    meta = scene.tex_stack_meta  # ((row_off, pitch, w, h), ...) per layer
 
     def sweep(j):
         acc = jnp.full(shape, meta[0][j], jnp.int32)
@@ -396,6 +411,12 @@ def sample_texture_uv_windowed(scene: Scene, tab_ref, layer, u, v, needs):
         return acc
 
     row_off, pitch, w, h = (sweep(j) for j in range(4))
+    if bespoke:
+        # BespokeSampleTexture's uv_texels = uv * size * 0.5, in
+        # bespoke_sample's exact association order; the wrap below
+        # reuses the same swept w/h
+        u = u * w.astype(u.dtype) * 0.5
+        v = v * h.astype(v.dtype) * 0.5
     u = jnp.abs(u)
     v = jnp.abs(v)
     x1 = u.astype(jnp.int32)

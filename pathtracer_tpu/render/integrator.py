@@ -254,6 +254,20 @@ def shade_bounce(
     roughness = mat["roughness"]
     N = N_geom
     albedo_tex = None
+
+    def _planar_fetch(idx, u=None, v=None):
+        """Bespoke planar map fetch for 1-based material index field
+        ``idx`` (0 = unbound; callers mask). Inside the Pallas kernel
+        the tiled-stack windowed fetch replaces the per-lane gather —
+        same texels, same blend, bit-identical (ops/texture.py)."""
+        from ..ops import texture as _tex
+        layer = jnp.maximum(idx - 1, 0)
+        uu = hitpoint.x if u is None else u
+        vv = hitpoint.y if v is None else v
+        if _tex.KERNEL_STACK_REF is not None:
+            return _tex.bespoke_sample_stack_windowed(
+                scene, _tex.KERNEL_STACK_REF, layer, uu, vv, idx != 0)
+        return bespoke_sample(scene, layer, uu, vv)
     if scene.n_textures and scene.tex_combined:
         # canonical 4-map set: fused 2-word fetch (ops/texture.py).
         # Inside the Pallas kernel the table lives in VMEM and the fetch
@@ -308,15 +322,14 @@ def shade_bounce(
         # binding, so these planar bespoke fetches can never apply — and
         # skipping them statically is what keeps mesh-UV scenes free of
         # per-lane gathers inside the Pallas kernel)
-        uvx, uvy = hitpoint.x, hitpoint.y
         if scene.use_metalness_maps:
-            mtl_tex = bespoke_sample(scene, jnp.maximum(mat["metalness_idx"] - 1, 0), uvx, uvy)
+            mtl_tex = _planar_fetch(mat["metalness_idx"])
             metalness = jnp.where(mat["metalness_idx"] != 0, mtl_tex.x, metalness)
         if scene.use_roughness_maps:
-            rgh_tex = bespoke_sample(scene, jnp.maximum(mat["roughness_idx"] - 1, 0), uvx, uvy)
+            rgh_tex = _planar_fetch(mat["roughness_idx"])
             roughness = jnp.where(mat["roughness_idx"] != 0, rgh_tex.x, roughness)
         if scene.use_normal_maps:
-            n_tex = bespoke_sample(scene, jnp.maximum(mat["normal_idx"] - 1, 0), uvx, uvy)
+            n_tex = _planar_fetch(mat["normal_idx"])
             n_dec = Vec3(2.0 * n_tex.x - 1.0, 2.0 * n_tex.y - 1.0,
                          2.0 * n_tex.z - 1.0)
             if scene.tbn_normal_maps:
@@ -333,11 +346,10 @@ def shade_bounce(
         # bespoke planar frame (world-xy UVs, the same z-up convention as
         # the reference's normal maps :642) and tilt N against the
         # gradient: heightfield normal ∝ (-dh/dx, -dh/dy, 1).
-        bl = jnp.maximum(mat["bump_idx"] - 1, 0)
         beps = jnp.float32(0.01)
-        h0 = bespoke_sample(scene, bl, hitpoint.x, hitpoint.y).x
-        hx = bespoke_sample(scene, bl, hitpoint.x + beps, hitpoint.y).x
-        hy = bespoke_sample(scene, bl, hitpoint.x, hitpoint.y + beps).x
+        h0 = _planar_fetch(mat["bump_idx"]).x
+        hx = _planar_fetch(mat["bump_idx"], hitpoint.x + beps, hitpoint.y).x
+        hy = _planar_fetch(mat["bump_idx"], hitpoint.x, hitpoint.y + beps).x
         bs = mat["bump_scale"]
         gx = (hx - h0) / beps * bs
         gy = (hy - h0) / beps * bs
@@ -452,8 +464,7 @@ def shade_bounce(
     if albedo_tex is not None:
         albedo = vwhere(albedo_tex[0], albedo_tex[1], albedo)
     elif scene.n_textures and not scene.tex_mesh_only:
-        alb_tex = bespoke_sample(scene, jnp.maximum(mat["albedo_idx"] - 1, 0),
-                                 hitpoint.x, hitpoint.y)
+        alb_tex = _planar_fetch(mat["albedo_idx"])
         albedo = vwhere(mat["albedo_idx"] != 0, alb_tex, albedo)
     if uv is not None:
         # Mesh-UV textured materials (gltf.load_gltf_textured — the
@@ -462,16 +473,16 @@ def shade_bounce(
         # the material's texture at the interpolated texcoord, MODULATED
         # by the material albedo (= glTF baseColorFactor, spec semantics)
         # — unlike the bespoke path, which replaces. Inside the Pallas
-        # kernel the stack rides VMEM tiled (Scene.tex_uvtile) and the
+        # kernel the stack rides VMEM tiled (Scene.tex_stack_tile) and the
         # fetch is the windowed lane-LUT iteration; same texels, same
         # blend expression, bit-identical results.
         from ..ops import texture as _tex
         uvx, uvy, uv_ok = uv
         layer = jnp.maximum(mat["albedo_idx"] - 1, 0)
         use_uv = uv_ok & (mat["albedo_idx"] != 0)
-        if _tex.KERNEL_UVTEX_REF is not None:
-            tex_uv = _tex.sample_texture_uv_windowed(
-                scene, _tex.KERNEL_UVTEX_REF, layer, uvx, uvy, use_uv)
+        if _tex.KERNEL_STACK_REF is not None:
+            tex_uv = _tex.sample_texture_stack_windowed(
+                scene, _tex.KERNEL_STACK_REF, layer, uvx, uvy, use_uv)
         else:
             tex_uv = _tex.sample_texture(scene, layer, uvx, uvy)
         albedo = vwhere(use_uv, hadamard(mat["albedo"], tex_uv), albedo)

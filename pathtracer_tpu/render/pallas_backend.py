@@ -21,9 +21,11 @@ to fully unroll/sweep (worlds 2, 3, 4, 5 — the 494-sphere and 752-triangle
 tables unroll fine under Mosaic, ~60s compile) plus combined-texture-set
 scenes (world 1), whose texel fetches run in-kernel from a VMEM-resident
 tiled table via the windowed lane-LUT iteration
-(ops/texture.bespoke_sample_combined_windowed), plus mesh-UV textured
-glTF scenes whose per-layer stack tiles (pow2 sizes, triangle-albedo-only
-bindings — ops/texture.sample_texture_uv_windowed over Scene.tex_uvtile).
+(ops/texture.bespoke_sample_combined_windowed), plus EVERY non-combined
+textured scene whose per-layer stack tiles (pow2 sizes, VMEM cap):
+bespoke planar maps, bump maps, TBN normals and mesh-UV glTF materials
+all fetch through the tiled general stack
+(ops/texture.sample_texture_stack_windowed over Scene.tex_stack_tile).
 Grid-traversal scenes and non-qualifying texture stacks stay on the XLA
 path; renderer.render_chunk dispatches automatically. Compiled-TPU equivalence
 vs the XLA wavefront (256x144, 4spp): >=50% of pixels bit-equal, <0.1%
@@ -84,7 +86,7 @@ def _block_rows(scene: Scene) -> int:
     import os
     if os.environ.get("PT_BLOCK_ROWS"):  # perf-sweep knob (experiments/)
         return int(os.environ["PT_BLOCK_ROWS"])
-    if scene.n_textures and (scene.tex_combined or scene.tex_uv_tiled):
+    if scene.n_textures and (scene.tex_combined or scene.tex_stack_tiled):
         return _BLOCK_ROWS_TEXTURED
     if scene.tri_streamed:
         return _BLOCK_ROWS_STREAMED
@@ -96,15 +98,20 @@ def supports(scene: Scene, config: RenderConfig) -> bool:
     (Mosaic has no dynamic_slice, so the intersect loops must use static
     indices — ops/intersect._scan_table); triangles are covered via the
     (default) brute-force path, not the grid. Textured scenes are covered
-    when the canonical combined 4-map set exists (world 1): the tiled
-    table rides VMEM and the fetch is the windowed lane-LUT iteration
-    (ops/texture.bespoke_sample_combined_windowed). General multi-size
-    texture stacks stay on the XLA drivers."""
+    when the canonical combined 4-map set exists (world 1: the combined
+    tiled table + bespoke_sample_combined_windowed) OR when the general
+    per-layer stack tiles (pow2 sizes, VMEM cap: the tiled stack +
+    *_stack_windowed fetches). Non-pow2 stacks stay on the XLA drivers."""
     from ..ops.intersect import _UNROLL_MAX_KERNEL
     # (materials of any count are covered: small tables sweep, large ones
     # use the windowed lane-LUT lookup — integrator._material_lookup)
+    # Non-combined textured scenes (bespoke maps of any mix, bump, TBN,
+    # mesh-UV) ride the kernel through the tiled general stack
+    # (Scene.tex_stack_tile + the *_stack_windowed fetches) when it
+    # qualifies (pow2 sizes, VMEM cap).
+    stack_ok = scene.tex_stack_tiled and not scene.tex_combined
     return (
-        (scene.n_textures == 0 or scene.tex_combined or scene.tex_uv_tiled)
+        (scene.n_textures == 0 or scene.tex_combined or stack_ok)
         and (scene.n_tris == 0 or scene.grid_res == 0)
         and max(scene.n_spheres, scene.n_quads, scene.n_planes) <= _UNROLL_MAX_KERNEL
         # meshes: static unroll up to the Mosaic budget, then the streamed
@@ -117,14 +124,15 @@ def supports(scene: Scene, config: RenderConfig) -> bool:
         # clustered deferred resolve, streamed parallel uv rows; in DMA
         # mode the uv rows double-buffer through their own scratch) and
         # the texel fetch is the windowed iteration over the tiled stack
-        # (Scene.tex_uvtile) — all tiers covered up to clusters.DMA_MAX
+        # — all tiers covered up to clusters.DMA_MAX
         and (not scene.has_mesh_uvs
-             or (scene.tex_uv_tiled
+             or (stack_ok
                  and (scene.n_tris <= _UNROLL_MAX_KERNEL
                       or scene.tri_streamed)))
-        # bump maps use the generic per-lane texture gather (no Mosaic
-        # lowering); the canonical combined set has no height plane anyway
-        and not scene.any_bump
+        # bump maps fetch through the tiled stack; without it the
+        # per-lane height gather has no Mosaic lowering (a combined-set
+        # scene carrying a bump map would need the stack built too)
+        and (not scene.any_bump or stack_ok)
     )
 
 
@@ -388,15 +396,15 @@ def render_chunk_pallas(
     # that restart every lane at (sample, bounce 0) lockstep — measured on
     # world 5: 29 Mrays/s at 64-sample dispatches vs ~90 at 4.
     use_sort = bool(scene.tex_combined and scene.n_textures)
-    # mesh-UV textured scenes: windowed fetch from the tiled UV stack
-    use_uvtex = bool(scene.tex_uv_tiled and scene.has_mesh_uvs
+    # non-combined textured scenes: windowed fetches from the tiled stack
+    use_stack = bool(scene.tex_stack_tiled and not scene.tex_combined
                      and scene.n_textures)
     # tri_streamed matters here: streamed scenes have tri_clusters == ()
     # (the descriptors live in stream_parents/mtri_bounds), and omitting
     # them made streamed blocks full-width scanline strips whose frustum
     # crossed the whole mesh — no cluster could ever be culled (round-3
     # fix; the round-2 crossover numbers above 1024 tris paid this).
-    coherent = use_sort or use_uvtex or bool(
+    coherent = use_sort or use_stack or bool(
         scene.sph_clusters or scene.tri_clusters or scene.tri_streamed)
     perm = inv = None
     if use_sort:
@@ -408,7 +416,7 @@ def render_chunk_pallas(
         pixel_idx = pixel_idx[perm]
     # textured scenes run the bounce-lockstep driver — every sample is
     # already synchronized, so sub-chunk restarts would only add dispatches
-    sub = (_SUB_CHUNK_SAMPLES if (coherent and not use_sort and not use_uvtex)
+    sub = (_SUB_CHUNK_SAMPLES if (coherent and not use_sort and not use_stack)
            else n_samples)
 
     n_pad = ((n + block - 1) // block) * block
@@ -427,8 +435,8 @@ def render_chunk_pallas(
             tex_comb_a=jnp.zeros((1,), jnp.int32),
             tex_comb_b=jnp.zeros((1,), jnp.int32),
         )
-    elif use_uvtex:
-        # mesh-UV kernels read only tex_uvtile; the padded flat stack
+    elif use_stack:
+        # stack kernels read only tex_stack_tile; the padded flat stack
         # ((K, Hmax, Wmax) words) is dead VMEM weight
         scene = scene.replace(tex_packed=jnp.zeros((1,), jnp.int32))
     if scene.tri_streamed:
@@ -452,11 +460,11 @@ def render_chunk_pallas(
         (i for i, l in enumerate(scene_leaves) if l is scene.tex_tile), None)
     use_tex_ref = scene.tex_combined and scene.n_textures > 0
     ref_slots = {tex_idx} if use_tex_ref else set()
-    uvtex_idx = None
-    if use_uvtex:
-        uvtex_idx = next(i for i, l in enumerate(scene_leaves)
-                         if l is scene.tex_uvtile)
-        ref_slots |= {uvtex_idx}
+    stack_idx = None
+    if use_stack:
+        stack_idx = next(i for i, l in enumerate(scene_leaves)
+                         if l is scene.tex_stack_tile)
+        ref_slots |= {stack_idx}
     pack_idx = None
     prange_idx = None
     if scene.tri_streamed:
@@ -502,17 +510,17 @@ def render_chunk_pallas(
                         stream_uv_scratch=tail[2], stream_uv_sem=tail[3])
             if use_tex_ref:
                 _texture_mod.KERNEL_TEX_REF = scene_refs[tex_idx]
-            if use_uvtex:
-                _texture_mod.KERNEL_UVTEX_REF = scene_refs[uvtex_idx]
+            if use_stack:
+                _texture_mod.KERNEL_STACK_REF = scene_refs[stack_idx]
             pixel_block = pix_ref[:]
             import os
             clustered = bool(scene.sph_clusters or scene.tri_clusters
                              or scene.tri_streamed)
-            # mesh-UV scenes also run lockstep: the windowed UV fetch pays
-            # per distinct row a block touches, and bounce-synchronized
-            # lanes keep each bounce's row set small (same coherence
-            # argument as the combined-set fetch)
-            use_lockstep = use_tex_ref or use_uvtex or (
+            # stack-textured scenes also run lockstep: the windowed
+            # fetches pay per distinct row a block touches, and bounce-
+            # synchronized lanes keep each bounce's row set small (same
+            # coherence argument as the combined-set fetch)
+            use_lockstep = use_tex_ref or use_stack or (
                 clustered and os.environ.get("PT_LOCKSTEP_CLUSTERED"))
             loop = _lockstep_loop if use_lockstep else _wave_loop
             acc_sum, acc_sq, count, nan_c, ray_c = loop(
@@ -582,7 +590,7 @@ def render_chunk_pallas(
     finally:
         _intersect_mod._tracing_pallas_kernel = False
         _texture_mod.KERNEL_TEX_REF = None
-        _texture_mod.KERNEL_UVTEX_REF = None
+        _texture_mod.KERNEL_STACK_REF = None
 
     per_pixel = [a.reshape(-1)[:n] for a in outs[:7]]
     if perm is not None:

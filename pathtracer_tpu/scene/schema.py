@@ -242,16 +242,19 @@ class Scene:
     # sampling via RenderConfig.mip_scale (the reference's unfinished
     # "mipmapping" TODO, GenerateMipmapChain win32_main.cpp:2307-2328).
     tex_mip_meta: tuple = struct.field(pytree_node=False, default=())
-    # Mesh-UV tiled stack (general per-layer textures, kernel path): one
+    # Tiled GENERAL texture stack (per-layer sizes, kernel path): one
     # 128-word row per PAIR of horizontally adjacent 8x8-texel tiles
-    # (lanes 0-63 even tile, 64-127 odd; y-major within a tile). Built
-    # when tex_uv_tiled: has_mesh_uvs, textures bound ONLY to triangle
-    # materials' albedo (tex_mesh_only), every size pow2 (wrap = mask in
-    # Mosaic), total rows under the VMEM cap. (1, 128) dummy otherwise.
-    tex_uvtile: jnp.ndarray = None
+    # (lanes 0-63 even tile, 64-127 odd; y-major within a tile). Serves
+    # every non-combined in-kernel fetch — mesh-UV texel lookups AND the
+    # bespoke planar fetches (albedo/metalness/roughness/normal/bump) —
+    # via the windowed lane-LUT iteration
+    # (ops/texture.sample_texture_stack_windowed). Built when every
+    # texture is pow2 (wrap = mask in Mosaic) and the total rows fit the
+    # VMEM cap. (1, 128) dummy otherwise.
+    tex_stack_tile: jnp.ndarray = None
     # per-layer (row_off, pair_pitch, w, h) for the select sweep
-    tex_uv_meta: tuple = struct.field(pytree_node=False, default=())
-    tex_uv_tiled: bool = struct.field(pytree_node=False, default=False)
+    tex_stack_meta: tuple = struct.field(pytree_node=False, default=())
+    tex_stack_tiled: bool = struct.field(pytree_node=False, default=False)
     # every textured material uses ONLY albedo_idx and is referenced only
     # by triangles: shade_bounce then skips the bespoke planar fetches
     # entirely (semantics-neutral — such lanes are always mesh-UV winners)
@@ -728,11 +731,11 @@ class WorldBuilder:
             tiles_x = 1
             mip_meta = ()
 
-        # Mesh-UV tiled stack (Scene.tex_uvtile) for the Pallas kernel's
-        # windowed fetch (ops/texture.sample_texture_uv_windowed). Gated:
-        # textures bound only to triangle-material albedos (the bespoke
-        # planar fetches then never run), pow2 sizes (wrap = mask), and a
-        # VMEM budget. Non-qualifying scenes keep the XLA gather path.
+        # Tiled general texture stack (Scene.tex_stack_tile) for the
+        # Pallas kernel's windowed fetches (mesh-UV texel lookups AND the
+        # bespoke planar fetches — ops/texture.*_stack_windowed). Gated:
+        # pow2 sizes (wrap = mask in Mosaic) and a VMEM budget.
+        # Non-qualifying scenes keep the XLA gather path.
         non_tri_mats = ({s[2] for s in self.spheres}
                         | {q[3] for q in self.quads}
                         | {p[2] for p in self.planes})
@@ -743,11 +746,13 @@ class WorldBuilder:
                 and m.normal_idx == 0 and m.bump_idx == 0
                 and (m.albedo_idx == 0 or j not in non_tri_mats)
                 for j, m in enumerate(mats)))
-        _UVTILE_MAX_ROWS = 8192  # 128 words/row -> 4 MB of VMEM
+        _STACK_TILE_MAX_ROWS = 8192  # 128 words/row -> 4 MB of VMEM
         uv_meta: tuple = ()
         uvtile = np.zeros((1, 128), i32)
-        tex_uv_tiled = False
-        if tex_mesh_only and all(
+        tex_stack_tiled = False
+        # combined-set scenes fetch through tex_tile — the stack would be
+        # dead VMEM weight riding into every kernel (world 1: 4 MB)
+        if self.textures and not combined and all(
                 (t.shape[0] & (t.shape[0] - 1)) == 0
                 and (t.shape[1] & (t.shape[1] - 1)) == 0
                 for t in self.textures):
@@ -765,10 +770,10 @@ class WorldBuilder:
                 metas.append((row_off, tx // 2, ww, hh))
                 parts.append(rows)
                 row_off += rows.shape[0]
-            if row_off <= _UVTILE_MAX_ROWS:
+            if row_off <= _STACK_TILE_MAX_ROWS:
                 uvtile = np.concatenate(parts).astype(i32)
                 uv_meta = tuple(metas)
-                tex_uv_tiled = True
+                tex_stack_tiled = True
 
         if grid is None:
             grid_start = jnp.zeros((1,), i32)
@@ -885,9 +890,9 @@ class WorldBuilder:
             tex_comb_h=ch,
             tex_tiles_x=tiles_x,
             tex_mip_meta=mip_meta,
-            tex_uvtile=jnp.asarray(uvtile),
-            tex_uv_meta=uv_meta,
-            tex_uv_tiled=tex_uv_tiled,
+            tex_stack_tile=jnp.asarray(uvtile),
+            tex_stack_meta=uv_meta,
+            tex_stack_tiled=tex_stack_tiled,
             tex_mesh_only=tex_mesh_only,
             world_kind=world_kind,
             just_cosine=(world_kind == WORLD_RAYTRACING_ONE_WEEKEND),

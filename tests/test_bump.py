@@ -84,7 +84,53 @@ class TestBump:
         assert np.median(d) < 1e-4, float(np.median(d))
         assert (d > 1e-2).mean() < 0.05, float((d > 1e-2).mean())
 
-    def test_kernel_gates_off_bump(self):
+    def test_kernel_supports_bump_via_tiled_stack(self):
+        """Bump scenes ride the kernel when the general stack tiles
+        (pow2): the three height fetches go through the windowed
+        tiled-stack sampler instead of per-lane gathers. Non-pow2 height
+        maps still fall back to XLA."""
         from pathtracer_tpu.render.pallas_backend import supports
+        cfg = RenderConfig(width=8, height=8, pp=1)
         scene = _bumpy_world(np.full((8, 8, 3), 0.5, np.float32)).finalize()
-        assert not supports(scene, RenderConfig(width=8, height=8, pp=1))
+        assert scene.any_bump and scene.tex_stack_tiled
+        assert supports(scene, cfg)
+        odd = _bumpy_world(np.full((6, 10, 3), 0.5, np.float32)).finalize()
+        assert odd.any_bump and not odd.tex_stack_tiled
+        assert not supports(odd, cfg)
+
+    def test_kernel_interpret_matches_xla(self):
+        """Bump scene through the interpret-mode kernel (windowed
+        tiled-stack height fetches) vs the XLA chunk — the same robust
+        gate as the other windowed-fetch equivalence tests."""
+        import jax.numpy as jnp
+        from pathtracer_tpu.render.pallas_backend import (
+            render_chunk_pallas, supports)
+        from pathtracer_tpu.render.renderer import init_accum, render_chunk
+        from pathtracer_tpu.utils import prng
+        rng = np.random.RandomState(12)
+        tex = np.repeat(rng.rand(16, 16, 1), 3, axis=2).astype(np.float32)
+        tex = (np.round(tex * 255.0) / 255.0).astype(np.float32)
+        b = _bumpy_world(tex)
+        scene = b.finalize()
+        w, h = 16, 12
+        cfg = RenderConfig(width=w, height=h, pp=2, seed=6)
+        assert supports(scene, cfg)
+        cam = define_camera((0, -8, 2), (0, 0, 0), 35.0, w, h)
+        n = w * h
+        key = prng.base_key(6)
+        ref = render_chunk(scene, cam, cfg, key, jnp.int32(0), 2,
+                           init_accum(n))
+        pal = render_chunk_pallas(scene, cam, cfg, key, jnp.int32(0), 2,
+                                  init_accum(n),
+                                  jnp.arange(n, dtype=jnp.int32),
+                                  interpret=True)
+        a, p = np.asarray(ref.sum.x), np.asarray(pal.sum.x)
+        # every lane here shades the textured plane, so the documented
+        # interpret-mode divergences (XLA:CPU windowed-loop neighboring
+        # texels + fma contraction) touch more pixels than on mesh-UV
+        # scenes — gate exactly like the world-1 composition test; the
+        # compiled-chip gate is bench.py --verify
+        assert (a == p).mean() > 0.5, f"bit-equal {(a == p).mean():.2%}"
+        np.testing.assert_allclose(a, p, atol=6e-2, rtol=1e-3)
+        np.testing.assert_array_equal(np.asarray(ref.count),
+                                      np.asarray(pal.count))

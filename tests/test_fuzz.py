@@ -218,3 +218,52 @@ def test_fog_quad_light_kernel_equivalence():
     d = np.abs(imgs[0] - imgs[1]).max(axis=-1)
     assert np.median(d) < 1e-5, float(np.median(d))
     assert (d > 1e-2).mean() < 0.05, float((d > 1e-2).mean())
+
+
+def test_everything_at_once_kernel_equivalence():
+    """The maximal-interaction scene (fog x dispersive glass x RR x
+    bump floor x UV-textured mesh) through the interpret-mode KERNEL vs
+    the XLA driver — the generalized tiled-stack fetches (bump heights +
+    mesh-UV texels) compose with every estimator extension in one
+    compile. Robust gate: the windowed-loop and fma interpret classes."""
+    seed = 5
+    rng = np.random.RandomState(seed + 7)
+    b = _random_world(seed)
+    glass = b.add_material(albedo=tuple(0.9 + 0.1 * rng.rand(3)),
+                           ior=float(1.3 + 0.4 * rng.rand()),
+                           transmission=1.0,
+                           dispersion=float(0.05 + 0.1 * rng.rand()))
+    b.add_sphere(rng.uniform(-2, 2, 3), 0.6 + rng.rand() * 0.8, glass)
+    b.set_fog(0.02, albedo=(0.8, 0.85, 0.9), g=0.4)
+    bump_tex = np.repeat(rng.rand(8, 8, 1), 3, 2).astype(np.float32)
+    bump_tex = (np.round(bump_tex * 255.0) / 255.0).astype(np.float32)
+    bm = b.add_material(albedo=(0.5, 0.45, 0.4), roughness=0.9,
+                        bump_idx=b.add_texture(bump_tex), bump_scale=0.3)
+    b.add_plane((0, 0, 1), 4.0, bm)
+    check = (np.indices((8, 8)).sum(0) % 2)[..., None].repeat(3, 2)
+    uv_tex = (np.round((check * 0.7 + 0.2) * 255.0) / 255.0
+              ).astype(np.float32)
+    um = b.add_material(albedo=(1.0, 0.9, 0.8),
+                        albedo_idx=b.add_texture(uv_tex), roughness=0.7)
+    pts = np.asarray([[-1, 0, -1], [1, 0, -1], [0, 0, 1.2]], np.float32)
+    b.set_mesh(pts, np.full(3, um, np.int32),
+               uvs=np.asarray([[0, 0], [2, 0], [1, 2]], np.float32))
+    scene = b.finalize()
+    assert (scene.any_dispersive and scene.fog_sigma_t > 0
+            and scene.any_bump and scene.has_mesh_uvs
+            and scene.tex_stack_tiled)
+    from pathtracer_tpu.render.pallas_backend import supports
+    w, h, pp = 16, 12, 2
+    cfgs = {}
+    for backend in ("xla", "pallas-interpret"):
+        cfgs[backend] = RenderConfig(width=w, height=h, pp=pp, seed=seed,
+                                     use_russian_roulette=True,
+                                     backend=backend)
+    assert supports(scene, cfgs["xla"])
+    cam = define_camera((0, -8, 1), (0, 0, 0), 35.0, w, h)
+    imgs = [np.asarray(render_image(scene, cam, cfgs[k])[0])
+            for k in ("xla", "pallas-interpret")]
+    d = np.abs(imgs[0] - imgs[1]).max(axis=-1)
+    assert np.median(d) < 1e-3, float(np.median(d))
+    assert (d > 5e-2).mean() < 0.02, float((d > 5e-2).mean())
+    assert np.isfinite(imgs[1]).all()

@@ -158,10 +158,11 @@ class TestGltfTextured:
         assert img.std() > 0.01
 
     def test_kernel_support_gating(self, tmp_path):
-        """Mesh-UV scenes ride the Pallas kernel when the tiled UV stack
-        qualifies (pow2 textures bound only to triangle albedos); non-pow2
-        sizes and texture bindings shared with non-triangle primitives
-        fall back to the XLA drivers (schema gates tex_uv_tiled off)."""
+        """Mesh-UV scenes ride the Pallas kernel when the tiled general
+        stack qualifies (pow2 textures, VMEM cap); non-pow2 sizes fall
+        back to the XLA drivers (schema gates tex_stack_tiled off). A
+        texture bound to a non-triangle primitive keeps the bespoke
+        planar fetches live but rides the kernel too (windowed stack)."""
         from pathtracer_tpu.render.pallas_backend import supports
         cfg = RenderConfig(width=8, height=8, pp=1)
         p = _textured_glb(tmp_path)
@@ -171,11 +172,11 @@ class TestGltfTextured:
         pts, mats, uvs = load_gltf_textured(p, b)
         b.set_mesh(pts, mats, uvs=uvs)
         scene = b.finalize()
-        assert scene.tex_mesh_only and scene.tex_uv_tiled
+        assert scene.tex_mesh_only and scene.tex_stack_tiled
         assert supports(scene, cfg)
         # tile-pair rows: the 8x8 checker pads to one 8x16 pair row
-        assert scene.tex_uvtile.shape == (1, 128)
-        assert scene.tex_uv_meta == ((0, 1, 8, 8),)
+        assert scene.tex_stack_tile.shape == (1, 128)
+        assert scene.tex_stack_meta == ((0, 1, 8, 8),)
 
         # non-pow2 texture -> XLA fallback
         b2 = WorldBuilder()
@@ -185,11 +186,13 @@ class TestGltfTextured:
         m = b2.add_material(albedo=(1, 1, 1), albedo_idx=ti)
         b2.set_mesh(pts, np.full(len(pts), m, np.int32), uvs=uvs)
         s2 = b2.finalize()
-        assert s2.has_mesh_uvs and not s2.tex_uv_tiled
+        assert s2.has_mesh_uvs and not s2.tex_stack_tiled
         assert not supports(s2, cfg)
 
         # texture bound to a PLANE material -> bespoke fetches stay live,
-        # scene is not mesh-only -> XLA fallback
+        # texture bound to a PLANE material: the bespoke planar fetches
+        # stay live (not mesh-only), but they ride the windowed stack in
+        # the kernel too — still supported
         b3 = WorldBuilder()
         b3.add_material(emit=(0.1, 0.1, 0.1))
         b3.add_material(emit=(5, 5, 5))
@@ -200,7 +203,7 @@ class TestGltfTextured:
         b3.add_plane((0, 0, 1), 1.5, pm)
         s3 = b3.finalize()
         assert s3.has_mesh_uvs and not s3.tex_mesh_only
-        assert not supports(s3, cfg)
+        assert s3.tex_stack_tiled and supports(s3, cfg)
 
     def test_kernel_interpret_matches_xla(self, tmp_path):
         """The mesh-UV scene through the interpret-mode Pallas kernel
@@ -281,8 +284,8 @@ class TestGltfTextured:
         b.add_plane((0, 0, 1), 1.5, floor)
         scene = b.finalize()
         # layer 0: one 8x16 pair row; layer 1: 4 rows of 2 pairs
-        assert scene.tex_uv_meta == ((0, 1, 16, 8), (1, 2, 32, 32))
-        assert scene.tex_uvtile.shape == (9, 128)
+        assert scene.tex_stack_meta == ((0, 1, 16, 8), (1, 2, 32, 32))
+        assert scene.tex_stack_tile.shape == (9, 128)
         w, h = 16, 12
         cfg = RenderConfig(width=w, height=h, pp=2, seed=3)
         assert supports(scene, cfg)
@@ -496,7 +499,7 @@ class TestMeshUVKernelTiers:
             finally:
                 if force:
                     del os.environ["PT_STREAM_DMA"]
-            assert scene.tri_dma == force and scene.tex_uv_tiled
+            assert scene.tri_dma == force and scene.tex_stack_tiled
             assert supports(scene, cfg)
             from pathtracer_tpu.scene.camera import define_camera
             cam = define_camera((0, -24, 2), (0, 0, 0), 35.0, w, h)
@@ -522,7 +525,7 @@ class TestMeshUVKernelTiers:
         from pathtracer_tpu.utils import prng
         b = _uv_mesh_builder(1500)
         scene = b.finalize()
-        assert scene.tri_streamed and scene.tex_uv_tiled
+        assert scene.tri_streamed and scene.tex_stack_tiled
         w, h, pp = 16, 8, 2
         cam = define_camera((0, -24, 2), (0, 0, 0), 35.0, w, h)
         cfg = RC(width=w, height=h, pp=pp, seed=2,

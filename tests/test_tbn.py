@@ -75,3 +75,43 @@ class TestTBN:
         d = np.abs(img - oracle).max(axis=-1)
         assert np.median(d) < 1e-4, float(np.median(d))
         assert (d > 1e-2).mean() < 0.05, float((d > 1e-2).mean())
+
+    def test_kernel_interpret_matches_xla_tbn(self):
+        """TBN normal-mapped tilted plane through the interpret-mode
+        kernel: the normal-map fetch rides the windowed tiled stack (the
+        general bespoke path), with the tangent-frame rotation applied
+        in-kernel. Robust gate (fma-contraction class)."""
+        import jax.numpy as jnp
+        from pathtracer_tpu.render.pallas_backend import (
+            render_chunk_pallas, supports)
+        from pathtracer_tpu.render.renderer import init_accum, render_chunk
+        from pathtracer_tpu.utils import prng
+        rng = np.random.RandomState(5)
+        tex = rng.rand(16, 16, 3).astype(np.float32) * 0.4 + 0.3
+        tex[..., 2] = 0.8 + 0.2 * tex[..., 2]
+        tex = (np.round(tex * 255.0) / 255.0).astype(np.float32)
+        b = _tilted_world(tex)
+        b.tbn_normal_maps = True
+        scene = b.finalize()
+        w, h = 16, 10
+        cfg = RenderConfig(width=w, height=h, pp=2, seed=4)
+        assert scene.tex_stack_tiled and supports(scene, cfg)
+        cam = define_camera((0, -9, 3.0), (0, 0, 0), 35.0, w, h)
+        n = w * h
+        key = prng.base_key(4)
+        ref = render_chunk(scene, cam, cfg, key, jnp.int32(0), 2,
+                           init_accum(n))
+        pal = render_chunk_pallas(scene, cam, cfg, key, jnp.int32(0), 2,
+                                  init_accum(n),
+                                  jnp.arange(n, dtype=jnp.int32),
+                                  interpret=True)
+        a, p = np.asarray(ref.sum.y), np.asarray(pal.sum.y)
+        # every lane here shades the textured plane, so the documented
+        # interpret-mode divergences (XLA:CPU windowed-loop neighboring
+        # texels + fma contraction) touch more pixels than on mesh-UV
+        # scenes — gate exactly like the world-1 composition test; the
+        # compiled-chip gate is bench.py --verify
+        assert (a == p).mean() > 0.5, f"bit-equal {(a == p).mean():.2%}"
+        np.testing.assert_allclose(a, p, atol=6e-2, rtol=1e-3)
+        np.testing.assert_array_equal(np.asarray(ref.count),
+                                      np.asarray(pal.count))
