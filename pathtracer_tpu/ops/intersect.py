@@ -951,8 +951,8 @@ def intersect_scene_uv(scene: Scene, o: Vec3, d: Vec3):
     best = intersect_quads(scene, o, d, best)
     best = intersect_planes(scene, o, d, best)
     if _tracing_pallas_kernel and scene.tri_streamed:
-        # streamed tier with UV rows (clusters.pack_stream_uv); the DMA
-        # tier is gated off mesh-UV kernels in pallas_backend.supports()
+        # streamed tier with UV rows (clusters.pack_stream_uv); in DMA
+        # mode the uv rows double-buffer through their own scratch pair
         return _intersect_triangles_streamed(scene, o, d, best,
                                              want_uv=True)
     if _tracing_pallas_kernel and scene.tri_clusters:

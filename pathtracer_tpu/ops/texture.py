@@ -296,13 +296,14 @@ def bespoke_sample_combined_windowed(scene: Scene, tab_ref, u, v, needs,
 
 def _windowed_words(tab_ref, wins, offs, shape, nwords: int):
     """Distinct-row iteration core shared by every windowed fetch: visit
-    the DISTINCT table rows named by ``wins`` (four corner row ids per
-    lane; the 1<<30 sentinel marks lanes that fetch nothing), lane-LUT
-    ``nwords`` consecutive words at each corner's lane offset, and return
-    a 4-tuple (per corner) of ``nwords``-tuples of gathered (R, 128)
-    int32 words. ``tab_ref`` is a (rows, 128) VMEM ref (or plain array in
-    XLA/interpret equivalence paths). int32 masks throughout — bool
-    while-carries crash Mosaic (experiments/bisect_crash)."""
+    the DISTINCT table rows named by ``wins`` (corner row ids per lane,
+    any count; the 1<<30 sentinel marks lanes that fetch nothing),
+    lane-LUT ``nwords`` consecutive words at each corner's lane offset,
+    and return a len(wins)-tuple (per corner) of ``nwords``-tuples of
+    gathered (R, 128) int32 words. ``tab_ref`` is a (rows, 128) VMEM ref
+    (or plain array in XLA/interpret equivalence paths). int32 masks
+    throughout — bool while-carries crash Mosaic
+    (experiments/bisect_crash)."""
     import jax
     from jax.experimental import pallas as pl
 
@@ -334,8 +335,10 @@ def _windowed_words(tab_ref, wins, offs, shape, nwords: int):
     # (~40% faster per tile, experiments/window_iter_micro.py).
     def nxt_tid(tid):
         cand = [jnp.where(w_ > tid, w_, BIG) for w_ in wins]
-        return chain_min(jnp.minimum(jnp.minimum(cand[0], cand[1]),
-                                     jnp.minimum(cand[2], cand[3])))
+        m = cand[0]
+        for c_ in cand[1:]:
+            m = jnp.minimum(m, c_)
+        return chain_min(m)
 
     def fetch_rows(tid_b):
         """One table row per chain (exhausted chains clamp to row 0 and
@@ -367,7 +370,7 @@ def _windowed_words(tab_ref, wins, offs, shape, nwords: int):
     zero = wins[0] * 0
     tid0 = nxt_tid(zero - 1)  # min over all row ids (ids are >= 0 > -1)
     init = (tid0, tuple(tuple(zero for _ in range(nwords))
-                        for _ in range(4)))
+                        for _ in range(len(wins))))
     _, words = jax.lax.while_loop(cond, body, init)
     return words
 
@@ -401,6 +404,17 @@ def sample_texture_stack_windowed(scene: Scene, tab_ref, layer, u, v,
     exact expressions of sample_texture, so compiled results match the
     XLA gather path bit for bit. ``needs`` masks lanes that sample at
     all (untextured-material lanes contribute no rows)."""
+    wins, offs, s, t = _stack_corners(scene, layer, u, v, needs, bespoke)
+    words = _windowed_words(tab_ref, wins, offs, u.shape, nwords=1)
+    c11, c12, c21, c22 = (_unpack(w_[0]) for w_ in words)
+    return _bilerp_vec3(c11, c12, c21, c22, s, t)
+
+
+def _stack_corners(scene: Scene, layer, u, v, needs, bespoke: bool):
+    """Per-lane bilinear corner (row id, lane offset) lists + fractional
+    weights over the tiled stack — the addressing half of
+    sample_texture_stack_windowed, shared with the fused multi-point
+    fetches (bespoke_height3_stack_windowed)."""
     shape = u.shape
     meta = scene.tex_stack_meta  # ((row_off, pitch, w, h), ...) per layer
 
@@ -439,6 +453,35 @@ def sample_texture_stack_windowed(scene: Scene, tab_ref, layer, u, v,
     BIG = jnp.int32(1 << 30)
     wins = [jnp.where(needs, row_of(y, x), BIG) for (y, x) in corners]
     offs = [off_of(y, x) for (y, x) in corners]
-    words = _windowed_words(tab_ref, wins, offs, shape, nwords=1)
-    c11, c12, c21, c22 = (_unpack(w_[0]) for w_ in words)
-    return _bilerp_vec3(c11, c12, c21, c22, s, t)
+    return wins, offs, s, t
+
+
+def bespoke_height3_stack_windowed(scene: Scene, tab_ref, layer, points,
+                                   needs):
+    """Fused 3-point bespoke height fetch for bump mapping (the forward
+    difference samples h(p), h(p+eps_x), h(p+eps_y)): the points differ
+    by 0.01 world units, so their bilinear footprints share almost every
+    tile — ONE windowed iteration over all 12 corners pays the serial
+    min-reduce chain once instead of three times per bounce. Returns the
+    three height scalars (the .x channel), bit-identical to three
+    bespoke_sample_stack_windowed(...).x calls: same corner words, and
+    the scalar bilerp is exactly the x-channel expression of
+    _bilerp_vec3."""
+    all_wins, all_offs, sts = [], [], []
+    for (u, v) in points:
+        wins, offs, s, t = _stack_corners(scene, layer, u, v, needs,
+                                          bespoke=True)
+        all_wins += wins
+        all_offs += offs
+        sts.append((s, t))
+    shape = points[0][0].shape
+    words = _windowed_words(tab_ref, all_wins, all_offs, shape, nwords=1)
+    out = []
+    for k, (s, t) in enumerate(sts):
+        c11, c12, c21, c22 = (
+            (words[4 * k + j][0] & 0xFF).astype(jnp.float32) * _INV255
+            for j in range(4))
+        top = (1 - s) * c11 + s * c12
+        bot = (1 - s) * c21 + s * c22
+        out.append((1 - t) * top + t * bot)
+    return tuple(out)

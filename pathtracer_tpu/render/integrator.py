@@ -347,9 +347,24 @@ def shade_bounce(
         # the reference's normal maps :642) and tilt N against the
         # gradient: heightfield normal ∝ (-dh/dx, -dh/dy, 1).
         beps = jnp.float32(0.01)
-        h0 = _planar_fetch(mat["bump_idx"]).x
-        hx = _planar_fetch(mat["bump_idx"], hitpoint.x + beps, hitpoint.y).x
-        hy = _planar_fetch(mat["bump_idx"], hitpoint.x, hitpoint.y + beps).x
+        from ..ops import texture as _btex
+        if _btex.KERNEL_STACK_REF is not None:
+            # fused 3-point fetch: one windowed iteration over all 12
+            # corners (the eps-shifted footprints share almost every
+            # tile) instead of three serial min-reduce chains
+            h0, hx, hy = _btex.bespoke_height3_stack_windowed(
+                scene, _btex.KERNEL_STACK_REF,
+                jnp.maximum(mat["bump_idx"] - 1, 0),
+                ((hitpoint.x, hitpoint.y),
+                 (hitpoint.x + beps, hitpoint.y),
+                 (hitpoint.x, hitpoint.y + beps)),
+                mat["bump_idx"] != 0)
+        else:
+            h0 = _planar_fetch(mat["bump_idx"]).x
+            hx = _planar_fetch(mat["bump_idx"],
+                               hitpoint.x + beps, hitpoint.y).x
+            hy = _planar_fetch(mat["bump_idx"],
+                               hitpoint.x, hitpoint.y + beps).x
         bs = mat["bump_scale"]
         gx = (hx - h0) / beps * bs
         gy = (hy - h0) / beps * bs

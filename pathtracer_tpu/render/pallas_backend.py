@@ -542,7 +542,7 @@ def render_chunk_pallas(
 
     def full(i, leaf):
         if dma_mode and (i == pack_idx or i == uvpack_idx):
-            return pl.BlockSpec(memory_space=pltpu.ANY)  # stays in HBM
+            return pl.BlockSpec(memory_space=pl.ANY)  # stays in HBM
         if i == prange_idx and scene.n_stream_parents > 0:
             # (start, count) scalars: fori bounds read from SMEM
             return pl.BlockSpec(memory_space=pltpu.SMEM)

@@ -227,16 +227,19 @@ def _node_matrix(node: dict) -> np.ndarray:
 def _load(path: str, builder, want_textures: bool,
           apply_transforms: bool = False):
     # The reference silently no-ops when cgltf fails to parse
-    # (win32_main.cpp:1464-1465); match that for the WHOLE ingestion —
-    # truncated containers (struct.error), out-of-range indices
-    # (IndexError) and corrupt embedded images (PIL raises OSError) all
-    # land here. Materials/textures appended before the failure are
-    # rolled back so the builder is untouched on a no-op.
+    # (win32_main.cpp:1464-1465); match that for the WHOLE ingestion. A
+    # curated exception list proved leaky under fuzzing (struct.error
+    # from truncated headers, PIL's OSError from corrupt images, then
+    # PIL's DecompressionBombError from forged dimensions — decoder
+    # libraries own an open-ended error surface), so a malformed-input
+    # parser catches everything: any failure while consuming UNTRUSTED
+    # bytes is by definition a malformed file. Materials/textures
+    # appended before the failure are rolled back so the builder is
+    # untouched on a no-op.
     n_mats, n_texs = len(builder.materials), len(builder.textures)
     try:
         return _load_inner(path, builder, want_textures, apply_transforms)
-    except (OSError, ValueError, KeyError, IndexError, struct.error,
-            json.JSONDecodeError):
+    except Exception:
         del builder.materials[n_mats:]
         del builder.textures[n_texs:]
         return None, None, None

@@ -604,7 +604,14 @@ class WorldBuilder:
                 # double-buffered async copies); PT_STREAM_DMA=1 forces it
                 # for any streamed mesh (equivalence tests + ablation).
                 import os as _os
-                tri_dma = (ntri > clu.STREAM_MAX
+                # mesh-UV scenes keep a PARALLEL uv-row table as large as
+                # the pack rows, doubling the resident footprint — halve
+                # the VMEM threshold so near-cap UV meshes take the DMA
+                # tier (HBM + double-buffered scratch) instead of blowing
+                # the kernel's VMEM allocation
+                resident_cap = (clu.STREAM_MAX // 2 if has_mesh_uvs
+                                else clu.STREAM_MAX)
+                tri_dma = (ntri > resident_cap
                            or bool(_os.environ.get("PT_STREAM_DMA")))
                 if tri_dma:
                     # dynamic parent tables (O(1) kernel code size); the

@@ -189,7 +189,6 @@ class TestGltfTextured:
         assert s2.has_mesh_uvs and not s2.tex_stack_tiled
         assert not supports(s2, cfg)
 
-        # texture bound to a PLANE material -> bespoke fetches stay live,
         # texture bound to a PLANE material: the bespoke planar fetches
         # stay live (not mesh-only), but they ride the windowed stack in
         # the kernel too — still supported
@@ -514,6 +513,24 @@ class TestMeshUVKernelTiers:
                                       np.asarray(outs[1].sum.z))
         np.testing.assert_array_equal(np.asarray(outs[0].count),
                                       np.asarray(outs[1].count))
+
+    def test_uv_mesh_halves_the_resident_cap(self):
+        """Mesh-UV scenes carry a PARALLEL uv-row table as large as the
+        pack rows, doubling the kernel's resident VMEM footprint —
+        finalize must send them to the DMA tier at STREAM_MAX//2 instead
+        of STREAM_MAX (schema.py resident_cap)."""
+        from pathtracer_tpu.scene import clusters as clu
+        saved = clu.STREAM_MAX
+        try:
+            # 1500 tris > 1400//2: a UV mesh crosses the HALVED cap even
+            # though it is under STREAM_MAX itself
+            clu.STREAM_MAX = 1400
+            assert _uv_mesh_builder(1500).finalize().tri_dma
+            # 1500 tris <= 4096//2: under the halved cap -> resident
+            clu.STREAM_MAX = 4096
+            assert not _uv_mesh_builder(1500).finalize().tri_dma
+        finally:
+            clu.STREAM_MAX = saved
 
     def test_streamed_uv_render_matches_oracle(self):
         """End-to-end: a 1500-tri UV-textured mesh through the
