@@ -87,4 +87,13 @@ for br in 32 64 128; do
         > "$OUT/bench_w7_rows$br.json" 2>&1 || log "   w7 rows $br failed"
 done
 
+log "12. compiled-Mosaic smoke for the round-3 in-kernel surfaces"
+log "    (bump height3 fused fetch, TBN rotation, fog, dispersion,"
+log "    everything-at-once — interpret equivalence gates exist; this"
+log "    is the real-Mosaic lowering check)"
+timeout 3000 python experiments/kernel_surface_smoke.py 192x108 4 \
+    > "$OUT/surface_smoke.json" 2> "$OUT/surface_smoke.log" \
+    && log "   surface smoke ok" \
+    || log "   surface smoke FAILED ($OUT/surface_smoke.{json,log})"
+
 log "done; results in $OUT (bench_*.json, cross_*.log) + VERIFY_r03.json + images/"

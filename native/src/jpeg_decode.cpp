@@ -192,6 +192,7 @@ bool pt_load_jpeg(const char* path, int* out_w, int* out_h,
                 const int prec = seg[i] >> 4, id = seg[i] & 15;
                 if (id > 3) return false;
                 ++i;
+                if (i + (prec ? 128u : 64u) > seglen) return false;
                 for (int k = 0; k < 64; ++k)
                     if (prec) { qt[id][k] = static_cast<uint16_t>(
                                     (seg[i] << 8) | seg[i + 1]); i += 2; }
@@ -202,21 +203,26 @@ bool pt_load_jpeg(const char* path, int* out_w, int* out_h,
                 const int cls = seg[i] >> 4, id = seg[i] & 15;
                 if (id > 3 || cls > 1) return false;
                 ++i;
+                if (i + 16 > seglen) return false;
                 uint8_t counts[16];
                 int nvals = 0;
                 for (int k = 0; k < 16; ++k) { counts[k] = seg[i + k];
                                                nvals += counts[k]; }
                 i += 16;
-                if (nvals > 256) return false;
+                if (nvals > 256 ||
+                    i + static_cast<size_t>(nvals) > seglen)
+                    return false;
                 (cls ? hac : hdc)[id].build(counts, &seg[i], nvals);
                 i += static_cast<size_t>(nvals);
             }
         } else if (m == 0xC0 || m == 0xC1) {  // SOF0/1: baseline
+            if (seglen < 6) return false;
             if (seg[0] != 8) return false;   // 8-bit precision only
             H = u16(off + 5);
             W = u16(off + 7);
             ncomp = seg[5];
             if (ncomp != 1 && ncomp != 3) return false;
+            if (seglen < 6 + 3 * static_cast<size_t>(ncomp)) return false;
             for (int i = 0; i < ncomp; ++i) {
                 comp[i].id = seg[6 + 3 * i];
                 comp[i].hs = seg[7 + 3 * i] >> 4;
@@ -229,10 +235,13 @@ bool pt_load_jpeg(const char* path, int* out_w, int* out_h,
         } else if (m == 0xC2) {
             return false;  // progressive: out of scope
         } else if (m == 0xDD) {  // DRI
+            if (seglen < 2) return false;
             restart_interval = u16(off + 4);
         } else if (m == 0xDA) {  // SOS
+            if (seglen < 1) return false;
             const int ns = seg[0];
             if (ns != ncomp) return false;
+            if (seglen < 1 + 2 * static_cast<size_t>(ns)) return false;
             for (int i = 0; i < ns; ++i) {
                 const int cid = seg[1 + 2 * i];
                 for (int j = 0; j < ncomp; ++j)

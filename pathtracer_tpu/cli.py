@@ -25,6 +25,7 @@ Run: python -m pathtracer_tpu [options]
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
@@ -186,10 +187,17 @@ def main(argv=None):
         if args.tbn:
             scene = scene.replace(tbn_normal_maps=True)
         if args.fog > 0.0:
+            try:
+                fog_albedo = tuple(float(v)
+                                   for v in args.fog_albedo.split(","))
+            except ValueError:
+                fog_albedo = ()
+            if len(fog_albedo) != 3:
+                raise SystemExit("--fog-albedo needs R,G,B "
+                                 "(three comma-separated numbers)")
             scene = scene.replace(
                 fog_sigma_t=float(args.fog),
-                fog_albedo=tuple(float(v)
-                                 for v in args.fog_albedo.split(",")),
+                fog_albedo=fog_albedo,
                 fog_g=float(args.fog_g),
             )
 
@@ -290,12 +298,21 @@ def main(argv=None):
             pk = pk[:, ::-1]
         if "y" in args.flip:
             pk = pk[::-1]
-        ext = args.out.rsplit(".", 1)[-1].lower() if "." in args.out else ""
+        # splitext (not rsplit on the whole path) so a dotted DIRECTORY
+        # ("results.v2/render") reads as extensionless
+        ext = os.path.splitext(args.out)[1].lower().lstrip(".")
         if ext in ("bmp", ""):
             write_bmp(args.out, pk)
         else:
-            from PIL import Image
-            Image.fromarray(packed_to_rgb(pk)[::-1]).save(args.out)
+            try:
+                from PIL import Image
+                Image.fromarray(packed_to_rgb(pk)[::-1]).save(args.out)
+            except ValueError:
+                # unknown extension must not lose a finished render:
+                # fall back to the reference BMP bytes at the same path
+                print(f"(--out: unknown extension .{ext}; "
+                      "writing BMP bytes)")
+                write_bmp(args.out, pk)
         if args.png:
             from PIL import Image
             Image.fromarray(packed_to_rgb(pk)[::-1]).save(args.png)

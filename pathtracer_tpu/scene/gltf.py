@@ -266,7 +266,17 @@ def _load_inner(path: str, builder, want_textures: bool,
     materials = doc.get("materials", [])
     textures = doc.get("textures", [])
 
+    # A node-graph CYCLE (malformed input) would make the while-stack spin
+    # forever — non-termination escapes the loader's exception-based
+    # silent-no-op contract. A visit budget bounds the walk: a valid DAG
+    # visits each node at most once per distinct path, and the reference's
+    # cgltf inputs are trees, so 4x node count is generous; exceeding it
+    # raises into the caller's catch-all (-> no-op + builder rollback).
+    visit_budget = 4 * len(nodes) + 16
     while stack:
+        visit_budget -= 1
+        if visit_budget < 0:
+            raise ValueError("gltf node graph is cyclic or degenerate")
         ni, parent_m = stack.pop()
         node = nodes[ni]
         world_m = (parent_m @ _node_matrix(node) if apply_transforms

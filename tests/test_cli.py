@@ -130,6 +130,35 @@ class TestPreviewMidRender:
         got_f = np.asarray(Image.open(flipped).convert("RGB"))
         np.testing.assert_array_equal(ref[::-1, ::-1], got_f)
 
+    def test_out_odd_paths_never_lose_the_render(self, tmp_path):
+        """Extension dispatch edge cases must still write SOMETHING: a
+        dotted DIRECTORY with an extensionless filename reads as no
+        extension (BMP bytes, the old always-BMP behavior), and an
+        extension PIL can't encode falls back to BMP bytes at the same
+        path instead of crashing after the finished render."""
+        from pathtracer_tpu import cli
+
+        base = ["-w3", "-p1", "--size", "16x8", "--single-chip"]
+        dotted = tmp_path / "results.v2"
+        dotted.mkdir()
+        out1 = str(dotted / "render")
+        assert cli.main(base + ["--out", out1]) == 0
+        assert open(out1, "rb").read(2) == b"BM"
+        out2 = str(tmp_path / "render.dat")
+        assert cli.main(base + ["--out", out2]) == 0
+        assert open(out2, "rb").read(2) == b"BM"
+
+    def test_fog_albedo_arity_validated(self):
+        """A malformed --fog-albedo must fail at flag level with a clear
+        message, not deep inside trace compilation."""
+        from pathtracer_tpu import cli
+
+        base = ["-w3", "-p1", "--size", "8x6", "--single-chip",
+                "--fog", "0.1"]
+        for bad in ("1,1", "1,2,3,4", "1,x,3"):
+            with pytest.raises(SystemExit):
+                cli.main(base + ["--fog-albedo", bad])
+
     def test_trim_accum_drops_padding(self):
         import numpy as np
         from pathtracer_tpu.parallel.shard import trim_accum

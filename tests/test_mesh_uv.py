@@ -332,6 +332,27 @@ class TestGltfTextured:
                 assert len(b.materials) == 1 and len(b.textures) == 0, \
                     f"builder leak on case {i}"
 
+    def test_cyclic_node_graph_no_ops(self, tmp_path):
+        """A node-graph CYCLE (malformed input) must terminate as a
+        silent no-op like every other malformed file — non-termination
+        would escape the loader's exception-based contract (the visit
+        budget raises into the catch-all)."""
+        docs = [
+            {"asset": {"version": "2.0"}, "scenes": [{"nodes": [0]}],
+             "nodes": [{"children": [0]}]},  # self-loop
+            {"asset": {"version": "2.0"}, "scenes": [{"nodes": [0]}],
+             "nodes": [{"children": [1]}, {"children": [0]}]},  # 2-cycle
+        ]
+        for i, doc in enumerate(docs):
+            p = str(tmp_path / f"cycle{i}.gltf")
+            with open(p, "w") as f:
+                json.dump(doc, f)
+            b = WorldBuilder()
+            b.add_material(emit=(0.1, 0.1, 0.1))
+            pts, mats, uvs = load_gltf_textured(p, b)  # must return
+            assert pts is None
+            assert len(b.materials) == 1 and len(b.textures) == 0
+
     def test_node_transforms_baked(self, tmp_path):
         """apply_transforms bakes the node hierarchy's world matrices —
         the reference's 'instance transforms' TODO (win32_main.cpp:189):

@@ -172,6 +172,39 @@ class TestNativeCompare:
             assert out.returncode == 0 and "RMSE: 0.000000" in out.stdout, (
                 name, out.stdout)
 
+    def test_exe_rejects_malformed_jpeg(self, tmp_path, rng):
+        """Truncated/short JPEG segments must fail CLEANLY (nonzero exit,
+        no crash): each header below declares a segment length that runs
+        past EOF or is too short for its payload (the bounds-check class
+        in jpeg_decode.cpp's marker parser), and random truncations of a
+        real JPEG must never kill the process with a signal."""
+        from PIL import Image
+        exe = native.compare_exe_path()
+        headers = [
+            bytes([0xFF, 0xD8, 0xFF, 0xC0, 0x00, 0x02]),  # SOF0 len=2 @EOF
+            bytes([0xFF, 0xD8, 0xFF, 0xDB, 0x00, 0x03, 0x00]),  # short DQT
+            bytes([0xFF, 0xD8, 0xFF, 0xC4, 0x00, 0x03, 0x00]),  # short DHT
+            bytes([0xFF, 0xD8, 0xFF, 0xDD, 0x00, 0x03, 0x00]),  # short DRI
+            bytes([0xFF, 0xD8, 0xFF, 0xDA, 0x00, 0x03, 0x01]),  # short SOS
+        ]
+        for i, payload in enumerate(headers):
+            p = str(tmp_path / f"bad{i}.jpg")
+            with open(p, "wb") as f:
+                f.write(payload)
+            out = subprocess.run([exe, p, p], capture_output=True, text=True)
+            assert out.returncode > 0, (i, out.returncode, out.stdout)
+        good = str(tmp_path / "good.jpg")
+        img = rng.randint(0, 255, (24, 32, 3)).astype(np.uint8)
+        Image.fromarray(img).save(good, quality=85)
+        data = open(good, "rb").read()
+        for i, cut in enumerate(range(2, len(data), 7)):
+            p = str(tmp_path / f"cut{i}.jpg")
+            with open(p, "wb") as f:
+                f.write(data[:cut])
+            out = subprocess.run([exe, p, p], capture_output=True, text=True)
+            # graceful outcome either way; a SIGNAL death is the failure
+            assert out.returncode >= 0, (cut, out.returncode)
+
     def test_exe_reads_psd(self, tmp_path, rng):
         """PSD (raw + PackBits RLE, RGB + grayscale), hand-built files:
         PIL reads PSD, so gate vs PIL's decode saved as PNG."""
