@@ -96,4 +96,13 @@ timeout 3000 python experiments/kernel_surface_smoke.py 192x108 4 \
     && log "   surface smoke ok" \
     || log "   surface smoke FAILED ($OUT/surface_smoke.{json,log})"
 
+log "13. streamed-tier inner-loop shootout (the 'fewer ops per pair'"
+log "    lever): outer-vpu (field-major pair tiles), outer-mxu (dot terms"
+log "    on the MXU), divfree, static-row — vs the production extract-blk"
+timeout 2400 python experiments/stream_extract_micro.py 4608 16 \
+    extract-blk,extract-sls,divfree-sls,static-row,outer-vpu,outer-mxu \
+    > "$OUT/stream_shootout.log" 2>&1 \
+    && log "   shootout ok ($OUT/stream_shootout.log)" \
+    || log "   shootout failed"
+
 log "done; results in $OUT (bench_*.json, cross_*.log) + VERIFY_r03.json + images/"

@@ -24,10 +24,19 @@ f32 vregs) should cost ~200-400 ns. Variants isolate the remainder:
                   (R,1) columns, every (ray, tri) pair in (R,128) vector
                   ops, zero extraction. (Same elementwise pair count as A;
                   tests whether Mosaic schedules broadcasted ops better.)
+  E outer-mxu   : the six per-pair dot terms ride the MXU — a host-packed
+                  covector matrix C (8, 6*128) per 128-tri cluster, rays
+                  as U (tile, 8); one jnp.dot per cluster yields all six
+                  (tile, 128) term planes, leaving only the ~20-op
+                  elementwise epilogue + lane-min on the VPU. K=8 wastes
+                  15/16 of the MXU's contraction depth and is still ~25
+                  VPU ops' worth of work per pair moved off the vector
+                  unit. Not bit-exact vs A (MXU accumulation order).
 
 Usage: python experiments/stream_extract_micro.py [NTRI] [REPS]
 """
 import functools
+import os
 import sys
 import time
 
@@ -37,6 +46,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+_INTERPRET = bool(os.environ.get("PT_MICRO_INTERPRET"))  # CPU check mode
 N_TRI = int(sys.argv[1]) if len(sys.argv) > 1 else 1152
 REPS = int(sys.argv[2]) if len(sys.argv) > 2 else 32
 ROWS, LANES = 256, 128
@@ -56,6 +66,29 @@ fm = np.zeros((n_cl * F, 128), np.float32)
 for c in range(n_cl):
     chunk = rec[c * 128:(c + 1) * 128]
     fm[c * F: c * F + F, : len(chunk)] = chunk.T
+
+# MXU covector twin: per 128-tri cluster a (8, 6*128) matrix C such that
+# U @ C yields the six per-pair dot terms, with U = [ox oy 1 dx dy 0 0 0].
+# Term lane-plane order: no+f2, nd, e1o, e1d, e2o, e2d (matching outer-vpu;
+# constant terms -f7/-f11/f3 stay in the epilogue so C needs only ray-
+# coefficient rows).
+cmat = np.zeros((n_cl * 8, 6 * 128), np.float32)
+for c in range(n_cl):
+    fmc = fm[c * F: c * F + F]  # (13, 128) field rows of this cluster
+    blk = cmat[c * 8:(c + 1) * 8]
+    blk[0, 0 * 128:1 * 128] = fmc[0]   # no: ox * f0
+    blk[1, 0 * 128:1 * 128] = fmc[1]   #     oy * f1
+    blk[2, 0 * 128:1 * 128] = fmc[2]   #     1  * f2
+    blk[3, 1 * 128:2 * 128] = fmc[0]   # nd: dx * f0
+    blk[4, 1 * 128:2 * 128] = fmc[1]   #     dy * f1
+    blk[0, 2 * 128:3 * 128] = fmc[4]   # e1o
+    blk[1, 2 * 128:3 * 128] = fmc[5]
+    blk[3, 3 * 128:4 * 128] = fmc[4]   # e1d
+    blk[4, 3 * 128:4 * 128] = fmc[5]
+    blk[0, 4 * 128:5 * 128] = fmc[8]   # e2o
+    blk[1, 4 * 128:5 * 128] = fmc[9]
+    blk[3, 5 * 128:6 * 128] = fmc[8]   # e2d (dy coeff f10: toy quirk,
+    blk[4, 5 * 128:6 * 128] = fmc[10]  #      matches carry_update)
 
 o = rng.rand(ROWS, LANES).astype(np.float32)
 d = rng.rand(ROWS, LANES).astype(np.float32) + 0.5
@@ -135,6 +168,7 @@ def kernel_extract(mode: str, reps: int):
             w_ref[:] = w
     return pl.pallas_call(
         kern,
+        interpret=_INTERPRET,
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
         out_shape=[jax.ShapeDtypeStruct((ROWS, LANES), jnp.float32)] * 2,
@@ -160,6 +194,7 @@ def kernel_smem_unroll(reps: int):
         w_ref[:] = w
     return pl.pallas_call(
         kern,
+        interpret=_INTERPRET,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -210,6 +245,7 @@ def kernel_static(grouped: bool, reps: int):
         w_ref[:] = w
     return pl.pallas_call(
         kern,
+        interpret=_INTERPRET,
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
         out_shape=[jax.ShapeDtypeStruct((ROWS, LANES), jnp.float32)] * 2,
@@ -266,7 +302,74 @@ def kernel_outer(reps: int, tile: int = 1024):
         jax.lax.fori_loop(0, n_t, tile_body, 0)
     return pl.pallas_call(
         kern,
+        interpret=_INTERPRET,
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((ROWS, LANES), jnp.float32)] * 2,
+    )
+
+
+def kernel_outer_mxu(reps: int, tile: int = 1024):
+    """Variant E: the six dot terms via one (tile, 8) @ (8, 6*128) MXU
+    matmul per cluster; epilogue constants (f3/f7/f11/f12) still read from
+    the field-major rows."""
+    n_t = R // tile
+
+    def kern(o_ref, d_ref, fm_ref, cm_ref, out_ref, w_ref):
+        def tile_body(ti, _):
+            rows_per = tile // LANES
+            ox = o_ref[pl.ds(ti * rows_per, rows_per), :].reshape(tile, 1)
+            dx = d_ref[pl.ds(ti * rows_per, rows_per), :].reshape(tile, 1)
+            oy, dy = ox * 0.5, dx * 0.5
+            one = ox * 0.0 + 1.0
+            zero = ox * 0.0
+            # U: (tile, 8) ray-feature matrix
+            u_mat = jnp.concatenate(
+                [ox, oy, one, dx, dy, zero, zero, zero], axis=1)
+
+            def rep_body(rr, cc):
+                def cl_body(c, cc):
+                    t_r, w = cc
+                    cm = cm_ref[pl.ds(c * 8, 8), :]       # (8, 768)
+                    rows = fm_ref[pl.ds(c * F, F), :]     # (13, 128)
+
+                    def fr(j):
+                        return rows[j:j + 1, :]
+                    p = jnp.dot(u_mat, cm,
+                                preferred_element_type=jnp.float32)
+                    no = p[:, 0 * 128:1 * 128]
+                    nd = p[:, 1 * 128:2 * 128]
+                    e1o = p[:, 2 * 128:3 * 128]
+                    e1d = p[:, 3 * 128:4 * 128]
+                    e2o = p[:, 4 * 128:5 * 128]
+                    e2d = p[:, 5 * 128:6 * 128]
+                    valid = jnp.abs(nd) > 1e-9
+                    t = (fr(3) - no) / jnp.where(valid, nd, 1.0)
+                    alpha = (e1o - fr(7)) + t * e1d
+                    beta = (e2o - fr(11)) + t * e2d
+                    hit = valid & (alpha >= 0.0) & (beta >= 0.0) \
+                        & (alpha + beta <= 1.0) & (t > 1e-4)
+                    tm = jnp.where(hit, t, 1e30)
+                    t_best = jnp.min(tm, axis=1, keepdims=True)
+                    improved = t_best < t_r
+                    one_hot = (tm == t_best) & improved
+                    w_new = jnp.max(jnp.where(one_hot, fr(12), -1e30),
+                                    axis=1, keepdims=True)
+                    return (jnp.where(improved, t_best, t_r),
+                            jnp.where(improved, w_new, w))
+                return jax.lax.fori_loop(0, n_cl, cl_body, cc)
+            t_r, w = jax.lax.fori_loop(0, reps, rep_body,
+                                       (zero + 1e30, zero))
+            out_ref[pl.ds(ti * rows_per, rows_per), :] = \
+                t_r.reshape(rows_per, LANES)
+            w_ref[pl.ds(ti * rows_per, rows_per), :] = \
+                w.reshape(rows_per, LANES)
+            return 0
+        jax.lax.fori_loop(0, n_t, tile_body, 0)
+    return pl.pallas_call(
+        kern,
+        interpret=_INTERPRET,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
         out_shape=[jax.ShapeDtypeStruct((ROWS, LANES), jnp.float32)] * 2,
     )
@@ -306,6 +409,7 @@ if __name__ == "__main__":
     maybe("static-row", kernel_static(True, REPS), o, d)
     maybe("divfree-sls", kernel_extract("divfree", REPS), o, d, pack)
     maybe("outer-vpu", kernel_outer(REPS), o, d, fm)
+    maybe("outer-mxu", kernel_outer_mxu(REPS), o, d, fm, cmat)
 
     a = results.get("extract-blk")
     for name in ("extract-sls", "smem-unroll", "static-imm", "static-row",
@@ -319,3 +423,12 @@ if __name__ == "__main__":
         print("A~=outer-vpu (t):", bool(np.allclose(np.asarray(a[0]),
                                                     np.asarray(x[0]),
                                                     atol=1e-4)))
+    x = results.get("outer-mxu")
+    if a is not None and x is not None:
+        # MXU accumulation order differs from the scalar dots: a last-bit
+        # t difference can flip a hit right at an edge — compare medians
+        da = np.asarray(a[0]).ravel()
+        dx_ = np.asarray(x[0]).ravel()
+        close = np.isclose(da, dx_, atol=1e-3, rtol=1e-4)
+        print(f"A~=outer-mxu (t): {close.mean():.4f} close "
+              f"(median |d| {np.median(np.abs(da - dx_)):.2e})")
