@@ -105,4 +105,20 @@ timeout 2400 python experiments/stream_extract_micro.py 4608 16 \
     && log "   shootout ok ($OUT/stream_shootout.log)" \
     || log "   shootout failed"
 
+log "14. field-major streamed tier (PT_FM_TIER=1) vs record rows —"
+log "    the production form of the outer-* shootout variants; crossover"
+log "    ablation on the cloud + surface series"
+for n in 2048 8192 32768 100000; do
+    PT_FM_TIER=1 timeout 1800 python experiments/accel_crossover.py $n on 4 \
+        > "$OUT/cross_cloud_${n}_fm.log" 2>&1 || log "   fm cloud $n failed"
+done
+for n in 32768 100000 250000; do
+    PT_FM_TIER=1 timeout 2400 python experiments/accel_crossover.py $n on 4 \
+        sphere > "$OUT/cross_sphere_${n}_fm.log" 2>&1 \
+        || log "   fm sphere $n failed"
+done
+PT_FM_TIER=1 timeout 1800 python -m pathtracer_tpu -w7 -p4 --size 320x180 \
+    --out "$OUT/meshuv_fm_chip.png" > "$OUT/meshuv_fm.log" 2>&1 \
+    && log "   fm mesh-UV kernel ok" || log "   fm mesh-UV kernel FAILED"
+
 log "done; results in $OUT (bench_*.json, cross_*.log) + VERIFY_r03.json + images/"

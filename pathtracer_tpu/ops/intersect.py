@@ -292,7 +292,14 @@ def _intersect_triangles_streamed(scene: Scene, o: Vec3, d: Vec3,
     leaf = scene.stream_leaf
     per = clu.STREAM_TRIS_PER_ROW
     F = clu.STREAM_FIELDS
-    rpc = clu.stream_rows_per_cluster(leaf)  # static rows per cluster
+    # field-major layout (PT_FM_TIER=1): mtri_pack holds
+    # clusters.pack_stream_fm tiles; record rows and uv rows have
+    # DIFFERENT per-cluster row counts (13 vs 6 per 128-tri tile)
+    fm = scene.stream_fm
+    tpc = clu.fm_tiles_per_cluster(leaf)
+    rpc = (clu.fm_rows_per_cluster(leaf) if fm
+           else clu.stream_rows_per_cluster(leaf))  # static rows/cluster
+    rpc_uv = clu.fm_uv_rows_per_cluster(leaf) if fm else rpc
     # DMA mode (scene.tri_dma, > STREAM_MAX tris): the pack rows live in
     # HBM; render/pallas_backend hands the kernel a 2-slot VMEM scratch
     # (2*rpc rows) + DMA semaphore pair through the scene pytree. Only the
@@ -311,22 +318,52 @@ def _intersect_triangles_streamed(scene: Scene, o: Vec3, d: Vec3,
     def _dma_copy_uv(c, slot):
         from jax.experimental.pallas import tpu as pltpu
         return pltpu.make_async_copy(
-            scene.mtri_uvpack.at[pl.ds(c * rpc, rpc), :],
-            scene.stream_uv_scratch.at[pl.ds(slot * rpc, rpc), :],
+            scene.mtri_uvpack.at[pl.ds(c * rpc_uv, rpc_uv), :],
+            scene.stream_uv_scratch.at[pl.ds(slot * rpc_uv, rpc_uv), :],
             scene.stream_uv_sem.at[slot])
 
-    def row_bcast(tab, i):
+    def _rows_slice(tab, i, n):
         # refs (compiled OR interpret kernels) slide the sublane axis with
         # pl.ds; plain arrays (XLA equivalence-test path) use dynamic_slice
         if "Ref" in type(jax.typeof(tab)).__name__:
-            r = tab[pl.ds(i, 1), :]
-        else:
-            r = jax.lax.dynamic_slice_in_dim(tab, i, 1, axis=0)
-        return jnp.broadcast_to(r, shape)
+            return tab[pl.ds(i, n), :]
+        return jax.lax.dynamic_slice_in_dim(tab, i, n, axis=0)
+
+    def row_bcast(tab, i):
+        r = _rows_slice(tab, i, 1)
+        # fm column space: keep the raw (1, 128) row — lane() broadcasts
+        # per-field via a STATIC lane slice (no take_along_axis)
+        return r if fm else jnp.broadcast_to(r, shape)
 
     def lane(rowb, j):
+        if fm:
+            return jnp.broadcast_to(rowb[:, j:j + 1], shape)
         idx = jnp.broadcast_to(jnp.asarray(j, jnp.int32), shape)
         return jnp.take_along_axis(rowb, idx, axis=-1)
+
+    orig_shape = shape
+    if fm:
+        # Field-major pair layout: rays relayout ONCE per bounce into
+        # (R, 1) columns and the WHOLE traversal (slab tests, carries)
+        # runs in column space — every (ray, triangle) pair is then a
+        # lane of a (chunk, 128) vector op against the tile's (1, 128)
+        # field rows: no per-triangle extraction, no per-triangle select
+        # chain (the winner is a lane-min reduce). Outputs reshape back
+        # at the end. Ray chunks bound the pair temps to ~(1024, 128)
+        # f32 so VMEM stays flat.
+        R = 1
+        for s in shape:
+            R *= int(s)
+        _col = lambda a: a.reshape(R, 1)
+        o = Vec3(_col(o.x), _col(o.y), _col(o.z))
+        d = Vec3(_col(d.x), _col(d.y), _col(d.z))
+        best = Hit(_col(best.t), _col(best.mat),
+                   Vec3(_col(best.normal.x), _col(best.normal.y),
+                        _col(best.normal.z)))
+        shape = (R, 1)
+        fm_lane = jax.lax.broadcasted_iota(jnp.float32, (1, 128), 1)
+        FM_CH = 1024 if R % 1024 == 0 else R
+        fm_nch = R // FM_CH
 
     t_init = best.t
     # loop-invariant per bounce: hoisted out of the cluster loop
@@ -472,7 +509,106 @@ def _intersect_triangles_streamed(scene: Scene, o: Vec3, d: Vec3,
                 return jax.lax.cond(jnp.any(rowrel), test9,
                                     lambda cc: cc, cc)
 
+            def fm_tests(cc):
+                # Field-major tiles (clusters.pack_stream_fm): the tile's
+                # 13 field rows load once; every (ray, triangle) pair is
+                # a lane of a (FM_CH, 128) vector op. The winner is a
+                # lane-min reduce; ties pick the lowest lane then the
+                # earliest tile/cluster (strict-<), matching the record
+                # loop's sequential first-win order. Attributes (and uv)
+                # resolve under a rare any-improved branch via a unique
+                # one-hot lane mask — no per-lane gathers.
+                FMF = clu.FM_FIELDS
+                for tl in range(tpc):
+                    if dma:
+                        rows = scene.stream_scratch[
+                            pl.ds(slot * rpc + tl * FMF, FMF), :]
+                    else:
+                        rows = _rows_slice(scene.mtri_pack,
+                                           (c * tpc + tl) * FMF, FMF)
+
+                    def chunk_body(k, cc, rows=rows, tl=tl):
+                        # miss fill must equal the carry's init (F32_MAX)
+                        # so an all-miss tile never "improves" a miss ray
+                        FMBIG = jnp.float32(F32_MAX)
+                        NEGBIG = jnp.float32(-3e38)
+                        fr = lambda j: rows[j:j + 1, :]
+                        s0 = k * FM_CH
+                        sl = lambda a: jax.lax.dynamic_slice_in_dim(
+                            a, s0, FM_CH, axis=0)
+                        ox, oy, oz = sl(o.x), sl(o.y), sl(o.z)
+                        dx, dy, dz = sl(d.x), sl(d.y), sl(d.z)
+                        denom = fr(0) * dx + fr(1) * dy + fr(2) * dz
+                        valid = (denom < -TOLERANCE) | (denom > TOLERANCE)
+                        no_ = fr(0) * ox + fr(1) * oy + fr(2) * oz
+                        t = (fr(3) - no_) / jnp.where(valid, denom, 1.0)
+                        e1o = fr(4) * ox + fr(5) * oy + fr(6) * oz
+                        e1d = fr(4) * dx + fr(5) * dy + fr(6) * dz
+                        alpha = (e1o - fr(7)) + t * e1d
+                        e2o = fr(8) * ox + fr(9) * oy + fr(10) * oz
+                        e2d = fr(8) * dx + fr(9) * dy + fr(10) * dz
+                        beta = (e2o - fr(11)) + t * e2d
+                        hit = (valid & (alpha >= 0.0) & (beta >= 0.0)
+                               & ((alpha + beta) <= 1.0)
+                               & (t > MIN_HIT_DISTANCE))
+                        tm = jnp.where(hit, t, FMBIG)
+                        t_best = jnp.min(tm, axis=1, keepdims=True)
+                        cur = tuple(sl(x) for x in cc)
+                        improved = t_best < cur[0]
+
+                        def resolve(cur):
+                            oh = (tm == t_best) & improved
+                            wl = jnp.min(jnp.where(oh, fm_lane, FMBIG),
+                                         axis=1, keepdims=True)
+                            oh1 = oh & (fm_lane == wl)
+
+                            def pick(row):
+                                return jnp.max(
+                                    jnp.where(oh1, jnp.broadcast_to(
+                                        row, tm.shape), NEGBIG),
+                                    axis=1, keepdims=True)
+                            out = (jnp.where(improved, t_best, cur[0]),
+                                   jnp.where(improved, pick(fr(0)), cur[1]),
+                                   jnp.where(improved, pick(fr(1)), cur[2]),
+                                   jnp.where(improved, pick(fr(2)), cur[3]),
+                                   jnp.where(improved, pick(fr(12)), cur[4]))
+                            if want_uv:
+                                FMU = clu.FM_UV_ROWS
+                                if dma_uv:
+                                    uvr = scene.stream_uv_scratch[
+                                        pl.ds(slot * rpc_uv + tl * FMU,
+                                              FMU), :]
+                                else:
+                                    uvr = _rows_slice(
+                                        scene.mtri_uvpack,
+                                        (c * tpc + tl) * FMU, FMU)
+                                fu = lambda j: uvr[j:j + 1, :]
+                                # winner uv: the same interpolation the
+                                # record loop applies to (aw, bw) — pick
+                                # extracts the winner lane's value
+                                up = fu(0) + alpha * fu(2) + beta * fu(4)
+                                vp = fu(1) + alpha * fu(3) + beta * fu(5)
+                                out += (jnp.where(improved, pick(up),
+                                                  cur[5]),
+                                        jnp.where(improved, pick(vp),
+                                                  cur[6]))
+                            return out
+
+                        merged = jax.lax.cond(jnp.any(improved), resolve,
+                                              lambda cur: cur, cur)
+                        return tuple(
+                            jax.lax.dynamic_update_slice_in_dim(
+                                full, m, s0, axis=0)
+                            for full, m in zip(cc, merged))
+                    if fm_nch == 1:
+                        cc = chunk_body(0, cc)
+                    else:
+                        cc = jax.lax.fori_loop(0, fm_nch, chunk_body, cc)
+                return cc
+
             def run(cc):
+                if fm:
+                    return fm_tests(cc)
                 return jax.lax.fori_loop(0, rpc, row_body, cc)
 
             return jax.lax.cond(jnp.any(relevant), run, lambda cc: cc, carry)
@@ -543,8 +679,18 @@ def _intersect_triangles_streamed(scene: Scene, o: Vec3, d: Vec3,
         jnp.where(found, mf.astype(jnp.int32), best.mat),
         vwhere(found, Vec3(nx, ny, nz), best.normal),
     )
+    uvx = carry[5] if want_uv else None
+    uvy = carry[6] if want_uv else None
+    if fm:
+        # column space -> the caller's ray shape
+        back = lambda a: a.reshape(orig_shape)
+        h = Hit(back(h.t), back(h.mat),
+                Vec3(back(h.normal.x), back(h.normal.y), back(h.normal.z)))
+        found = back(found)
+        if want_uv:
+            uvx, uvy = back(uvx), back(uvy)
     if want_uv:
-        return h, carry[5], carry[6], found
+        return h, uvx, uvy, found
     return h
 
 

@@ -551,11 +551,17 @@ def render_chunk_pallas(
     scratch_shapes = []
     if dma_mode:
         from ..scene import clusters as _clu
-        rpc = _clu.stream_rows_per_cluster(scene.stream_leaf)
+        if scene.stream_fm:
+            rpc = _clu.fm_rows_per_cluster(scene.stream_leaf)
+            rpc_uv = _clu.fm_uv_rows_per_cluster(scene.stream_leaf)
+        else:
+            rpc = _clu.stream_rows_per_cluster(scene.stream_leaf)
+            rpc_uv = rpc
         scratch_shapes = [pltpu.VMEM((2 * rpc, _LANES), jnp.float32),
                           pltpu.SemaphoreType.DMA((2,))]
         if uvpack_idx is not None:
-            scratch_shapes += [pltpu.VMEM((2 * rpc, _LANES), jnp.float32),
+            scratch_shapes += [pltpu.VMEM((2 * rpc_uv, _LANES),
+                                          jnp.float32),
                                pltpu.SemaphoreType.DMA((2,))]
     out_shape = [jax.ShapeDtypeStruct((rows_total, _LANES), jnp.float32)
                  for _ in range(9)]

@@ -413,6 +413,78 @@ def pack_stream_uv(uvt: np.ndarray, clusters: tuple, leaf: int):
     return rows
 
 
+# Field-major ("outer") streamed layout — PT_FM_TIER=1, measured against
+# the record-row layout by experiments/stream_extract_micro.py's
+# outer-vpu/outer-mxu variants. Per 128-triangle TILE, FM_FIELDS rows of
+# 128 lanes: row f holds field f of the tile's 128 triangles (lane =
+# triangle). The kernel computes every (ray, triangle) pair as (rays,
+# 128) vector ops — triangles ride the lane axis, rays the sublane axis
+# — with zero per-triangle extraction and a lane-min winner reduce
+# instead of a per-triangle select chain (ops/intersect fm branch).
+# Field order matches STREAM_FIELDS: n3 d e1(3) a0 e2(3) b0 mat.
+FM_FIELDS = 13
+FM_UV_ROWS = 6  # u0 v0 du1 dv1 du2 dv2 (texel space, like pack_stream_uv)
+
+
+def fm_tiles_per_cluster(leaf: int) -> int:
+    return -(-leaf // 128)
+
+
+def fm_rows_per_cluster(leaf: int) -> int:
+    return fm_tiles_per_cluster(leaf) * FM_FIELDS
+
+
+def fm_uv_rows_per_cluster(leaf: int) -> int:
+    return fm_tiles_per_cluster(leaf) * FM_UV_ROWS
+
+
+def pack_stream_fm(pre: dict, mats: np.ndarray, clusters: tuple,
+                   leaf: int) -> np.ndarray:
+    """Field-major record rows: cluster c tile tl occupies rows
+    [(c*tpc + tl)*FM_FIELDS, ...+FM_FIELDS). Padding lanes stay zero
+    (n = 0 -> |denom| < TOLERANCE -> never hit), so tie/order semantics
+    match the record-row pack exactly (triangle order is preserved:
+    lane = cluster-local index % 128, tile = index // 128)."""
+    tpc = fm_tiles_per_cluster(leaf)
+    fields = [
+        pre["n"][:, 0], pre["n"][:, 1], pre["n"][:, 2], pre["d"],
+        pre["e1"][:, 0], pre["e1"][:, 1], pre["e1"][:, 2], pre["a0"],
+        pre["e2"][:, 0], pre["e2"][:, 1], pre["e2"][:, 2], pre["b0"],
+        mats.astype(np.float32),
+    ]
+    out = np.zeros((len(clusters) * tpc * FM_FIELDS, 128), np.float32)
+    for ci, (off, cnt, _, _) in enumerate(clusters):
+        for tl in range(tpc):
+            lo = off + tl * 128
+            hi = min(off + cnt, lo + 128)
+            if lo >= hi:
+                continue
+            base = (ci * tpc + tl) * FM_FIELDS
+            for f, arr in enumerate(fields):
+                out[base + f, : hi - lo] = arr[lo:hi]
+    return out
+
+
+def pack_stream_fm_uv(uvt: np.ndarray, clusters: tuple,
+                      leaf: int) -> np.ndarray:
+    """UV rows parallel to pack_stream_fm's tiles: cluster c tile tl
+    occupies rows [(c*tpc + tl)*FM_UV_ROWS, ...+FM_UV_ROWS), row k =
+    uv field k of the tile's 128 triangles. Loaded only under the
+    improved-winner branch (like pack_stream_uv's rows)."""
+    tpc = fm_tiles_per_cluster(leaf)
+    out = np.zeros((len(clusters) * tpc * FM_UV_ROWS, 128), np.float32)
+    for ci, (off, cnt, _, _) in enumerate(clusters):
+        for tl in range(tpc):
+            lo = off + tl * 128
+            hi = min(off + cnt, lo + 128)
+            if lo >= hi:
+                continue
+            base = (ci * tpc + tl) * FM_UV_ROWS
+            for k in range(FM_UV_ROWS):
+                out[base + k, : hi - lo] = uvt[lo:hi, k]
+    return out
+
+
 def sphere_bounds(centers: np.ndarray, radii: np.ndarray):
     """Per-sphere AABBs from (N,3) centers and (N,) radii."""
     c = np.asarray(centers, np.float64)

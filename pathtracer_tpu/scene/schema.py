@@ -285,6 +285,12 @@ class Scene:
     # row when no lane can beat its slab entry. Pure pruning (bit-equal
     # results); PT_NO_ROW_CULL=1 disables for ablation.
     stream_row_cull: bool = struct.field(pytree_node=False, default=False)
+    # Field-major ("outer") streamed layout (PT_FM_TIER=1): mtri_pack /
+    # mtri_uvpack hold clusters.pack_stream_fm tiles instead of record
+    # rows — pairs compute as (rays, 128) vector ops with triangles on
+    # the lane axis (ops/intersect fm branch). Same hierarchy, bounds and
+    # DMA machinery; row-cull n/a (no spare lanes).
+    stream_fm: bool = struct.field(pytree_node=False, default=False)
     # Kernel-only plumbing for the DMA tier: render/pallas_backend fills
     # these with the VMEM scratch ref and DMA semaphore array inside the
     # kernel (None everywhere else — None flattens to no pytree leaves).
@@ -567,6 +573,7 @@ class WorldBuilder:
         mtri_prange = np.zeros((1, 2), i32)
         tri_streamed = False
         tri_dma = False
+        stream_fm = False
         stream_leaf = 0
         n_stream_clusters = 0
         n_stream_parents = 0
@@ -594,8 +601,16 @@ class WorldBuilder:
                 mtri_bounds, mtri_pack, flat = clu.pack_stream_clusters(
                     ctri, ctri_m, tri_clusters, stream_leaf,
                     tri_bounds=(bmn[order], bmx[order]))
+                import os as _os
+                stream_fm = bool(_os.environ.get("PT_FM_TIER"))
+                if stream_fm:
+                    # field-major layout replaces the record rows (same
+                    # bounds/hierarchy; ops/intersect fm branch)
+                    mtri_pack = clu.pack_stream_fm(
+                        ctri, ctri_m, tri_clusters, stream_leaf)
                 if has_mesh_uvs:
-                    mtri_uvpack = clu.pack_stream_uv(
+                    mtri_uvpack = (clu.pack_stream_fm_uv if stream_fm
+                                   else clu.pack_stream_uv)(
                         ctri_uvt, tri_clusters, stream_leaf)
                     ctri_uvt = np.zeros((1, 6), f32)
                 n_stream_clusters = len(tri_clusters)
@@ -865,8 +880,9 @@ class WorldBuilder:
             mtri_prange=jnp.asarray(mtri_prange),
             tri_streamed=tri_streamed,
             tri_dma=tri_dma,
-            stream_row_cull=(tri_streamed
+            stream_row_cull=(tri_streamed and not stream_fm
                              and not _os.environ.get("PT_NO_ROW_CULL")),
+            stream_fm=stream_fm,
             stream_leaf=stream_leaf,
             n_stream_clusters=n_stream_clusters,
             n_stream_parents=n_stream_parents,

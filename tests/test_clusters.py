@@ -436,3 +436,127 @@ class TestTexelSortPermutation:
         pix = jnp.arange(64 * 36, dtype=jnp.int32)
         perm = np.asarray(_texel_sort(scene, camera, cfg, pix))
         assert sorted(perm.tolist()) == list(range(64 * 36))
+
+
+class TestFmTier:
+    """Field-major ("outer") streamed layout (PT_FM_TIER=1,
+    clusters.pack_stream_fm + ops/intersect fm branch): a pure re-layout
+    of the record rows — same covectors, same expression order, winner by
+    lane-min with lowest-lane ties (= the record loop's sequential
+    first-win order) — so it must produce identical winners and t to f32
+    tolerance vs the record-row tier, and be BIT-EQUAL between its own
+    resident and DMA forms."""
+
+    def _scene(self, n, fm, dma=False, uv=False):
+        import os
+        if fm:
+            os.environ["PT_FM_TIER"] = "1"
+        if dma:
+            os.environ["PT_STREAM_DMA"] = "1"
+        try:
+            rng = np.random.RandomState(6)
+            b = WorldBuilder()
+            b.add_material(emit=(0.1, 0.2, 0.3))
+            if uv:
+                check = (np.indices((16, 16)).sum(0) % 2)[..., None]
+                tex = (np.round((check.repeat(3, 2) * 0.6 + 0.2) * 255.0)
+                       / 255.0).astype(np.float32)
+                m = b.add_material(albedo=(1.0, 0.9, 0.8), roughness=0.7,
+                                   albedo_idx=b.add_texture(tex))
+            else:
+                m = b.add_material(albedo=(0.6, 0.5, 0.4))
+            m2 = b.add_material(albedo=(0.2, 0.6, 0.3))
+            base = (rng.rand(n, 1, 3) - 0.5) * 20.0
+            tris = base + (rng.rand(n, 3, 3) - 0.5) * 1.2
+            mats = np.where(rng.rand(n) < 0.5, m, m2).astype(np.int32)
+            uvs = (rng.rand(n * 3, 2).astype(np.float32) * 2.0
+                   if uv else None)
+            b.set_mesh(tris.reshape(-1, 3).astype(np.float32),
+                       np.repeat(mats, 3), uvs=uvs)
+            return b.finalize()
+        finally:
+            os.environ.pop("PT_FM_TIER", None)
+            os.environ.pop("PT_STREAM_DMA", None)
+
+    def test_fm_tables_and_flags(self):
+        scene = self._scene(2000, fm=True)
+        assert scene.tri_streamed and scene.stream_fm
+        assert not scene.stream_row_cull  # n/a: no spare lanes
+        tpc = clu.fm_tiles_per_cluster(scene.stream_leaf)
+        assert scene.mtri_pack.shape == (
+            scene.n_stream_clusters * tpc * clu.FM_FIELDS, 128)
+
+    def test_fm_matches_record_tier(self):
+        rec = self._scene(2000, fm=False)
+        fms = self._scene(2000, fm=True)
+        rng = np.random.RandomState(9)
+        o1, d1 = _rays(rng, n=1024)
+        rs = lambda a: a.reshape(8, 128)
+        o = Vec3(rs(o1.x), rs(o1.y), rs(o1.z))
+        d = Vec3(rs(d1.x), rs(d1.y), rs(d1.z))
+        shape = o.x.shape
+        best = lambda: isect.Hit(
+            jnp.full(shape, isect.F32_MAX), jnp.zeros(shape, jnp.int32),
+            Vec3(jnp.zeros(shape), jnp.zeros(shape), jnp.zeros(shape)))
+        isect._tracing_pallas_kernel = True
+        try:
+            a = isect.intersect_triangles_brute(rec, o, d, best())
+            b = isect.intersect_triangles_brute(fms, o, d, best())
+        finally:
+            isect._tracing_pallas_kernel = False
+        _assert_same_hits(a, b)
+        # normals of the winners must match too (same records)
+        np.testing.assert_allclose(np.asarray(a.normal.x),
+                                   np.asarray(b.normal.x),
+                                   rtol=1e-6, atol=1e-6)
+
+    def test_fm_render_matches_record_tier(self):
+        """Interpret-mode kernel renders, mesh-UV scene: the fm tier
+        carries the winner's interpolated texcoord through the one-hot
+        resolve — same estimator, re-layout only (fma-fusion rounding
+        class)."""
+        from pathtracer_tpu.render.renderer import (
+            RenderConfig, init_accum, render_chunk, resolve,
+        )
+        from pathtracer_tpu.scene.camera import define_camera
+        from pathtracer_tpu.utils import prng
+        rec = self._scene(2000, fm=False, uv=True)
+        fms = self._scene(2000, fm=True, uv=True)
+        assert fms.has_mesh_uvs and fms.stream_fm
+        w, h, pp = 16, 8, 2
+        cam = define_camera((0, -24, 2), (0, 0, 0), 35.0, w, h)
+        cfg = RenderConfig(width=w, height=h, pp=pp, seed=3,
+                           backend="pallas-interpret")
+        key = prng.base_key(3)
+        imgs = []
+        for sc in (rec, fms):
+            st = render_chunk(sc, cam, cfg, key, np.int32(0), cfg.spp,
+                              init_accum(w * h))
+            imgs.append(np.asarray(resolve(st, cfg)))
+        dd = np.abs(imgs[0] - imgs[1]).max(axis=-1)
+        assert np.median(dd) < 1e-5, float(np.median(dd))
+        assert (dd > 1e-2).mean() < 0.05, float((dd > 1e-2).mean())
+
+    def test_fm_dma_bit_equal_to_resident(self):
+        """fm resident vs fm DMA (double-buffered fm tiles + uv rows
+        through their own scratch): identical arithmetic, data movement
+        only — BIT-EQUAL."""
+        from pathtracer_tpu.render.renderer import (
+            RenderConfig, init_accum, render_chunk, resolve,
+        )
+        from pathtracer_tpu.scene.camera import define_camera
+        from pathtracer_tpu.utils import prng
+        res = self._scene(2000, fm=True, uv=True)
+        dyn = self._scene(2000, fm=True, dma=True, uv=True)
+        assert dyn.tri_dma and dyn.stream_fm and dyn.n_stream_parents > 0
+        w, h, pp = 16, 8, 2
+        cam = define_camera((0, -24, 2), (0, 0, 0), 35.0, w, h)
+        cfg = RenderConfig(width=w, height=h, pp=pp, seed=3,
+                           backend="pallas-interpret")
+        key = prng.base_key(3)
+        imgs = []
+        for sc in (res, dyn):
+            st = render_chunk(sc, cam, cfg, key, np.int32(0), cfg.spp,
+                              init_accum(w * h))
+            imgs.append(np.asarray(resolve(st, cfg)))
+        np.testing.assert_array_equal(imgs[0], imgs[1])
