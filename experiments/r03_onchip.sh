@@ -100,7 +100,7 @@ log "13. streamed-tier inner-loop shootout (the 'fewer ops per pair'"
 log "    lever): outer-vpu (field-major pair tiles), outer-mxu (dot terms"
 log "    on the MXU), divfree, static-row — vs the production extract-blk"
 timeout 2400 python experiments/stream_extract_micro.py 4608 16 \
-    extract-blk,extract-sls,divfree-sls,static-row,outer-vpu,outer-mxu \
+    extract-blk,extract-sls,divfree-sls,static-row,outer-vpu,outer-mxu,outer-sub \
     > "$OUT/stream_shootout.log" 2>&1 \
     && log "   shootout ok ($OUT/stream_shootout.log)" \
     || log "   shootout failed"

@@ -32,6 +32,14 @@ f32 vregs) should cost ~200-400 ns. Variants isolate the remainder:
                   15/16 of the MXU's contraction depth and is still ~25
                   VPU ops' worth of work per pair moved off the vector
                   unit. Not bit-exact vs A (MXU accumulation order).
+  I outer-sub   : tris on SUBLANES via a host-pre-transposed pack — per
+                  768-tri tile, row s lane k*13+f = field f of tri
+                  k*128+s; ray rows read from the input REF by dynamic
+                  sublane slice and broadcast over 128 tri-sublanes.
+                  Pairs are (128 tris, 128 rays) vregs; winner = sublane
+                  min. NO exotic relayout anywhere (D/E hinge on the
+                  (rows,128)->(R,1) value reshape, which Mosaic has
+                  never lowered for us) — the safe fallback form.
 
 Usage: python experiments/stream_extract_micro.py [NTRI] [REPS]
 """
@@ -49,7 +57,8 @@ from jax.experimental.pallas import tpu as pltpu
 _INTERPRET = bool(os.environ.get("PT_MICRO_INTERPRET"))  # CPU check mode
 N_TRI = int(sys.argv[1]) if len(sys.argv) > 1 else 1152
 REPS = int(sys.argv[2]) if len(sys.argv) > 2 else 32
-ROWS, LANES = 256, 128
+ROWS = int(os.environ.get("PT_MICRO_ROWS", "256"))  # small for interpret
+LANES = 128
 R = ROWS * LANES
 F = 13
 PER = 9
@@ -89,6 +98,17 @@ for c in range(n_cl):
     blk[1, 4 * 128:5 * 128] = fmc[9]
     blk[3, 5 * 128:6 * 128] = fmc[8]   # e2d (dy coeff f10: toy quirk,
     blk[4, 5 * 128:6 * 128] = fmc[10]  #      matches carry_update)
+
+# sublane-transposed twin: per 768-tri tile (128 rows x 128 lanes),
+# row s lane k*F+f = field f of tri k*128+s (6 sub-tiles of 128 tris)
+SUB_K = 6
+n_stile = -(-N_TRI // (SUB_K * 128))
+subp = np.zeros((n_stile * 128, 128), np.float32)
+for ti in range(n_stile):
+    for k in range(SUB_K):
+        lo = ti * SUB_K * 128 + k * 128
+        chunk = rec[lo: lo + 128]  # (<=128, F)
+        subp[ti * 128: ti * 128 + len(chunk), k * F: k * F + F] = chunk
 
 o = rng.rand(ROWS, LANES).astype(np.float32)
 d = rng.rand(ROWS, LANES).astype(np.float32) + 0.5
@@ -375,6 +395,69 @@ def kernel_outer_mxu(reps: int, tile: int = 1024):
     )
 
 
+def kernel_outer_sub(reps: int):
+    """Variant I: triangles on sublanes (host-pre-transposed pack),
+    rays on lanes via dynamic-sublane ref reads — zero relayout."""
+    def kern(o_ref, d_ref, sp_ref, out_ref, w_ref):
+        BIG = jnp.float32(3.4028235e38)
+        NEG = jnp.float32(-3e38)
+
+        def rep_body(rr, cc):
+            def tile_body(ti, cc):
+                rows = sp_ref[pl.ds(ti * 128, 128), :]  # (128, 128)
+
+                def ray_row(r, cc):
+                    t_full, w_full = cc
+                    oxr = o_ref[pl.ds(r, 1), :]
+                    dxr = d_ref[pl.ds(r, 1), :]
+                    ox = jnp.broadcast_to(oxr, (128, 128))
+                    dx = jnp.broadcast_to(dxr, (128, 128))
+                    oy, dy = ox * 0.5, dx * 0.5
+                    t_r = jax.lax.dynamic_slice_in_dim(t_full, r, 1, 0)
+                    w_r = jax.lax.dynamic_slice_in_dim(w_full, r, 1, 0)
+                    for k in range(SUB_K):
+                        def f(j, k=k):
+                            return jnp.broadcast_to(
+                                rows[:, k * F + j: k * F + j + 1],
+                                (128, 128))
+                        denom = f(0) * dx + f(1) * dy
+                        valid = jnp.abs(denom) > 1e-9
+                        t = (f(3) - (f(0) * ox + f(1) * oy + f(2))) \
+                            / jnp.where(valid, denom, 1.0)
+                        alpha = (f(4) * ox + f(5) * oy - f(7)) \
+                            + t * (f(4) * dx + f(5) * dy)
+                        beta = (f(8) * ox + f(9) * oy - f(11)) \
+                            + t * (f(8) * dx + f(10) * dy)
+                        hit = valid & (alpha >= 0.0) & (beta >= 0.0) \
+                            & (alpha + beta <= 1.0) & (t > 1e-4)
+                        tm = jnp.where(hit, t, BIG)
+                        tb = jnp.min(tm, axis=0, keepdims=True)  # (1,128)
+                        improved = tb < t_r
+                        oh = (tm == tb) & improved
+                        wk = jnp.max(jnp.where(oh, f(12), NEG),
+                                     axis=0, keepdims=True)
+                        t_r = jnp.where(improved, tb, t_r)
+                        w_r = jnp.where(improved, wk, w_r)
+                    return (jax.lax.dynamic_update_slice_in_dim(
+                                t_full, t_r, r, 0),
+                            jax.lax.dynamic_update_slice_in_dim(
+                                w_full, w_r, r, 0))
+                return jax.lax.fori_loop(0, ROWS, ray_row, cc)
+            return jax.lax.fori_loop(0, n_stile, tile_body, cc)
+        zero = jnp.zeros((ROWS, LANES), jnp.float32)
+        t_r, w = jax.lax.fori_loop(0, reps, rep_body,
+                                   (zero + 1e30, zero))
+        out_ref[:] = t_r
+        w_ref[:] = w
+    return pl.pallas_call(
+        kern,
+        interpret=_INTERPRET,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((ROWS, LANES), jnp.float32)] * 2,
+    )
+
+
 def run(name, call, *args):
     try:
         f = jax.jit(call)
@@ -410,6 +493,7 @@ if __name__ == "__main__":
     maybe("divfree-sls", kernel_extract("divfree", REPS), o, d, pack)
     maybe("outer-vpu", kernel_outer(REPS), o, d, fm)
     maybe("outer-mxu", kernel_outer_mxu(REPS), o, d, fm, cmat)
+    maybe("outer-sub", kernel_outer_sub(REPS), o, d, subp)
 
     a = results.get("extract-blk")
     for name in ("extract-sls", "smem-unroll", "static-imm", "static-row",
@@ -421,6 +505,11 @@ if __name__ == "__main__":
     x = results.get("outer-vpu")
     if a is not None and x is not None:
         print("A~=outer-vpu (t):", bool(np.allclose(np.asarray(a[0]),
+                                                    np.asarray(x[0]),
+                                                    atol=1e-4)))
+    x = results.get("outer-sub")
+    if a is not None and x is not None:
+        print("A~=outer-sub (t):", bool(np.allclose(np.asarray(a[0]),
                                                     np.asarray(x[0]),
                                                     atol=1e-4)))
     x = results.get("outer-mxu")
