@@ -22,6 +22,36 @@ assert jax.devices()[0].platform == "cpu", jax.devices()
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# XLA:CPU's compiler has segfaulted mid-suite on single-CPU boxes after
+# a few hundred accumulated compilations (observed twice at the ~85%
+# mark, in whatever module sat there; each module passes in isolation).
+# Both mitigations are cheap: a deeper main-thread stack for the
+# compiler's recursive passes, and dropping compiled executables between
+# modules so per-process compiler state stays bounded.
+try:  # not available on non-POSIX
+    import resource
+
+    _soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
+    if _soft != resource.RLIM_INFINITY and (
+            _hard == resource.RLIM_INFINITY or _hard > _soft):
+        resource.setrlimit(resource.RLIMIT_STACK,
+                           (min(_hard, 512 << 20) if _hard
+                            != resource.RLIM_INFINITY
+                            else resource.RLIM_INFINITY, _hard))
+except Exception:
+    pass
+
+_last_module = [None]
+
+
+@pytest.fixture(autouse=True)
+def _clear_jax_caches_between_modules(request):
+    mod = request.module.__name__
+    if _last_module[0] is not None and _last_module[0] != mod:
+        jax.clear_caches()
+    _last_module[0] = mod
+    yield
+
 
 def pytest_configure(config):
     """Build the native library when a toolchain exists, so test_native.py
