@@ -117,6 +117,14 @@ for n in 32768 100000 250000; do
         sphere > "$OUT/cross_sphere_${n}_fm.log" 2>&1 \
         || log "   fm sphere $n failed"
 done
+# fm tile occupancy: default leaf (~62 after median split) leaves half
+# of each 128-lane tile as padding; bigger leaves amortize the tile
+for ls in 124 248; do
+    PT_FM_TIER=1 PT_LEAF_SIZE=$ls timeout 1800 \
+        python experiments/accel_crossover.py 32768 on 4 \
+        > "$OUT/cross_cloud_32768_fm_leaf$ls.log" 2>&1 \
+        || log "   fm leaf $ls failed"
+done
 PT_FM_TIER=1 timeout 1800 python -m pathtracer_tpu -w7 -p4 --size 320x180 \
     --out "$OUT/meshuv_fm_chip.png" > "$OUT/meshuv_fm.log" 2>&1 \
     && log "   fm mesh-UV kernel ok" || log "   fm mesh-UV kernel FAILED"
