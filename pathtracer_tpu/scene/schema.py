@@ -626,6 +626,10 @@ class WorldBuilder:
                 # the kernel's VMEM allocation
                 resident_cap = (clu.STREAM_MAX // 2 if has_mesh_uvs
                                 else clu.STREAM_MAX)
+                if stream_fm:
+                    # fm tiles pad every cluster to 128 lanes x 13 rows
+                    # (~2x the record rows' bytes/tri at typical leaves)
+                    resident_cap //= 2
                 tri_dma = (ntri > resident_cap
                            or bool(_os.environ.get("PT_STREAM_DMA")))
                 if tri_dma:
