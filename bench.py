@@ -57,6 +57,28 @@ def main(argv=None) -> int:
                          "win32_main.cpp:2307-2328)")
     args = ap.parse_args(argv)
 
+    # The axon TPU plugin initializes inside jax.devices() over a tunnel
+    # that has been observed to go down for hours; a bench invocation
+    # must fail FAST with a machine-readable line, not hang the driver.
+    # Probe device acquisition in a bounded subprocess (skipped when the
+    # backend is explicitly forced, e.g. JAX_PLATFORMS=cpu test runs).
+    import os
+    import subprocess
+    if not os.environ.get("JAX_PLATFORMS"):
+        try:
+            subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                capture_output=True, timeout=300, check=True)
+        except (subprocess.TimeoutExpired,
+                subprocess.CalledProcessError) as e:
+            print(json.dumps({
+                "metric": "Mrays/sec", "value": 0.0, "unit": "Mrays/s",
+                "vs_baseline": 0.0,
+                "error": f"device acquisition failed ({type(e).__name__}):"
+                         " TPU tunnel unavailable",
+            }))
+            return 1
+
     if args.verify:
         if args.json:
             return verify_all(args)
