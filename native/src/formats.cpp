@@ -10,12 +10,15 @@
 // scaled by ldexp(1, E-136), then pow(v, 1/2.2)*255+0.5 clamped
 // (stb_image.h stbi__hdr_to_ldr defaults).
 
+#include <algorithm>
 #include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
 #include <string>
 #include <vector>
+
+#include "sanity.h"
 
 namespace {
 
@@ -70,7 +73,7 @@ bool pt_load_tga(const char* path, int* out_w, int* out_h,
     const int bpp = s.u8(), desc = s.u8();
     const bool rle = image_type >= 9;
     const int base = rle ? image_type - 8 : image_type;
-    if (!s.ok || w <= 0 || h <= 0 || base < 1 || base > 3) return false;
+    if (!s.ok || !pt_dims_ok(w, h) || base < 1 || base > 3) return false;
     if (base == 1 && (cmap_type != 1 || cmap_len <= 0)) return false;
     s.skip(static_cast<size_t>(idlen));
 
@@ -103,11 +106,18 @@ bool pt_load_tga(const char* path, int* out_w, int* out_h,
         return read_color(bpp);
     };
 
+    // Every pixel costs >= 1 input byte raw, and an RLE packet (2 bytes
+    // minimum) covers <= 128 pixels — reject pixel counts the remaining
+    // bytes could never produce before sizing the buffer.
+    if (!s.ok ||
+        !pt_payload_plausible(static_cast<unsigned long long>(w) * h,
+                              s.d.size() - s.pos, rle ? 64 : 1))
+        return false;
     std::vector<uint32_t> flat(static_cast<size_t>(w) * h);
     size_t i = 0;
     const size_t n = flat.size();
     if (!rle) {
-        for (; i < n; ++i) flat[i] = read_pixel();
+        for (; i < n && s.ok; ++i) flat[i] = read_pixel();
     } else {
         while (i < n && s.ok) {
             const int packet = s.u8();
@@ -157,8 +167,12 @@ bool pt_load_hdr(const char* path, int* out_w, int* out_h,
         if (l.rfind("FORMAT=32-bit_rle_rgbe", 0) == 0) valid = true;
     int w = 0, h = 0;
     if (!valid || std::sscanf(line().c_str(), "-Y %d +X %d", &h, &w) != 2 ||
-        w <= 0 || h <= 0)
+        !pt_dims_ok(w, h))
         return false;
+    // Every scanline consumes >= 4 bytes (an adaptive-RLE header or the
+    // row's first flat pixel) — reject declared heights the remaining
+    // bytes cannot cover before sizing the RGBE buffer.
+    if (s.d.size() - s.pos < static_cast<size_t>(h) * 4) return false;
 
     std::vector<unsigned char> rgbe(static_cast<size_t>(w) * h * 4);
     for (int y = 0; y < h && s.ok; ++y) {
@@ -237,6 +251,7 @@ bool pt_load_gif(const char* path, int* out_w, int* out_h,
         return false;
     s.skip(6);
     const int sw = s.u16le(), sh = s.u16le();
+    if (!pt_dims_ok(sw, sh)) return false;  // canvas sizes out_px below
     const int flags = s.u8();
     s.u8(); s.u8();  // background color, aspect
     std::vector<uint32_t> gpal;
@@ -389,7 +404,7 @@ bool pt_load_psd(const char* path, int* out_w, int* out_h,
     const int h = static_cast<int>(s.u32be()), w = static_cast<int>(s.u32be());
     const int depth = s.u16be();
     s.u16be();  // color mode (3=RGB, 1=gray; channel mapping below covers both)
-    if (channels < 1 || channels > 16 || depth != 8 || w <= 0 || h <= 0)
+    if (channels < 1 || channels > 16 || depth != 8 || !pt_dims_ok(w, h))
         return false;
     s.skip(s.u32be());  // color mode data
     s.skip(s.u32be());  // image resources
@@ -398,6 +413,12 @@ bool pt_load_psd(const char* path, int* out_w, int* out_h,
     if (!s.ok || compression > 1) return false;
 
     const size_t plane = static_cast<size_t>(w) * h;
+    // Raw planes need their full byte count; PackBits packets (2 bytes)
+    // cover <= 128 output bytes. Checked before sizing the plane buffer.
+    if (!pt_payload_plausible(
+            static_cast<unsigned long long>(plane) * channels,
+            s.d.size() - s.pos, compression == 0 ? 1 : 64))
+        return false;
     std::vector<unsigned char> planes(plane * channels);
     if (compression == 0) {
         for (size_t i = 0; i < planes.size(); ++i)
@@ -464,8 +485,13 @@ bool pt_load_pnm(const char* path, int* out_w, int* out_h,
     };
     const long w = token(), h = token(), maxval = token();
     ++s.pos;  // single whitespace after maxval
-    if (w <= 0 || h <= 0 || maxval <= 0 || maxval > 65535) return false;
+    if (!pt_dims_ok(w, h) || maxval <= 0 || maxval > 65535) return false;
     const bool wide = maxval > 255;
+    // Binary PNM is raw: the sample payload must actually be present.
+    if (!pt_payload_plausible(static_cast<unsigned long long>(w) * h *
+                                  channels * (wide ? 2 : 1),
+                              s.d.size() - std::min(s.pos, s.d.size()), 1))
+        return false;
     out_px->resize(static_cast<size_t>(w) * h);
     for (size_t i = 0; i < out_px->size() && s.ok; ++i) {
         unsigned c[3];

@@ -26,6 +26,8 @@
 
 #include <zlib.h>
 
+#include "sanity.h"
+
 #ifndef PT_NO_MAIN
 // Baseline JPEG decoder (jpeg_decode.cpp) — the stbi JPG role.
 bool pt_load_jpeg(const char* path, int* out_w, int* out_h,
@@ -63,8 +65,10 @@ bool load_bmp(const char* path, Image* out) {
     const int32_t w = static_cast<int32_t>(u32(18));
     const int32_t h = static_cast<int32_t>(u32(22));
     const bool bottom_up = h >= 0;
+    const long long habs = h < 0 ? -static_cast<long long>(h) : h;
+    if (!pt_dims_ok(w, habs)) { std::fclose(f); return false; }
     out->w = w;
-    out->h = h < 0 ? -h : h;
+    out->h = static_cast<int>(habs);
     out->px.resize(static_cast<size_t>(out->w) * out->h);
     const size_t row_bytes = ((static_cast<size_t>(w) * bpp / 8) + 3) & ~size_t(3);
     std::vector<unsigned char> row(row_bytes);
@@ -141,7 +145,13 @@ bool load_png(const char* path, Image* out) {
         kChannels[color_type] == 0)
         return false;
     const int ch = kChannels[color_type];
+    if (!pt_dims_ok(w, h)) return false;
     const size_t stride = static_cast<size_t>(w) * ch;
+    // Deflate expands at most ~1032:1 — IHDR dimensions the IDAT stream
+    // could never fill are rejected before sizing the filter buffer.
+    if (!pt_payload_plausible((stride + 1) * static_cast<unsigned long long>(h),
+                              idat.size(), 1032))
+        return false;
     std::vector<unsigned char> raw((stride + 1) * h);
     uLongf raw_len = raw.size();
     if (uncompress(raw.data(), &raw_len, idat.data(), idat.size()) != Z_OK ||

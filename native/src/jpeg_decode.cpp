@@ -20,6 +20,8 @@
 #include <cstring>
 #include <vector>
 
+#include "sanity.h"
+
 namespace ptjpeg {
 
 struct Huff {
@@ -262,7 +264,9 @@ bool pt_load_jpeg(const char* path, int* out_w, int* out_h,
         }
         off += 2 + len;
     }
-    if (!W || !H || !scan_len) return false;
+    // SOF dimensions size the component planes below; cap them before
+    // allocation (a mangled header can declare 65535x65535 = ~13 GB).
+    if (!W || !H || !scan_len || !pt_dims_ok(W, H)) return false;
 
     int hmax = 1, vmax = 1;
     for (int i = 0; i < ncomp; ++i) {

