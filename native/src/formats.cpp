@@ -3,8 +3,8 @@
 // (/root/reference/src/image_compare.c:37,47; stb_image.h supports
 // JPG/PNG/BMP/TGA/GIF/PSD/HDR/PNM/PIC). image_compare.cpp carries
 // BMP + PNG, jpeg_decode.cpp carries baseline JPEG; this file adds
-// TGA, Radiance HDR, GIF (first frame), PSD and binary PNM, each a
-// from-scratch decoder emitting packed BGRA with row 0 = top.
+// TGA, Radiance HDR, GIF (first frame), PSD, binary PNM and Softimage
+// PIC, each a from-scratch decoder emitting packed BGRA with row 0 = top.
 //
 // HDR follows stbi's LDR conversion exactly: component = RGBE mantissa
 // scaled by ldexp(1, E-136), then pow(v, 1/2.2)*255+0.5 clamped
@@ -505,5 +505,105 @@ bool pt_load_pnm(const char* path, int* out_w, int* out_h,
     if (!s.ok) return false;
     *out_w = static_cast<int>(w);
     *out_h = static_cast<int>(h);
+    return true;
+}
+
+// --- Softimage PIC: the last stbi input format (stb_image.h
+// stbi__pic_test/_load: 4-byte magic 53 80 F6 34, "PICT" at offset 88,
+// u16be width/height, chained 4-byte channel packets, per-row per-packet
+// scanlines uncompressed / pure-RLE / mixed-RLE, channel bitmask
+// 0x80/0x40/0x20/0x10 = R/G/B/A, result pre-filled 0xFF so absent
+// channels read opaque).
+bool pt_load_pic(const char* path, int* out_w, int* out_h,
+                 std::vector<uint32_t>* out_px) {
+    Bytes s;
+    static const unsigned char magic[4] = {0x53, 0x80, 0xF6, 0x34};
+    if (!s.load(path) || s.d.size() < 100 ||
+        std::memcmp(s.d.data(), magic, 4) != 0 ||
+        std::memcmp(s.d.data() + 88, "PICT", 4) != 0)
+        return false;
+    s.pos = 92;
+    const int w = s.u16be(), h = s.u16be();
+    s.skip(8);  // ratio (f32), fields (u16), pad (u16)
+    if (!s.ok || !pt_dims_ok(w, h)) return false;
+
+    struct Packet { int type, channel; };
+    Packet packets[10];
+    int np = 0;
+    for (int chained = 1; chained;) {
+        if (np == 10) return false;  // stbi caps at 10 packets
+        chained = s.u8();
+        const int size = s.u8();
+        packets[np].type = s.u8();
+        packets[np].channel = s.u8();
+        if (!s.ok || size != 8) return false;  // 8-bit channels only
+        ++np;
+    }
+    // Each packet consumes >= 2 bytes per scanline (RLE count + one
+    // channel byte); reject declared heights the file cannot cover.
+    if (s.d.size() - s.pos < static_cast<size_t>(h) * np * 2) return false;
+
+    std::vector<unsigned char> rgba(static_cast<size_t>(w) * h * 4, 0xFF);
+    auto readval = [&s](int channel, unsigned char* dst) {
+        for (int i = 0, mask = 0x80; i < 4; ++i, mask >>= 1)
+            if (channel & mask) dst[i] = static_cast<unsigned char>(s.u8());
+    };
+    auto copyval = [](int channel, unsigned char* dst,
+                      const unsigned char* src) {
+        for (int i = 0, mask = 0x80; i < 4; ++i, mask >>= 1)
+            if (channel & mask) dst[i] = src[i];
+    };
+    for (int y = 0; y < h && s.ok; ++y) {
+        for (int p = 0; p < np && s.ok; ++p) {
+            const Packet& pk = packets[p];
+            unsigned char* dest = rgba.data() + static_cast<size_t>(y) * w * 4;
+            if (pk.type == 0) {  // uncompressed
+                for (int x = 0; x < w && s.ok; ++x, dest += 4)
+                    readval(pk.channel, dest);
+            } else if (pk.type == 1) {  // pure RLE (counts clamp to row)
+                int left = w;
+                while (left > 0 && s.ok) {
+                    int count = s.u8();
+                    if (count > left) count = left;
+                    unsigned char value[4] = {0, 0, 0, 0};
+                    readval(pk.channel, value);
+                    for (int i = 0; i < count; ++i, dest += 4)
+                        copyval(pk.channel, dest, value);
+                    left -= count;
+                    if (count == 0) return false;  // no progress
+                }
+            } else if (pk.type == 2) {  // mixed RLE (counts must fit)
+                int left = w;
+                while (left > 0 && s.ok) {
+                    int count = s.u8();
+                    if (count >= 128) {  // repeated
+                        count = count == 128 ? s.u16be() : count - 127;
+                        if (count > left) return false;
+                        unsigned char value[4] = {0, 0, 0, 0};
+                        readval(pk.channel, value);
+                        for (int i = 0; i < count; ++i, dest += 4)
+                            copyval(pk.channel, dest, value);
+                    } else {  // raw
+                        ++count;
+                        if (count > left) return false;
+                        for (int i = 0; i < count; ++i, dest += 4)
+                            readval(pk.channel, dest);
+                    }
+                    left -= count;
+                    if (count == 0) return false;  // 128-run of length 0
+                }
+            } else {
+                return false;
+            }
+        }
+    }
+    if (!s.ok) return false;
+    out_px->resize(static_cast<size_t>(w) * h);
+    for (size_t i = 0; i < out_px->size(); ++i) {
+        const unsigned char* p = rgba.data() + i * 4;
+        (*out_px)[i] = bgra(p[0], p[1], p[2], p[3]);
+    }
+    *out_w = w;
+    *out_h = h;
     return true;
 }

@@ -4,7 +4,7 @@
 // Reads two images — 24/32-bit DIB BMPs (the renderer's byte-identical
 // output format, io/bmp.py / win32_main.cpp:358-391), 8-bit PNGs
 // (decoded here with zlib; gray/RGB/palette/alpha, non-interlaced),
-// baseline JPEGs (jpeg_decode.cpp), and TGA/HDR/GIF/PSD/PNM
+// baseline JPEGs (jpeg_decode.cpp), and TGA/HDR/GIF/PSD/PNM/PIC
 // (formats.cpp) — the full stb_image input class of the reference tool
 // (image_compare.c:37,47) — and prints the reference's "Percentage
 // Similarity" metric (image_compare.c:79-103) plus RMSE (the
@@ -38,6 +38,7 @@ bool pt_load_hdr(const char*, int*, int*, std::vector<uint32_t>*);
 bool pt_load_gif(const char*, int*, int*, std::vector<uint32_t>*);
 bool pt_load_psd(const char*, int*, int*, std::vector<uint32_t>*);
 bool pt_load_pnm(const char*, int*, int*, std::vector<uint32_t>*);
+bool pt_load_pic(const char*, int*, int*, std::vector<uint32_t>*);
 #endif
 
 namespace {
@@ -224,6 +225,8 @@ bool load_image(const char* path, Image* out) {
         return pt_load_hdr(path, &out->w, &out->h, &out->px);
     if (magic[0] == 'P' && (magic[1] == '5' || magic[1] == '6'))
         return pt_load_pnm(path, &out->w, &out->h, &out->px);
+    if (magic[0] == 0x53 && magic[1] == 0x80)  // Softimage PIC
+        return pt_load_pic(path, &out->w, &out->h, &out->px);
     // TGA has no magic — it is the fallback, as in stb_image.
     return pt_load_tga(path, &out->w, &out->h, &out->px);
 }

@@ -318,6 +318,92 @@ class TestNativeCompare:
             # rounding boundary; identical otherwise.
             assert rmse < 0.003, (p, out.stdout)
 
+    def test_exe_reads_pic(self, tmp_path, rng):
+        """Softimage PIC (the last stbi input format, stb_image.h
+        stbi__pic_*), hand-encoded: uncompressed, pure-RLE and mixed-RLE
+        channel packets, RGB and RGBA. PIL does not read PIC, so the
+        expectation is the encoded array itself saved as PNG."""
+        import struct
+        from PIL import Image
+        exe = native.compare_exe_path()
+
+        def pic_header(w, h):
+            return (bytes([0x53, 0x80, 0xF6, 0x34]) + b"\0" * 84 + b"PICT"
+                    + struct.pack(">HH", w, h) + struct.pack(">f", 1.0)
+                    + struct.pack(">HH", 3, 0))
+
+        def packet(chained, ptype, channel):
+            return bytes([1 if chained else 0, 8, ptype, channel])
+
+        def mixed_rle(row):
+            # rows of (n, ch) samples -> stbi mixed-RLE byte stream
+            out, i = bytearray(), 0
+            n = len(row)
+            while i < n:
+                run = 1
+                while (i + run < n and (row[i + run] == row[i]).all()
+                       and run < 120):
+                    run += 1
+                if run >= 2:
+                    if run > 128:
+                        out += bytes([128]) + struct.pack(">H", run)
+                    else:
+                        out += bytes([127 + run])
+                    out += row[i].tobytes()
+                    i += run
+                else:
+                    j = i + 1
+                    while (j < n and j - i < 128
+                           and not (j + 1 < n
+                                    and (row[j] == row[j + 1]).all())):
+                        j += 1
+                    out += bytes([j - i - 1]) + row[i:j].tobytes()
+                    i = j
+            return bytes(out)
+
+        rgb = rng.randint(0, 255, (9, 17, 3)).astype(np.uint8)
+        rgb[2:5, 3:14] = 200  # runs for the RLE forms
+        alpha = rng.randint(0, 255, (9, 17, 1)).astype(np.uint8)
+        alpha[4:7] = 128
+        h, w = rgb.shape[:2]
+
+        cases = {}
+        # uncompressed RGB: one packet, row-major interleaved RGB
+        cases["raw.pic"] = (pic_header(w, h) + packet(0, 0, 0xE0)
+                            + rgb.tobytes(), rgb)
+        # pure RLE RGB: [count, R, G, B] covering each row exactly
+        body = bytearray()
+        for y in range(h):
+            x = 0
+            while x < w:
+                run = 1
+                while (x + run < w and (rgb[y, x + run] == rgb[y, x]).all()
+                       and run < 255):
+                    run += 1
+                body += bytes([run]) + rgb[y, x].tobytes()
+                x += run
+        cases["rle.pic"] = (pic_header(w, h) + packet(0, 1, 0xE0)
+                            + bytes(body), rgb)
+        # mixed RLE, RGB + separate alpha packet (RGBA result)
+        body = bytearray()
+        for y in range(h):
+            body += mixed_rle(rgb[y])
+            body += mixed_rle(alpha[y])
+        rgba = np.concatenate([rgb, alpha], axis=-1)
+        cases["mixed.pic"] = (pic_header(w, h)
+                              + packet(1, 2, 0xE0) + packet(0, 2, 0x10)
+                              + bytes(body), rgba)
+
+        for name, (data, expect) in cases.items():
+            p = tmp_path / name
+            p.write_bytes(data)
+            p_png = str(tmp_path / (name + ".png"))
+            Image.fromarray(expect).save(p_png)
+            out = subprocess.run([exe, str(p), p_png], capture_output=True,
+                                 text=True)
+            assert out.returncode == 0 and "RMSE: 0.000000" in out.stdout, (
+                name, out.returncode, out.stdout, out.stderr)
+
     def test_exe_error_paths(self, tmp_path, rng):
         exe = native.compare_exe_path()
         img = rng.randint(0, 2**32, (8, 12), dtype=np.uint64).astype(np.uint32)
@@ -398,6 +484,11 @@ class TestNativeCompare:
             for c in range(4):
                 hdr += hdr_rle(rgbe[y, :, c].tobytes())
         seeds["a.hdr"] = bytes(hdr)
+
+        seeds["a.pic"] = (  # Softimage PIC, one uncompressed RGB packet
+            bytes([0x53, 0x80, 0xF6, 0x34]) + b"\0" * 84 + b"PICT"
+            + struct.pack(">HHfHH", w, h, 1.0, 3, 0)
+            + bytes([0, 8, 0, 0xE0]) + rgb.tobytes())
 
         for name, data in sorted(seeds.items()):
             mut = tmp_path / ("mut_" + name)
