@@ -12,7 +12,9 @@ of 1 - |c1 - c2| on RGBA/255, image_compare.c:79-103) and adds:
   image_compare.c:26).
 
 Run: python -m pathtracer_tpu.compare img1 img2 [--legacy --json --threshold X]
-Accepts BMP (the renderer's byte-identical layout) or anything PIL reads.
+Accepts BMP (the renderer's byte-identical layout) or anything PIL reads;
+formats PIL cannot identify (Radiance HDR, Softimage PIC) fall back to the
+native image_compare executable's from-scratch decoders when it is built.
 """
 
 from __future__ import annotations
@@ -68,6 +70,42 @@ def rmse(a: np.ndarray, b: np.ndarray) -> float:
     return float(np.sqrt((d * d).mean()))
 
 
+def _native_fallback(args) -> int:
+    """Formats PIL cannot identify (Radiance HDR, Softimage PIC) are still
+    part of the reference tool's stb_image input class; delegate the whole
+    comparison to the native image_compare executable, whose from-scratch
+    decoders cover them, so the two tools share one answer. Returns the
+    exe's exit convention (0 ok / 1 over threshold / -1 error)."""
+    import subprocess
+
+    from . import native
+    exe = native.compare_exe_path()
+    if exe is None:
+        print("Error: unsupported image format (PIL cannot read it and the "
+              "native tool is not built; run `make -C native`)")
+        return -1
+    cmd = [exe, args.image1, args.image2]
+    if args.legacy:
+        cmd.append("--legacy")
+    if args.threshold is not None:
+        cmd += ["--threshold", str(args.threshold)]
+    out = subprocess.run(cmd, capture_output=True, text=True)
+    rc = -1 if out.returncode == 255 else out.returncode
+    if args.json:
+        try:
+            sim = float(out.stdout.split("Percentage Similarity:")[1]
+                        .split("%")[0])
+            e = float(out.stdout.split("RMSE:")[1].split()[0])
+        except (IndexError, ValueError):
+            print(json.dumps({"error": out.stdout.strip()}))
+            return rc if rc != 0 else -1
+        print(json.dumps({"percentage_similarity": sim, "rmse": e,
+                          "legacy": args.legacy}))
+    else:
+        sys.stdout.write(out.stdout)
+    return rc
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(
         prog="pathtracer_tpu.compare",
@@ -85,7 +123,11 @@ def main(argv=None) -> int:
         if not os.path.exists(p):
             print(f"Error: '{p}' is an invalid file path")
             return -1
-    a, b = load_rgba(args.image1), load_rgba(args.image2)
+    from PIL import UnidentifiedImageError
+    try:
+        a, b = load_rgba(args.image1), load_rgba(args.image2)
+    except UnidentifiedImageError:
+        return _native_fallback(args)
     if a.shape[1] != b.shape[1]:
         print(f"Error: Images must have same width but they are "
               f"{a.shape[1]} and {b.shape[1]}")

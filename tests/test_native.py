@@ -404,6 +404,31 @@ class TestNativeCompare:
             assert out.returncode == 0 and "RMSE: 0.000000" in out.stdout, (
                 name, out.returncode, out.stdout, out.stderr)
 
+    def test_compare_py_falls_back_to_native_for_pic(self, tmp_path, rng):
+        """The Python tool delegates PIL-unreadable formats (HDR, PIC) to
+        the native exe so both tools cover the full stbi input class."""
+        import struct
+        from PIL import Image
+
+        from pathtracer_tpu.compare import main as compare_main
+
+        rgb = rng.randint(0, 255, (7, 11, 3)).astype(np.uint8)
+        h, w = rgb.shape[:2]
+        pic = tmp_path / "x.pic"
+        pic.write_bytes(bytes([0x53, 0x80, 0xF6, 0x34]) + b"\0" * 84
+                        + b"PICT" + struct.pack(">HHfHH", w, h, 1.0, 3, 0)
+                        + bytes([0, 8, 0, 0xE0]) + rgb.tobytes())
+        png = tmp_path / "x.png"
+        Image.fromarray(rgb).save(str(png))
+        import io as _io
+        from contextlib import redirect_stdout
+        buf = _io.StringIO()
+        with redirect_stdout(buf):
+            rc = compare_main([str(pic), str(png), "--json"])
+        import json as _json
+        rec = _json.loads(buf.getvalue().strip().splitlines()[-1])
+        assert rc == 0 and rec["rmse"] == 0.0, (rc, buf.getvalue())
+
     def test_exe_error_paths(self, tmp_path, rng):
         exe = native.compare_exe_path()
         img = rng.randint(0, 2**32, (8, 12), dtype=np.uint64).astype(np.uint32)
