@@ -1,0 +1,111 @@
+"""Extended randomized renderer-vs-oracle audit (CPU, no TPU needed).
+
+Usage: python experiments/oracle_fuzz_sweep.py [N_SEEDS] [BASE_SEED]
+
+tests/test_fuzz.py runs a handful of fixed seeds in CI; this sweep runs
+N random scenes (default 40) through the full randomized FEATURE matrix —
+glass (optionally dispersive), volumetric fog, Russian roulette, an
+emissive NEE quad light — and gates each against the independent scalar
+oracle with the same robust criterion the golden tests use (median
+|diff| < 1e-4, boundary-flip fraction < 5%). Prints one line per seed
+and a final PASS/FAIL summary; exits nonzero on any miss. Meant to run
+once per round as a background correctness audit.
+"""
+import sys
+import time
+
+import numpy as np
+
+n_seeds = int(sys.argv[1]) if len(sys.argv) > 1 else 40
+base = int(sys.argv[2]) if len(sys.argv) > 2 else 20_000
+
+from pathtracer_tpu import RenderConfig, render_image
+from pathtracer_tpu.reference.cpu_oracle import render_oracle
+from pathtracer_tpu.scene.camera import define_camera
+from pathtracer_tpu.scene.schema import WorldBuilder
+
+
+def random_world(seed):
+    """A random scene + feature set. Returns (builder, feature string)."""
+    rng = np.random.RandomState(seed)
+    feats = []
+    b = WorldBuilder()
+    b.add_material(emit=tuple(rng.rand(3) * (rng.rand() < 0.7)))  # sky
+    light = b.add_material(albedo=(0, 0, 0),
+                           emit=tuple(2 + 20 * rng.rand(3)))
+    b.add_sphere(rng.uniform(-3, 3, 3) + (0, 0, 4),
+                 0.5 + rng.rand(), light)
+
+    for _ in range(rng.randint(2, 7)):
+        kind = rng.randint(3)
+        smooth = rng.rand() < 0.4
+        m = b.add_material(
+            albedo=tuple(rng.rand(3)),
+            metalness=float(rng.rand() * (rng.rand() < 0.5)),
+            metal_color=tuple(rng.rand(3)),
+            roughness=0.0 if smooth else float(rng.rand()),
+            ior=float(1.0 + 0.5 * rng.rand()),
+        )
+        if kind == 0:
+            b.add_sphere(rng.uniform(-3, 3, 3), 0.3 + rng.rand(), m)
+        elif kind == 1:
+            n = rng.randn(3)
+            n /= np.linalg.norm(n)
+            b.add_plane(tuple(n), float(rng.uniform(-4, -2)), m)
+        else:
+            b.add_quad(rng.uniform(-3, 3, 3), rng.uniform(-2, 2, 3),
+                       rng.uniform(-2, 2, 3), m)
+
+    if rng.rand() < 0.5:  # glass sphere, sometimes dispersive
+        disp = float(rng.rand() < 0.5) * float(0.01 + 0.03 * rng.rand())
+        glass = b.add_material(
+            albedo=tuple(0.9 + 0.1 * rng.rand(3)),
+            ior=float(1.3 + 0.4 * rng.rand()),
+            transmission=1.0, roughness=0.0, dispersion=disp)
+        b.add_sphere(rng.uniform(-2, 2, 3), 0.5 + 0.7 * rng.rand(), glass)
+        feats.append("glass" + ("+disp" if disp else ""))
+    if rng.rand() < 0.4:  # homogeneous fog (kept thin: unbiased but noisy)
+        b.set_fog(float(0.002 + 0.02 * rng.rand()),
+                  albedo=tuple(0.6 + 0.4 * rng.rand(3)),
+                  g=float(rng.uniform(-0.5, 0.7)))
+        feats.append("fog")
+    if rng.rand() < 0.4:  # emissive quad as the NEE target
+        lm = b.add_material(albedo=(0, 0, 0),
+                            emit=tuple(3 + 10 * rng.rand(3)))
+        qi = b.add_quad((-1.0, -1.0, 6.0), (2.0, 0.0, 0.0),
+                        (0.0, 2.0, 0.0), lm)
+        b.set_quad_light(qi)
+        feats.append("quadlight")
+    rr = bool(rng.rand() < 0.5)
+    if rr:
+        feats.append("rr")
+    return b, rr, ",".join(feats) or "plain"
+
+
+failures = []
+for i in range(n_seeds):
+    seed = base + i
+    b, rr, feats = random_world(seed)
+    w, h, pp = 16, 12, 2
+    cam = define_camera((0, -8, 1), (0, 0, 0), 35.0, w, h)
+    t0 = time.perf_counter()
+    cfg = RenderConfig(width=w, height=h, pp=pp, seed=seed,
+                       use_russian_roulette=rr)
+    img, _, _ = render_image(b.finalize(), cam, cfg)
+    img = np.asarray(img)
+    oracle = render_oracle(b, cam, w, h, pp, seed=seed, world_kind=0,
+                           use_russian_roulette=rr)
+    d = np.abs(img - oracle).max(axis=-1)
+    med = float(np.median(d))
+    flips = float((d > 1e-2).mean())
+    ok = med < 1e-4 and flips < 0.05 and bool(np.isfinite(img).all())
+    if not ok:
+        failures.append((seed, feats, med, flips))
+    print(f"seed {seed:6d} [{feats:24s}] median {med:.2e} "
+          f"flips {flips:.3f} {'ok' if ok else 'FAIL'} "
+          f"({time.perf_counter() - t0:.1f}s)", flush=True)
+
+print(f"\n{n_seeds - len(failures)}/{n_seeds} passed")
+for seed, feats, med, flips in failures:
+    print(f"  FAIL seed {seed} [{feats}] median {med:.2e} flips {flips:.3f}")
+sys.exit(1 if failures else 0)
