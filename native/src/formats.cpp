@@ -539,9 +539,10 @@ bool pt_load_pic(const char* path, int* out_w, int* out_h,
         if (!s.ok || size != 8) return false;  // 8-bit channels only
         ++np;
     }
-    // Each packet consumes >= 2 bytes per scanline (RLE count + one
-    // channel byte); reject declared heights the file cannot cover.
-    if (s.d.size() - s.pos < static_cast<size_t>(h) * np * 2) return false;
+    // Each packet consumes >= 1 byte per scanline (an RLE count byte, or
+    // the first sample of an uncompressed row); reject declared heights
+    // the file cannot cover before sizing the buffer.
+    if (s.d.size() - s.pos < static_cast<size_t>(h) * np) return false;
 
     std::vector<unsigned char> rgba(static_cast<size_t>(w) * h * 4, 0xFF);
     auto readval = [&s](int channel, unsigned char* dst) {
@@ -570,7 +571,8 @@ bool pt_load_pic(const char* path, int* out_w, int* out_h,
                     for (int i = 0; i < count; ++i, dest += 4)
                         copyval(pk.channel, dest, value);
                     left -= count;
-                    if (count == 0) return false;  // no progress
+                    // count == 0: a no-op packet; stbi tolerates these
+                    // (the count byte keeps the loop finite via EOF).
                 }
             } else if (pk.type == 2) {  // mixed RLE (counts must fit)
                 int left = w;
@@ -590,7 +592,8 @@ bool pt_load_pic(const char* path, int* out_w, int* out_h,
                             readval(pk.channel, dest);
                     }
                     left -= count;
-                    if (count == 0) return false;  // 128-run of length 0
+                    // count == 0 (a 128-marker long run of length 0) is a
+                    // tolerated no-op, as in stbi; EOF bounds the loop.
                 }
             } else {
                 return false;
