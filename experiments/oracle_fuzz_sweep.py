@@ -1,15 +1,19 @@
 """Extended randomized renderer-vs-oracle audit (CPU, no TPU needed).
 
-Usage: python experiments/oracle_fuzz_sweep.py [N_SEEDS] [BASE_SEED]
+Usage: python experiments/oracle_fuzz_sweep.py [N_SEEDS] [BASE_SEED] [MODE]
 
 tests/test_fuzz.py runs a handful of fixed seeds in CI; this sweep runs
 N random scenes (default 40) through the full randomized FEATURE matrix —
 glass (optionally dispersive), volumetric fog, Russian roulette, an
-emissive NEE quad light — and gates each against the independent scalar
-oracle with the same robust criterion the golden tests use (median
-|diff| < 1e-4, boundary-flip fraction < 5%). Prints one line per seed
-and a final PASS/FAIL summary; exits nonzero on any miss. Meant to run
-once per round as a background correctness audit.
+emissive NEE quad light, and (MODE "mesh"/"kernel") a random triangle
+blob that exercises the clustered/deferred-resolve mesh tiers — and
+gates each against the independent scalar oracle with the same robust
+criterion the golden tests use (median |diff| < 1e-4, boundary-flip
+fraction < 5%). MODE "kernel" additionally renders each kernel-supported
+scene through the interpret-mode Pallas kernel and gates it against the
+XLA image at the documented tolerance. Prints one line per seed and a
+final PASS/FAIL summary; exits nonzero on any miss. Meant to run once
+per round as a background correctness audit.
 """
 import sys
 import time
@@ -18,11 +22,37 @@ import numpy as np
 
 n_seeds = int(sys.argv[1]) if len(sys.argv) > 1 else 40
 base = int(sys.argv[2]) if len(sys.argv) > 2 else 20_000
+mode = sys.argv[3] if len(sys.argv) > 3 else "plain"
 
 from pathtracer_tpu import RenderConfig, render_image
 from pathtracer_tpu.reference.cpu_oracle import render_oracle
 from pathtracer_tpu.scene.camera import define_camera
 from pathtracer_tpu.scene.schema import WorldBuilder
+
+
+def blob_mesh(rng, n_target):
+    """A noisy tessellated sphere: a localized SURFACE mesh (the regime
+    the cluster tiers are built for), n_target-ish triangles."""
+    nlat = max(3, int(np.sqrt(n_target / 4.0)))
+    nlon = 2 * nlat
+    th = np.linspace(0, np.pi, nlat + 1)
+    ph = np.linspace(0, 2 * np.pi, nlon + 1)
+    r = 0.8 + 0.5 * rng.rand()
+    P = np.zeros((nlat + 1, nlon + 1, 3), np.float32)
+    P[..., 0] = np.outer(np.sin(th), np.cos(ph))
+    P[..., 1] = np.outer(np.sin(th), np.sin(ph))
+    P[..., 2] = np.outer(np.cos(th), np.ones_like(ph))
+    noise = 1.0 + 0.25 * rng.rand(nlat + 1, 1, 1)
+    noise[:, -1] = noise[:, 0]  # keep the seam closed
+    P *= r * noise
+    P += rng.uniform(-2, 2, 3).astype(np.float32)
+    out = []
+    for i in range(nlat):
+        for j in range(nlon):
+            a, b, c, d = P[i, j], P[i + 1, j], P[i + 1, j + 1], P[i, j + 1]
+            out.append([a, b, c])
+            out.append([a, c, d])
+    return np.asarray(out, np.float32)
 
 
 def random_world(seed):
@@ -76,6 +106,14 @@ def random_world(seed):
                         (0.0, 2.0, 0.0), lm)
         b.set_quad_light(qi)
         feats.append("quadlight")
+    if mode in ("mesh", "kernel") and rng.rand() < 0.7:
+        n_target = int(rng.choice([80, 200, 450, 600]))
+        tris = blob_mesh(rng, n_target)
+        m = b.add_material(albedo=tuple(rng.rand(3)),
+                           roughness=float(0.2 + 0.8 * rng.rand()))
+        b.set_mesh(tris.reshape(-1, 3),
+                   np.full((len(tris) * 3,), m, np.int32))
+        feats.append(f"mesh{len(tris)}")
     rr = bool(rng.rand() < 0.5)
     if rr:
         feats.append("rr")
@@ -91,7 +129,8 @@ for i in range(n_seeds):
     t0 = time.perf_counter()
     cfg = RenderConfig(width=w, height=h, pp=pp, seed=seed,
                        use_russian_roulette=rr)
-    img, _, _ = render_image(b.finalize(), cam, cfg)
+    scene = b.finalize()
+    img, _, _ = render_image(scene, cam, cfg)
     img = np.asarray(img)
     oracle = render_oracle(b, cam, w, h, pp, seed=seed, world_kind=0,
                            use_russian_roulette=rr)
@@ -99,10 +138,26 @@ for i in range(n_seeds):
     med = float(np.median(d))
     flips = float((d > 1e-2).mean())
     ok = med < 1e-4 and flips < 0.05 and bool(np.isfinite(img).all())
+
+    ktag = ""
+    if mode == "kernel":
+        from pathtracer_tpu.render.pallas_backend import supports
+        cfg_k = RenderConfig(width=w, height=h, pp=pp, seed=seed,
+                             use_russian_roulette=rr,
+                             backend="pallas-interpret")
+        if supports(scene, cfg_k):
+            kimg = np.asarray(render_image(scene, cam, cfg_k)[0])
+            kd = np.abs(kimg - img).max(axis=-1)
+            k_ok = (float((kd > 1e-3).mean()) < 0.01
+                    and float((kd > 0.1).mean()) < 0.001)
+            ktag = f" kernel {'ok' if k_ok else 'FAIL'}"
+            ok = ok and k_ok
+        else:
+            ktag = " kernel skip"
     if not ok:
-        failures.append((seed, feats, med, flips))
+        failures.append((seed, feats + ktag, med, flips))
     print(f"seed {seed:6d} [{feats:24s}] median {med:.2e} "
-          f"flips {flips:.3f} {'ok' if ok else 'FAIL'} "
+          f"flips {flips:.3f} {'ok' if ok else 'FAIL'}{ktag} "
           f"({time.perf_counter() - t0:.1f}s)", flush=True)
 
 print(f"\n{n_seeds - len(failures)}/{n_seeds} passed")
