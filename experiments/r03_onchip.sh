@@ -2,11 +2,16 @@
 # Round-3 on-chip measurement batch (everything that waited out the
 # tunnel outage). Run from /root/repo with the axon TPU tunnel up:
 #     bash experiments/r03_onchip.sh [OUTDIR]
-# Each step logs to OUTDIR (default /tmp/r03) and failures don't stop
-# the batch. Re-runnable; steps are independent.
+# RESUMABLE: each step writes $OUT/done/<file> on success and is skipped
+# on re-run. The tunnel has been flaky; after any step failure the script
+# probes the tunnel and exits 2 if it is down (re-run when it returns)
+# instead of burning hours of per-step timeouts. Steps are ordered by
+# priority: VERIFY artifact, per-world officials, the fm/shootout
+# decisions, then everything else. Output filenames match what
+# experiments/r03_summarize.py parses.
 set -u
 OUT=${1:-/tmp/r03}
-mkdir -p "$OUT"
+mkdir -p "$OUT" "$OUT/done"
 cd /root/repo
 # keep the axon plugin registered AND make `python experiments/x.py`
 # resolve the package from the repo root
@@ -14,119 +19,118 @@ export PYTHONPATH="/root/repo:${PYTHONPATH:-/root/.axon_site}"
 
 log() { echo "[r03] $(date +%H:%M:%S) $*"; }
 
+tunnel_ok() {
+    timeout 180 python -c "import jax; jax.devices()" >/dev/null 2>&1
+}
+
+# run_step <outfile> <timeout_s> <cmd...> — writes $OUT/<outfile>
+# (stdout+stderr), skips if done, and on failure probes the tunnel,
+# aborting the whole batch (exit 2) if it is down.
+run_step() {
+    local f=$1 tmo=$2; shift 2
+    if [ -e "$OUT/done/$f" ]; then log "skip $f (done)"; return 0; fi
+    log "step $f"
+    if timeout "$tmo" "$@" > "$OUT/$f" 2>&1; then
+        touch "$OUT/done/$f"; log "   $f ok"
+    else
+        log "   $f FAILED ($OUT/$f)"
+        if ! tunnel_ok; then
+            log "tunnel DOWN — aborting batch; re-run to resume"; exit 2
+        fi
+    fi
+}
+
 log "0. tunnel check"
-timeout 120 python -c "import jax; print(jax.devices())" || {
-    echo "tunnel down"; exit 1; }
+tunnel_ok || { echo "tunnel down"; exit 2; }
 
-log "1. VERIFY artifact (all 7 worlds, kernel-vs-XLA gates)"
-timeout 3000 python bench.py --verify --json \
-    > VERIFY_r03.json 2> "$OUT/verify.log" \
-    && log "   VERIFY_r03.json written (gate ok)" \
-    || log "   VERIFY FAILED (see $OUT/verify.log + VERIFY_r03.json)"
+# ---- priority 1: the committed verify artifact -------------------------
+if [ -e "$OUT/done/verify" ]; then log "skip verify (done)"; else
+    log "1. VERIFY artifact (all 7 worlds, kernel-vs-XLA gates)"
+    if timeout 3000 python bench.py --verify --json \
+        > VERIFY_r03.json 2> "$OUT/verify.log"; then
+        touch "$OUT/done/verify"; log "   VERIFY_r03.json written (gate ok)"
+    else
+        log "   VERIFY FAILED (see $OUT/verify.log + VERIFY_r03.json)"
+        tunnel_ok || { log "tunnel DOWN — aborting"; exit 2; }
+    fi
+fi
 
-log "2. Russian-roulette bench (Cornell 720p)"
-timeout 2400 python bench.py --rr --spp 64 > "$OUT/bench_rr.json" 2>&1 \
-    || log "   rr bench failed"
-
-log "3. per-world official numbers (64 spp; w6/w7 included)"
-for wld in 1 2 3 4 5 6 7; do
-    timeout 2400 python bench.py --world $wld --spp 64 \
-        > "$OUT/bench_w$wld.json" 2>&1 || log "   world $wld failed"
+# ---- priority 2: per-world official numbers ----------------------------
+log "2. per-world official numbers (64 spp; w6/w7 included)"
+for wld in 3 1 2 4 5 6 7; do
+    run_step "bench_w$wld.json" 2400 python bench.py --world $wld --spp 64
 done
 
-log "4. world 1 with mips"
-timeout 2400 python bench.py --world 1 --spp 64 --mips \
-    > "$OUT/bench_w1_mips.json" 2>&1 || log "   w1 mips failed"
+# ---- priority 3: the two round-3 decisions (stream shootout + fm tier) --
+log "3. streamed-tier inner-loop shootout (fewer ops per pair lever)"
+run_step stream_shootout.log 2400 python experiments/stream_extract_micro.py \
+    4608 16 extract-blk,extract-sls,divfree-sls,static-row,outer-vpu,outer-mxu,outer-sub
 
-log "5. crossover with the row-cull level (cloud, on/off ablation)"
+log "4. field-major streamed tier (PT_FM_TIER=1) vs record rows"
 for n in 2048 8192 32768 100000; do
-    timeout 1800 python experiments/accel_crossover.py $n on 4 \
-        > "$OUT/cross_cloud_$n.log" 2>&1 || log "   cloud $n failed"
-    PT_NO_ROW_CULL=1 timeout 1800 python experiments/accel_crossover.py \
-        $n on 4 > "$OUT/cross_cloud_${n}_norow.log" 2>&1 \
-        || log "   cloud $n norow failed"
-done
-
-log "6. SURFACE series (the production regime) incl. DMA tier w/ dynamic parents"
-for n in 8192 32768 100000 250000 500000; do
-    timeout 2400 python experiments/accel_crossover.py $n on 4 sphere \
-        > "$OUT/cross_sphere_$n.log" 2>&1 || log "   sphere $n failed"
-done
-
-log "7. fog kernel on real Mosaic (jnp.log lowering + god-rays config)"
-timeout 1800 python -m pathtracer_tpu -w6 -p4 --size 320x180 \
-    --fog 0.0012 --fog-g 0.55 --fog-albedo 0.9,0.9,0.95 \
-    --out "$OUT/godrays_chip.png" > "$OUT/fog_kernel.log" 2>&1 \
-    && log "   fog kernel ok" || log "   fog kernel FAILED ($OUT/fog_kernel.log)"
-
-log "8. gallery-quality feature demos"
-timeout 3000 python experiments/render_feature_demos.py godrays 1024 960x540 \
-    > "$OUT/demo_godrays.log" 2>&1 || log "   godrays demo failed"
-timeout 3000 python experiments/render_feature_demos.py dispersion 1024 960x540 \
-    > "$OUT/demo_dispersion.log" 2>&1 || log "   dispersion demo failed"
-timeout 1800 python experiments/render_feature_demos.py denoise 9 960x540 \
-    > "$OUT/demo_denoise.log" 2>&1 || log "   denoise demo failed"
-
-log "9. world-2 leaf-size sweep (tile-coherent pinhole blocks may like small leaves)"
-for ls in 16 32 64 96; do
-    PT_LEAF_SIZE=$ls timeout 2400 python bench.py --world 2 --spp 64 \
-        > "$OUT/bench_w2_leaf$ls.json" 2>&1 || log "   w2 leaf $ls failed"
-done
-
-log "10. mesh-UV kernel on real Mosaic (new lowering surface: windowed"
-log "    uv fetch, streamed uv-row cond-in-fori, clustered uv resolve)"
-timeout 1800 python -m pathtracer_tpu -w7 -p4 --size 320x180 \
-    --out "$OUT/meshuv_chip.png" > "$OUT/meshuv_kernel.log" 2>&1 \
-    && log "   mesh-UV kernel ok" \
-    || log "   mesh-UV kernel FAILED ($OUT/meshuv_kernel.log)"
-
-log "11. w7 block-rows sweep (the 128-row textured default was tuned on"
-log "    world 1's fetch profile; mesh-UV blocks fetch less per bounce)"
-for br in 32 64 128; do
-    PT_BLOCK_ROWS=$br timeout 2400 python bench.py --world 7 --spp 64 \
-        > "$OUT/bench_w7_rows$br.json" 2>&1 || log "   w7 rows $br failed"
-done
-
-log "12. compiled-Mosaic smoke for the round-3 in-kernel surfaces"
-log "    (bump height3 fused fetch, TBN rotation, fog, dispersion,"
-log "    everything-at-once — interpret equivalence gates exist; this"
-log "    is the real-Mosaic lowering check)"
-timeout 3000 python experiments/kernel_surface_smoke.py 192x108 4 \
-    > "$OUT/surface_smoke.json" 2> "$OUT/surface_smoke.log" \
-    && log "   surface smoke ok" \
-    || log "   surface smoke FAILED ($OUT/surface_smoke.{json,log})"
-
-log "13. streamed-tier inner-loop shootout (the 'fewer ops per pair'"
-log "    lever): outer-vpu (field-major pair tiles), outer-mxu (dot terms"
-log "    on the MXU), divfree, static-row — vs the production extract-blk"
-timeout 2400 python experiments/stream_extract_micro.py 4608 16 \
-    extract-blk,extract-sls,divfree-sls,static-row,outer-vpu,outer-mxu,outer-sub \
-    > "$OUT/stream_shootout.log" 2>&1 \
-    && log "   shootout ok ($OUT/stream_shootout.log)" \
-    || log "   shootout failed"
-
-log "14. field-major streamed tier (PT_FM_TIER=1) vs record rows —"
-log "    the production form of the outer-* shootout variants; crossover"
-log "    ablation on the cloud + surface series"
-for n in 2048 8192 32768 100000; do
-    PT_FM_TIER=1 timeout 1800 python experiments/accel_crossover.py $n on 4 \
-        > "$OUT/cross_cloud_${n}_fm.log" 2>&1 || log "   fm cloud $n failed"
+    run_step "cross_cloud_${n}_fm.log" 1800 env PT_FM_TIER=1 \
+        python experiments/accel_crossover.py $n on 4
 done
 for n in 32768 100000 250000; do
-    PT_FM_TIER=1 timeout 2400 python experiments/accel_crossover.py $n on 4 \
-        sphere > "$OUT/cross_sphere_${n}_fm.log" 2>&1 \
-        || log "   fm sphere $n failed"
+    run_step "cross_sphere_${n}_fm.log" 2400 env PT_FM_TIER=1 \
+        python experiments/accel_crossover.py $n on 4 sphere
 done
-# fm tile occupancy: default leaf (~62 after median split) leaves half
-# of each 128-lane tile as padding; bigger leaves amortize the tile
 for ls in 124 248; do
-    PT_FM_TIER=1 PT_LEAF_SIZE=$ls timeout 1800 \
-        python experiments/accel_crossover.py 32768 on 4 \
-        > "$OUT/cross_cloud_32768_fm_leaf$ls.log" 2>&1 \
-        || log "   fm leaf $ls failed"
+    run_step "cross_cloud_32768_fm_leaf$ls.log" 1800 env PT_FM_TIER=1 PT_LEAF_SIZE=$ls \
+        python experiments/accel_crossover.py 32768 on 4
 done
-PT_FM_TIER=1 timeout 1800 python -m pathtracer_tpu -w7 -p4 --size 320x180 \
-    --out "$OUT/meshuv_fm_chip.png" > "$OUT/meshuv_fm.log" 2>&1 \
-    && log "   fm mesh-UV kernel ok" || log "   fm mesh-UV kernel FAILED"
+run_step meshuv_fm.log 1800 env PT_FM_TIER=1 python -m pathtracer_tpu -w7 -p4 \
+    --size 320x180 --out "$OUT/meshuv_fm_chip.png"
 
-log "done; results in $OUT (bench_*.json, cross_*.log) + VERIFY_r03.json + images/"
+# ---- the rest, in the original order ------------------------------------
+log "5. Russian-roulette bench (Cornell 720p)"
+run_step bench_rr.json 2400 python bench.py --rr --spp 64
+
+log "6. world 1 with mips"
+run_step bench_w1_mips.json 2400 python bench.py --world 1 --spp 64 --mips
+
+log "7. crossover with the row-cull level (cloud, on/off ablation)"
+for n in 2048 8192 32768 100000; do
+    run_step "cross_cloud_$n.log" 1800 python experiments/accel_crossover.py $n on 4
+    run_step "cross_cloud_${n}_norow.log" 1800 env PT_NO_ROW_CULL=1 \
+        python experiments/accel_crossover.py $n on 4
+done
+
+log "8. SURFACE series (the production regime) incl. DMA tier w/ dynamic parents"
+for n in 8192 32768 100000 250000 500000; do
+    run_step "cross_sphere_$n.log" 2400 python experiments/accel_crossover.py $n on 4 sphere
+done
+
+log "9. fog kernel on real Mosaic (jnp.log lowering + god-rays config)"
+run_step fog_kernel.log 1800 python -m pathtracer_tpu -w6 -p4 --size 320x180 \
+    --fog 0.0012 --fog-g 0.55 --fog-albedo 0.9,0.9,0.95 \
+    --out "$OUT/godrays_chip.png"
+
+log "10. gallery-quality feature demos"
+run_step demo_godrays.log 3000 python experiments/render_feature_demos.py godrays 1024 960x540
+run_step demo_dispersion.log 3000 python experiments/render_feature_demos.py dispersion 1024 960x540
+run_step demo_denoise.log 1800 python experiments/render_feature_demos.py denoise 9 960x540
+
+log "11. world-2 leaf-size sweep (tile-coherent pinhole blocks may like small leaves)"
+for ls in 16 32 64 96; do
+    run_step "bench_w2_leaf$ls.json" 2400 env PT_LEAF_SIZE=$ls \
+        python bench.py --world 2 --spp 64
+done
+
+log "12. mesh-UV kernel on real Mosaic (windowed uv fetch, streamed uv-row"
+log "    cond-in-fori, clustered uv resolve)"
+run_step meshuv_kernel.log 1800 python -m pathtracer_tpu -w7 -p4 --size 320x180 \
+    --out "$OUT/meshuv_chip.png"
+
+log "13. w7 block-rows sweep (the 128-row textured default was tuned on"
+log "    world 1's fetch profile; mesh-UV blocks fetch less per bounce)"
+for br in 32 64 128; do
+    run_step "bench_w7_rows$br.json" 2400 env PT_BLOCK_ROWS=$br \
+        python bench.py --world 7 --spp 64
+done
+
+log "14. compiled-Mosaic smoke for the round-3 in-kernel surfaces (bump"
+log "    height3 fused fetch, TBN rotation, fog, dispersion, all-at-once)"
+run_step surface_smoke.json 3000 python experiments/kernel_surface_smoke.py 192x108 4
+
+log "done; results in $OUT (*.log, *.json) + VERIFY_r03.json + images/"
