@@ -123,6 +123,13 @@ def random_world(seed):
 failures = []
 for i in range(n_seeds):
     seed = base + i
+    if i and i % 6 == 0:
+        # Every scene is a fresh compile; XLA:CPU's per-process compiler
+        # state has OOM'd/segfaulted long single-CPU runs (see
+        # tests/conftest.py) — drop executables periodically like the
+        # suite does between modules.
+        import jax
+        jax.clear_caches()
     b, rr, feats = random_world(seed)
     w, h, pp = 16, 12, 2
     cam = define_camera((0, -8, 1), (0, 0, 0), 35.0, w, h)
