@@ -83,6 +83,34 @@ class TestGlassFurnace:
         # balanced across channels)
         assert ratio.max() - ratio.min() < 0.1, f"channel skew {ratio}"
 
+    def test_diffuse_surface_furnace_statistical(self):
+        """The SURFACE estimator's energy: weight = brdf * 2/px (the
+        reference's x2 branch-coin correction over the 0.5cos+0.5light
+        pdf mixture, win32_main.cpp:690-782) must integrate a Lambertian
+        albedo-1 wall under a constant environment back to ~sky. Breaking
+        the 2x (or double-applying it) moves the ratio to ~0.5 or ~2;
+        the true value sits just under 1 (GGX single-scatter loss at the
+        Fresnel split + MAX_BOUNCE_COUNT truncation of the
+        interreflection tail). Observed 0.9855 at this seed.
+
+        (No fog analog exists by design: homogeneous fog extends to
+        infinity, so sky radiance is unreachable — transmittance -> 0 —
+        and an albedo-1 in-fog furnace needs unbounded bounce depth.
+        Fog energy is gated analytically in test_fog instead.)
+        """
+        b = WorldBuilder()
+        b.add_material(emit=SKY)
+        anchor = b.add_material(albedo=(0, 0, 0))
+        b.add_sphere((0.0, 0.0, -500.0), 0.5, anchor)  # far NEE anchor
+        d = b.add_material(albedo=(1.0, 1.0, 1.0), roughness=1.0)
+        b.add_sphere((0.0, 6.0, 0.0), 3.0, d)
+        cam = define_camera((0, -2, 0), (0, 6, 0), 30.0, W, H)
+        cfg = RenderConfig(width=W, height=H, pp=8, seed=3)
+        img = np.asarray(render_image(b.finalize(), cam, cfg)[0])
+        ratio = img.mean(axis=(0, 1)) / np.array(SKY, np.float32)
+        assert np.all(ratio > 0.94) and np.all(ratio < 1.02), (
+            f"surface estimator energy off: mean/sky {ratio}")
+
     def test_kernel_matches_xla_on_the_furnace(self):
         from pathtracer_tpu.render.pallas_backend import supports
         b, cam = furnace_world()
