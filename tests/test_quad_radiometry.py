@@ -123,7 +123,8 @@ class TestQuadLightRadiometry:
         assert len(plane_px) >= 200, f"{len(plane_px)} clean ground pixels"
 
         # pixels fully on the light: every sample is bit-exactly Le
-        np.testing.assert_allclose(img[quad_px], LE[None, :], atol=1e-4)
+        np.testing.assert_allclose(
+            img[quad_px], np.broadcast_to(LE, (len(quad_px), 3)), atol=1e-4)
 
         # clean ground pixels: footprint-averaged quadrature
         expect = np.zeros((len(plane_px), 3))
