@@ -1,4 +1,4 @@
-"""End-to-end radiometric gate for the quad-area-light estimator (-w6 path).
+"""End-to-end radiometric gates: estimator vs first-principles quadrature.
 
 tests/test_sampling.py pins pdf_quad/sample_to_quad in isolation; this
 gates the FULL estimator (shade_bounce's quad-NEE mixture + the x2
@@ -145,6 +145,111 @@ class TestQuadLightRadiometry:
         # median — symmetric noise cancels, a shape/Jacobian error does
         # not (the reference's unnormalized-normal pdf_quad bug shifts it
         # by the area factor). Observed +1.2% at this seed.
+        srel = (got - expect) / np.maximum(expect, 1e-6)
+        assert np.abs(np.median(srel)) < 0.05, (
+            f"pointwise bias: median signed rel {np.median(srel):.3f}")
+        assert np.median(np.abs(srel)) < 0.3, "pointwise scatter blown up"
+
+
+# ---------------------------------------------------------------------------
+# Sphere light: the reference's core NEE path (spheres[0] is THE light in
+# every default world, win32_main.cpp:690-722). This measures the estimator
+# against the same quadrature method — including the replicated raw-frame
+# PdfCos quirk (pcos is evaluated on the raw to-sphere sample in the LIGHT
+# frame, not the shading frame), whose net bias lands under 2% here: the
+# gate both proves the core estimator's radiometry and pins the quirk's
+# cost at this geometry.
+# ---------------------------------------------------------------------------
+
+SC = np.array((0.0, 1.5, 2.0))   # light sphere center
+SR = 0.8                          # and radius
+
+
+def build_sphere_world():
+    b = WorldBuilder()
+    b.add_material(emit=(0.0, 0.0, 0.0))
+    lm = b.add_material(albedo=(0, 0, 0), emit=tuple(LE))
+    b.add_sphere(tuple(SC), SR, lm)   # spheres[0] = the NEE target
+    ground = b.add_material(albedo=(ALBEDO,) * 3, roughness=1.0, ior=1.0)
+    b.add_plane((0.0, 0.0, 1.0), 0.0, ground)
+    cam = define_camera((0.0, -5.0, 4.0), (0.0, 0.0, 0.0), 40.0, W, H)
+    return b, cam
+
+
+def classify_strata_sphere(o, d):
+    """Per stratum ray: sphere-interior(2) / silhouette-near(1) / plane(0),
+    by the ray's perpendicular distance to the light center."""
+    oc = o - SC
+    bq = np.sum(d * oc, -1)
+    cq = np.sum(oc * oc, -1) - SR * SR
+    disc = bq * bq - cq
+    t_s = np.where(disc > 0, -bq - np.sqrt(np.maximum(disc, 0)), np.inf)
+    t_s = np.where(t_s > 1e-3, t_s, np.inf)
+    perp2 = np.sum(oc * oc, -1) - bq * bq   # squared distance, ray line
+    ahead = bq < 0                           # center is in front
+    t_p = np.where(np.abs(d[..., 2]) > 1e-12, -o[..., 2] / d[..., 2], np.inf)
+    t_p = np.where(t_p > 0, t_p, np.inf)
+    sph_first = t_s < t_p
+    interior = sph_first & (perp2 < (0.85 * SR) ** 2)
+    near = ahead & (perp2 < (1.3 * SR) ** 2)
+    kind = np.where(interior, 2, np.where(sph_first | near, 1, 0))
+    hit_plane = o + t_p[..., None] * d
+    return kind, hit_plane
+
+
+def direct_integral_sphere(p, nth=96, nph=96):
+    """Quadrature over the light's spherical cap at plane points p:
+    L = (albedo/pi) * Le * int cos_p domega, cap half-angle asin(R/d)."""
+    a = SC[None, :] - p
+    dist = np.linalg.norm(a, axis=1)
+    ah = a / dist[:, None]
+    alpha = np.arcsin(np.minimum(1.0, SR / dist))
+    up = np.where(np.abs(ah[:, 2:3]) < 0.9, (0.0, 0.0, 1.0), (1.0, 0.0, 0.0))
+    t1 = np.cross(ah, up)
+    t1 /= np.linalg.norm(t1, axis=1, keepdims=True)
+    t2 = np.cross(ah, t1)
+    th = (np.arange(nth) + 0.5) / nth
+    ph = (np.arange(nph) + 0.5) / nph * 2 * np.pi
+    out = np.zeros(len(p))
+    for tk in th:
+        thk = alpha * tk
+        ct, st = np.cos(thk), np.sin(thk)
+        w = np.sin(thk) * (alpha / nth) * (2 * np.pi / nph)
+        dirs = (ct[:, None, None] * ah[:, None, :]
+                + st[:, None, None] * (np.cos(ph)[None, :, None] * t1[:, None, :]
+                                       + np.sin(ph)[None, :, None] * t2[:, None, :]))
+        out += np.maximum(0.0, dirs[..., 2]).sum(1) * w
+    return (ALBEDO / np.pi) * out[:, None] * LE[None, :]
+
+
+class TestSphereLightRadiometry:
+    def test_estimator_matches_quadrature(self):
+        b, cam = build_sphere_world()
+        cfg = RenderConfig(width=W, height=H, pp=PP, seed=13)
+        img = np.asarray(render_image(b.finalize(), cam, cfg)[0])
+        img = img.reshape(W * H, 3)
+
+        o, d = stratum_rays(cam)
+        kind, hits = classify_strata_sphere(o, d)
+        sph_px = np.flatnonzero(np.all(kind == 2, axis=0))
+        plane_px = np.flatnonzero(np.all(kind == 0, axis=0))
+        assert len(sph_px) >= 3, f"{len(sph_px)} light-interior pixels"
+        assert len(plane_px) >= 200, f"{len(plane_px)} clean ground pixels"
+
+        np.testing.assert_allclose(
+            img[sph_px], np.broadcast_to(LE, (len(sph_px), 3)), atol=1e-4)
+
+        expect = np.zeros((len(plane_px), 3))
+        for s in range(PP * PP):
+            expect += direct_integral_sphere(hits[s, plane_px])
+        expect /= PP * PP
+        got = img[plane_px]
+
+        # observed -0.7% mean / -1.7% signed median at this seed (the
+        # raw-frame PdfCos quirk included)
+        ratio = got.mean(axis=0) / expect.mean(axis=0)
+        assert np.all(np.abs(ratio - 1.0) < 0.04), (
+            f"sphere-light estimator energy off: mean ratio {ratio}")
         srel = (got - expect) / np.maximum(expect, 1e-6)
         assert np.abs(np.median(srel)) < 0.05, (
             f"pointwise bias: median signed rel {np.median(srel):.3f}")
