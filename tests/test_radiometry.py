@@ -254,3 +254,109 @@ class TestSphereLightRadiometry:
         assert np.abs(np.median(srel)) < 0.05, (
             f"pointwise bias: median signed rel {np.median(srel):.3f}")
         assert np.median(np.abs(srel)) < 0.3, "pointwise scatter blown up"
+
+
+# ---------------------------------------------------------------------------
+# Fog glow: the volumetric estimator end-to-end. An emissive sphere in thin
+# isotropic fog (albedo 1, g=0, black sky) against a DIRECT + SINGLE-SCATTER
+# quadrature: L = T(t_s)*Le + int_0^t sigma_s T(s) [int_cap T(s->light)
+# dw/4pi] Le ds. The quadrature is a strict single-scatter FLOOR — the
+# estimator carries the full multiple-scatter series on top (observed +6%
+# median at tau ~ 0.08-0.6 path depths) — so the gate is a physical
+# bracket: at or above the floor, within the multi-scatter allowance, and
+# total energy within a few percent (observed +0.8%).
+# ---------------------------------------------------------------------------
+
+FC = np.array((0.0, 1.0, 1.0))
+FR = 0.9
+FSIG = 0.015
+
+
+def build_fog_world():
+    b = WorldBuilder()
+    b.add_material(emit=(0.0, 0.0, 0.0))
+    lm = b.add_material(albedo=(0, 0, 0), emit=tuple(LE))
+    b.add_sphere(tuple(FC), FR, lm)
+    b.set_fog(FSIG, albedo=(1.0, 1.0, 1.0), g=0.0)
+    cam = define_camera((0.0, -5.0, 1.0), (0.0, 1.0, 1.0), 40.0, W, H)
+    return b, cam
+
+
+def _sphere_t(o, d):
+    oc = o - FC
+    bq = np.sum(d * oc, -1)
+    cq = np.sum(oc * oc, -1) - FR * FR
+    disc = bq * bq - cq
+    t = np.where(disc > 0, -bq - np.sqrt(np.maximum(disc, 0)), np.inf)
+    return np.where(t > 1e-3, t, np.inf)
+
+
+def _inscatter_src(P, n=24):
+    """int_cap T(p->sphere surface) dw / 4pi at points P (isotropic)."""
+    a = FC[None, :] - P
+    dist = np.linalg.norm(a, axis=1)
+    ah = a / dist[:, None]
+    alpha = np.arcsin(np.minimum(1.0, FR / dist))
+    up = np.where(np.abs(ah[:, 2:3]) < 0.9, (0.0, 0.0, 1.0), (1.0, 0.0, 0.0))
+    t1 = np.cross(ah, up)
+    t1 /= np.linalg.norm(t1, axis=1, keepdims=True)
+    t2 = np.cross(ah, t1)
+    th = (np.arange(n) + 0.5) / n
+    ph = (np.arange(n) + 0.5) / n * 2 * np.pi
+    out = np.zeros(len(P))
+    for tk in th:
+        thk = alpha * tk
+        ct, st = np.cos(thk), np.sin(thk)
+        w = np.sin(thk) * (alpha / n) * (2 * np.pi / n)
+        dirs = (ct[:, None, None] * ah[:, None, :]
+                + st[:, None, None] * (np.cos(ph)[None, :, None] * t1[:, None, :]
+                                       + np.sin(ph)[None, :, None] * t2[:, None, :]))
+        ts = _sphere_t(P[:, None, :].repeat(n, 1), dirs)
+        hit = np.isfinite(ts)
+        out += (np.exp(-FSIG * np.where(hit, ts, 0.0)) * hit).sum(1) * w
+    return out / (4 * np.pi)
+
+
+def _fog_expected(o, d, smax=40.0, ns=48):
+    ts = _sphere_t(o, d)
+    direct = np.where(np.isfinite(ts),
+                      np.exp(-FSIG * np.minimum(ts, 1e9)), 0.0)
+    lim = np.minimum(np.where(np.isfinite(ts), ts, smax), smax)
+    acc = np.zeros(len(o))
+    for k in range(ns):
+        s = lim * (k + 0.5) / ns
+        acc += np.exp(-FSIG * s) * _inscatter_src(o + s[:, None] * d) \
+            * (lim / ns)
+    return (direct + FSIG * acc)[:, None] * LE[None, :]
+
+
+class TestFogGlowRadiometry:
+    def test_estimator_brackets_single_scatter_floor(self):
+        b, cam = build_fog_world()
+        cfg = RenderConfig(width=W, height=H, pp=PP, seed=17)
+        img = np.asarray(render_image(b.finalize(), cam, cfg)[0])
+        img = img.reshape(W * H, 3)
+
+        o, d = stratum_rays(cam)
+        expect = np.zeros((W * H, 3))
+        strata = range(0, PP * PP, 16)        # 4 spread strata: the glow
+        for s in strata:                      # field is smooth
+            expect += _fog_expected(o[s], d[s])
+        expect /= len(strata)
+
+        ratio = img.mean(axis=0) / expect.mean(axis=0)
+        assert np.all(ratio > 0.97) and np.all(ratio < 1.06), (
+            f"fog estimator energy off: mean ratio {ratio}")
+
+        srel = (img - expect) / np.maximum(expect, 1e-7)
+        med = np.median(srel)
+        assert -0.01 < med < 0.12, (
+            f"median signed rel {med:.3f} outside the single-scatter-floor/"
+            f"multi-scatter bracket")
+
+        # glow-only (sphere-missing) pixels specifically sit ABOVE the
+        # floor: multiple scattering only adds energy
+        miss = ~np.isfinite(_sphere_t(o[0], d[0]))
+        assert np.median(srel[miss]) > -0.01, (
+            f"glow below the single-scatter floor: "
+            f"{np.median(srel[miss]):.3f}")
