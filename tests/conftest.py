@@ -53,6 +53,61 @@ def _clear_jax_caches_between_modules(request):
     yield
 
 
+# The fast tier (`pytest -m smoke`, VERDICT round 3 item 9): one (or a
+# few) representative tests per subsystem, curated here centrally so the
+# inner loop has a < 5-minute gate and the 35-40 min full suite stops
+# being the only option. Keep this list to tests that finish in seconds.
+SMOKE_TESTS = {
+    # RNG keystone + color + oracle twin
+    "test_math.py::TestPrng::test_deterministic_and_batch_invariant",
+    "test_math.py::TestOraclePrngTwin::test_all_streams_bit_identical",
+    "test_math.py::TestColor::test_linear_to_srgb_exact",
+    # sampling / BSDF
+    "test_sampling.py::TestPdfs::test_pdf_cosine",
+    "test_sampling.py::TestBsdf::test_refraction_tir",
+    # intersectors + dispatch
+    "test_intersect.py::TestSceneDispatch::test_nearest_hit_and_miss",
+    # golden gate (the correctness keystone)
+    "test_golden.py::TestGolden::test_world_cornell",
+    # Pallas kernel (interpret) + windowed fetch
+    "test_pallas.py::TestInterpretEquality::test_cornell_bit_exact",
+    "test_pallas.py::TestWindowedFetchExact::test_windowed_equals_flat",
+    # sharding + driver entry
+    "test_parallel.py::TestSharded::test_sharded_matches_single",
+    "test_parallel.py::TestGraftEntry::test_dryrun_multichip",
+    # CLI / IO / worlds
+    "test_cli.py::TestReferenceFlags::test_concatenated_flags",
+    "test_io.py::TestBmp::test_roundtrip",
+    "test_io.py::TestGltf::test_parse_glb",
+    "test_worlds.py::TestWorlds::test_cornell_layout",
+    # acceleration tiers
+    "test_clusters.py::TestClusteredIntersectEquivalence::test_triangles_match_brute",
+    "test_clusters.py::TestStreamedMeshTier::test_streamed_flag_and_tables",
+    "test_accel.py::TestTraversal::test_grid_matches_brute_force",
+    # native tool
+    "test_native.py::TestNativeCompare::test_similarity_matches_python",
+    # renderer plumbing: checkpoint/resume
+    "test_renderer.py::TestCheckpoint::test_resume_is_exact",
+    # wavefront driver
+    "test_wavefront.py::TestWavefrontEquivalence::test_cornell_identical",
+    # beyond-reference features (one cheap gate each)
+    "test_refraction.py::TestRefractNp::test_total_internal_reflection",
+    "test_fog.py::TestFogRenderer::test_pure_absorption_transmittance",
+    "test_tbn.py::TestTBN::test_identity_map_preserves_geometry",
+    "test_bump.py::TestBump::test_flat_height_leaves_normal",
+    "test_mips.py::TestMipSampling::test_lod0_bit_equal_to_mip0",
+    "test_mesh_uv.py::TestGltfTextured::test_loader_binds_texture_and_uvs",
+    "test_denoise.py::TestAtrous::test_reduces_noise_preserves_edges",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        rel = item.nodeid.split("/")[-1]  # conftest sits in tests/
+        if rel in SMOKE_TESTS:
+            item.add_marker(pytest.mark.smoke)
+
+
 def pytest_configure(config):
     """Build the native library when a toolchain exists, so test_native.py
     only skips where it truly can't build (VERDICT round 1, weak #7). A
