@@ -252,14 +252,16 @@ def bespoke_sample_combined_windowed(scene: Scene, tab_ref, u, v, needs,
     ``return_words=True`` returns the raw corner word tuples (wa, wb, s, t)
     instead of the blend — used by tests to pin the fetched words exactly.
 
-    KNOWN LIMITATION (environment, not this code): under the CPU INTERPRET
-    path with ``--xla_force_host_platform_device_count`` > 1, XLA:CPU
-    miscompiles this loop when only the post-loop float blends are live —
-    a small deterministic subset of lanes receives a neighboring texel.
-    Exporting the words as kernel outputs (as the exactness test does), or
-    compiling for the real TPU (Mosaic), is bit-exact — verified against a
-    pure-numpy reference on chip. The interpret-mode world-1 equivalence
-    test therefore gates at a tolerance instead of bit equality.
+    HISTORY (environment, not this code): under the CPU INTERPRET path
+    with ``--xla_force_host_platform_device_count`` > 1, the round-2-era
+    XLA:CPU miscompiled this loop when only the post-loop float blends
+    were live — a small deterministic subset of lanes received a
+    neighboring texel (~1e-2 errors). RESOLVED by the jax 0.9.0 upgrade:
+    the standing repro (experiments/interpret_miscompile_repro.py,
+    re-run 2026-08-19) shows max |diff| 1.2e-7 (pure fma-contraction
+    rounding; raw words bit-exact), so the interpret-mode equivalence
+    gates were tightened to the rounding scale. Compiled Mosaic on the
+    real chip was always bit-exact vs a pure-numpy reference.
     """
     shape = u.shape
     if lod is None:

@@ -125,12 +125,16 @@ class TestBump:
                                   jnp.arange(n, dtype=jnp.int32),
                                   interpret=True)
         a, p = np.asarray(ref.sum.x), np.asarray(pal.sum.x)
-        # every lane here shades the textured plane, so the documented
-        # interpret-mode divergences (XLA:CPU windowed-loop neighboring
-        # texels + fma contraction) touch more pixels than on mesh-UV
-        # scenes — gate exactly like the world-1 composition test; the
-        # compiled-chip gate is bench.py --verify
-        assert (a == p).mean() > 0.5, f"bit-equal {(a == p).mean():.2%}"
-        np.testing.assert_allclose(a, p, atol=6e-2, rtol=1e-3)
+        # interpret compiles through XLA:CPU, so only fma-contraction
+        # rounding separates the paths since jax 0.9.0 (the old
+        # neighboring-texel miscompile no longer reproduces —
+        # experiments/interpret_miscompile_repro.py). Every lane here
+        # shades the bumpy textured plane (3 height fetches/bounce), so
+        # the bit-equal fraction is lower than on mesh-UV scenes
+        # (measured 54%, max |diff| 3.2e-5) — the tight atol is the
+        # detector for the old ~1e-2 class; the compiled-chip gate is
+        # bench.py --verify
+        assert (a == p).mean() > 0.4, f"bit-equal {(a == p).mean():.2%}"
+        np.testing.assert_allclose(a, p, atol=1e-4, rtol=1e-3)
         np.testing.assert_array_equal(np.asarray(ref.count),
                                       np.asarray(pal.count))

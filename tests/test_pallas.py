@@ -118,23 +118,23 @@ class TestInterpretEquality:
 
         The fetch itself is bit-identical to the XLA flat gathers (asserted
         word-level below; also verified bit-exact COMPILED on the real chip
-        against a pure-numpy reference). Interpret mode on the multi-device
-        CPU backend is weaker for two environment reasons: (a) world-1
-        geometry (the r=1000 sun sphere at |c|~3500) exposes fma-contraction
-        differences in sphere intersection, and (b) XLA:CPU miscompiles the
-        windowed-fetch loop for a small deterministic subset of lanes when
-        only the blends are live (neighboring-texel errors ~1e-2; see
-        bespoke_sample_combined_windowed docstring). Gate here: half the
-        pixels bit-equal and the rest within the neighboring-texel scale;
-        the real gate for the compiled kernel is bench.py --verify on TPU.
+        against a pure-numpy reference). Interpret mode compiles the kernel
+        body through XLA:CPU, whose fma contraction differs from the XLA
+        driver's graph — measured profile on jax 0.9.0: 92.5% bit-equal,
+        max |diff| 1.9e-6. (The round-2-era XLA:CPU additionally
+        miscompiled the windowed loop to a NEIGHBORING texel ~1e-2 on a
+        few lanes; resolved by the jax upgrade — re-test record in
+        experiments/interpret_miscompile_repro.py. If this gate ever
+        trips at ~1e-2 after a jax bump, that bug is back.) The compiled
+        gate on real TPU is bench.py --verify.
         """
         w, h = 128, BLOCK // 128
         ref, pal = _run_both(WORLD_DEFAULT, w, h, 2, 2)
         a = np.asarray(ref.sum.x)
         b = np.asarray(pal.sum.x)
         bit_equal = np.mean(a == b)
-        assert bit_equal > 0.5, f"only {bit_equal:.2%} bit-equal"
-        np.testing.assert_allclose(a, b, atol=6e-2, rtol=1e-3)
+        assert bit_equal > 0.8, f"only {bit_equal:.2%} bit-equal"
+        np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-3)
         np.testing.assert_array_equal(np.asarray(ref.count), np.asarray(pal.count))
         assert int(pal.samples_done) == 2
 

@@ -78,10 +78,12 @@ class TestShardedKernel:
         assert float(st8.rays_cast) > 0
 
     def test_world1_sharded_kernel_tolerance(self):
-        # textured world 1: kernel uses the windowed texel fetch, which is
-        # word-exact but XLA:CPU miscompiles the full loop at a few lanes
-        # (documented, ops/texture.py) — gate with the same robust
-        # tolerance as the interpret-mode equivalence tests
+        # textured world 1: kernel uses the windowed texel fetch — raw
+        # words are bit-exact and since jax 0.9.0 the blends differ only
+        # at the fma-contraction rounding scale (the old XLA:CPU
+        # neighboring-texel miscompile no longer reproduces; see
+        # experiments/interpret_miscompile_repro.py). Measured profile:
+        # 94% bit-equal, max diff 2.4e-7 — gate with margin.
         scene, cam = finalize_world(WORLD_DEFAULT, 24, 16)
         cfg = RenderConfig(width=24, height=16, pp=1, seed=0,
                            backend="pallas-interpret")
@@ -89,14 +91,14 @@ class TestShardedKernel:
         img1, _, _ = render_image(scene, cam, cfg_x)
         img8, _, _ = render_image_sharded(scene, cam, cfg)
         d = np.abs(np.asarray(img1) - np.asarray(img8)).max(axis=-1)
-        assert np.median(d) < 1e-4, float(np.median(d))
-        assert (d > 1e-2).mean() < 0.05, float((d > 1e-2).mean())
+        assert (d == 0.0).mean() > 0.8, float((d == 0.0).mean())
+        assert (d > 1e-4).mean() < 0.01, float((d > 1e-4).mean())
 
     def test_world7_mesh_uv_sharded_kernel_tolerance(self):
         # world 7 (UV-textured sphere mesh): the streamed tier with
         # parallel uv rows + the windowed uv-stack fetch, under
-        # shard_map. Same robust gate as world 1 (fma-contraction +
-        # XLA:CPU windowed-loop classes).
+        # shard_map. Same gate as world 1 (fma-contraction rounding
+        # only since jax 0.9.0; measured 93% bit-equal, max 7.2e-6).
         from pathtracer_tpu.scene.schema import WORLD_MESH_UV
         scene, cam = finalize_world(WORLD_MESH_UV, 24, 16)
         cfg = RenderConfig(width=24, height=16, pp=1, seed=0,
@@ -105,8 +107,8 @@ class TestShardedKernel:
         img1, _, _ = render_image(scene, cam, cfg_x)
         img8, _, _ = render_image_sharded(scene, cam, cfg)
         d = np.abs(np.asarray(img1) - np.asarray(img8)).max(axis=-1)
-        assert np.median(d) < 1e-4, float(np.median(d))
-        assert (d > 1e-2).mean() < 0.05, float((d > 1e-2).mean())
+        assert (d == 0.0).mean() > 0.8, float((d == 0.0).mean())
+        assert (d > 1e-4).mean() < 0.01, float((d > 1e-4).mean())
 
 
 class TestGraftEntry:

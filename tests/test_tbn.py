@@ -106,12 +106,15 @@ class TestTBN:
                                   jnp.arange(n, dtype=jnp.int32),
                                   interpret=True)
         a, p = np.asarray(ref.sum.y), np.asarray(pal.sum.y)
-        # every lane here shades the textured plane, so the documented
-        # interpret-mode divergences (XLA:CPU windowed-loop neighboring
-        # texels + fma contraction) touch more pixels than on mesh-UV
-        # scenes — gate exactly like the world-1 composition test; the
+        # interpret compiles through XLA:CPU, so only fma-contraction
+        # rounding separates the paths since jax 0.9.0 (the old
+        # neighboring-texel miscompile no longer reproduces —
+        # experiments/interpret_miscompile_repro.py). Every lane here
+        # shades the normal-mapped textured plane, so the bit-equal
+        # fraction is lower than on mesh-UV scenes (rounding only; the
+        # tight atol is the detector for the old ~1e-2 class); the
         # compiled-chip gate is bench.py --verify
-        assert (a == p).mean() > 0.5, f"bit-equal {(a == p).mean():.2%}"
-        np.testing.assert_allclose(a, p, atol=6e-2, rtol=1e-3)
+        assert (a == p).mean() > 0.4, f"bit-equal {(a == p).mean():.2%}"
+        np.testing.assert_allclose(a, p, atol=1e-4, rtol=1e-3)
         np.testing.assert_array_equal(np.asarray(ref.count),
                                       np.asarray(pal.count))
