@@ -528,14 +528,17 @@ def _intersect_triangles_streamed(scene: Scene, o: Vec3, d: Vec3,
                                            (c * tpc + tl) * FMF, FMF)
 
                     def chunk_body(k, cc, rows=rows, tl=tl):
-                        # miss fill must equal the carry's init (F32_MAX)
-                        # so an all-miss tile never "improves" a miss ray
+                        # k is a PYTHON int (the chunk loop is unrolled):
+                        # Mosaic cannot lower dynamic_slice on register
+                        # VALUES (only pl.ds on refs), so the ray-column
+                        # slices must be static. miss fill must equal the
+                        # carry's init (F32_MAX) so an all-miss tile never
+                        # "improves" a miss ray
                         FMBIG = jnp.float32(F32_MAX)
                         NEGBIG = jnp.float32(-3e38)
                         fr = lambda j: rows[j:j + 1, :]
                         s0 = k * FM_CH
-                        sl = lambda a: jax.lax.dynamic_slice_in_dim(
-                            a, s0, FM_CH, axis=0)
+                        sl = lambda a: a[s0:s0 + FM_CH, :]
                         ox, oy, oz = sl(o.x), sl(o.y), sl(o.z)
                         dx, dy, dz = sl(d.x), sl(d.y), sl(d.z)
                         denom = fr(0) * dx + fr(1) * dy + fr(2) * dz
@@ -594,16 +597,19 @@ def _intersect_triangles_streamed(scene: Scene, o: Vec3, d: Vec3,
                                                   cur[6]))
                             return out
 
-                        merged = jax.lax.cond(jnp.any(improved), resolve,
-                                              lambda cur: cur, cur)
-                        return tuple(
-                            jax.lax.dynamic_update_slice_in_dim(
-                                full, m, s0, axis=0)
-                            for full, m in zip(cc, merged))
+                        return jax.lax.cond(jnp.any(improved), resolve,
+                                            lambda cur: cur, cur)
                     if fm_nch == 1:
                         cc = chunk_body(0, cc)
                     else:
-                        cc = jax.lax.fori_loop(0, fm_nch, chunk_body, cc)
+                        # unrolled chunk loop (fm_nch = R // FM_CH is
+                        # static): each chunk owns rows [k*FM_CH,
+                        # (k+1)*FM_CH) exactly, so the carry rebuilds by
+                        # concatenation — no dynamic_update_slice on
+                        # values (un-lowerable in Mosaic)
+                        pieces = [chunk_body(k, cc) for k in range(fm_nch)]
+                        cc = tuple(jnp.concatenate(ps, axis=0)
+                                   for ps in zip(*pieces))
                 return cc
 
             def run(cc):
