@@ -94,6 +94,38 @@ class TestShardedKernel:
         assert (d == 0.0).mean() > 0.8, float((d == 0.0).mean())
         assert (d > 1e-4).mean() < 0.01, float((d > 1e-4).mean())
 
+    def test_world6_quad_light_sharded_kernel_matches_single(self):
+        # world 6 (Cornell-quad): the quad-light NEE branch (PdfValueQuad
+        # mixture, area-Jacobian form) under shard_map. Untextured and
+        # unclustered, so kernel and XLA evaluate the identical
+        # expression graph -> bit-equal, like the Cornell test.
+        from pathtracer_tpu.scene.schema import WORLD_CORNELL_QUAD
+        scene, cam = finalize_world(WORLD_CORNELL_QUAD, 24, 16)
+        cfg = RenderConfig(width=24, height=16, pp=2, seed=0,
+                           backend="pallas-interpret")
+        cfg_x = RenderConfig(width=24, height=16, pp=2, seed=0)
+        img1, _, _ = render_image(scene, cam, cfg_x)
+        img8, _, st8 = render_image_sharded(scene, cam, cfg)
+        np.testing.assert_array_equal(np.asarray(img1), np.asarray(img8))
+        assert float(st8.rays_cast) > 0
+
+    def test_fog_sharded_kernel_matches_single(self):
+        # fog (volumetric distance sampling + HG phase + volume NEE,
+        # jnp.log in-kernel) through pallas-interpret under shard_map —
+        # the god-rays configuration's multi-chip path. Same functions
+        # in both drivers, untextured scene -> identical graph ->
+        # bit-equal.
+        from pathtracer_tpu.scene.camera import define_camera
+        from pathtracer_tpu.scene.feature_scenes import FEATURE_CASES
+        scene, (pos, target, fov), _ = FEATURE_CASES["fog"]()
+        cam = define_camera(pos, target, fov, 24, 16)
+        cfg = RenderConfig(width=24, height=16, pp=2, seed=0,
+                           backend="pallas-interpret")
+        cfg_x = RenderConfig(width=24, height=16, pp=2, seed=0)
+        img1, _, _ = render_image(scene, cam, cfg_x)
+        img8, _, _ = render_image_sharded(scene, cam, cfg)
+        np.testing.assert_array_equal(np.asarray(img1), np.asarray(img8))
+
     def test_world7_mesh_uv_sharded_kernel_tolerance(self):
         # world 7 (UV-textured sphere mesh): the streamed tier with
         # parallel uv rows + the windowed uv-stack fetch, under
@@ -147,3 +179,32 @@ class TestShardedResume:
         resumed, _, st = render_image_sharded(scene, cam, cfg, state=loaded)
         np.testing.assert_array_equal(np.asarray(full), np.asarray(resumed))
         assert int(np.asarray(st.samples_done)) == cfg.spp
+
+    def test_checkpoint_written_by_sharded_render_resumes(
+            self, cornell_small, tmp_path):
+        # the reverse direction (VERDICT r3 item 8): a checkpoint SAVED
+        # mid-render by the SHARDED renderer (padded, device-sharded
+        # state) resumes on both renderers to the bit-identical final
+        # image
+        from pathtracer_tpu.render.progressive import (
+            load_checkpoint, save_checkpoint)
+        scene, cam = cornell_small
+        cfg = RenderConfig(width=24, height=16, pp=3, seed=0)
+        full, _, _ = render_image(scene, cam, cfg)
+
+        path = str(tmp_path / "ck_sharded.npz")
+        render_image_sharded(
+            scene, cam, cfg, chunk_samples=4,
+            progress_cb=lambda s, t, st:
+                save_checkpoint(path, st) if s == 4 else None)
+        loaded, found = load_checkpoint(path, 24 * 16)
+        assert found
+        assert int(np.asarray(loaded.samples_done)) == 4
+        res_sh, _, st_sh = render_image_sharded(scene, cam, cfg,
+                                                state=loaded)
+        np.testing.assert_array_equal(np.asarray(full), np.asarray(res_sh))
+        loaded2, _ = load_checkpoint(path, 24 * 16)
+        res_1, _, st_1 = render_image(scene, cam, cfg, state=loaded2)
+        np.testing.assert_array_equal(np.asarray(full), np.asarray(res_1))
+        assert int(np.asarray(st_sh.samples_done)) == cfg.spp
+        assert int(np.asarray(st_1.samples_done)) == cfg.spp
