@@ -401,20 +401,25 @@ def kernel_outer_sub(reps: int):
     def kern(o_ref, d_ref, sp_ref, out_ref, w_ref):
         BIG = jnp.float32(3.4028235e38)
         NEG = jnp.float32(-3e38)
+        # per-ray-row winner state lives in the OUTPUT REFS, not a value
+        # carry: Mosaic cannot lower dynamic_slice/dynamic_update_slice on
+        # register values, but pl.ds sublane reads/stores on VMEM refs are
+        # exactly the slidable axis (same fix as ops/intersect's fm tier)
+        out_ref[:] = jnp.full((ROWS, LANES), 1e30, jnp.float32)
+        w_ref[:] = jnp.zeros((ROWS, LANES), jnp.float32)
 
-        def rep_body(rr, cc):
-            def tile_body(ti, cc):
+        def rep_body(rr, acc):
+            def tile_body(ti, acc):
                 rows = sp_ref[pl.ds(ti * 128, 128), :]  # (128, 128)
 
-                def ray_row(r, cc):
-                    t_full, w_full = cc
+                def ray_row(r, acc):
                     oxr = o_ref[pl.ds(r, 1), :]
                     dxr = d_ref[pl.ds(r, 1), :]
                     ox = jnp.broadcast_to(oxr, (128, 128))
                     dx = jnp.broadcast_to(dxr, (128, 128))
                     oy, dy = ox * 0.5, dx * 0.5
-                    t_r = jax.lax.dynamic_slice_in_dim(t_full, r, 1, 0)
-                    w_r = jax.lax.dynamic_slice_in_dim(w_full, r, 1, 0)
+                    t_r = out_ref[pl.ds(r, 1), :]
+                    w_r = w_ref[pl.ds(r, 1), :]
                     for k in range(SUB_K):
                         def f(j, k=k):
                             return jnp.broadcast_to(
@@ -438,17 +443,14 @@ def kernel_outer_sub(reps: int):
                                      axis=0, keepdims=True)
                         t_r = jnp.where(improved, tb, t_r)
                         w_r = jnp.where(improved, wk, w_r)
-                    return (jax.lax.dynamic_update_slice_in_dim(
-                                t_full, t_r, r, 0),
-                            jax.lax.dynamic_update_slice_in_dim(
-                                w_full, w_r, r, 0))
-                return jax.lax.fori_loop(0, ROWS, ray_row, cc)
-            return jax.lax.fori_loop(0, n_stile, tile_body, cc)
-        zero = jnp.zeros((ROWS, LANES), jnp.float32)
-        t_r, w = jax.lax.fori_loop(0, reps, rep_body,
-                                   (zero + 1e30, zero))
-        out_ref[:] = t_r
-        w_ref[:] = w
+                    out_ref[pl.ds(r, 1), :] = t_r
+                    w_ref[pl.ds(r, 1), :] = w_r
+                    return acc
+                return jax.lax.fori_loop(0, ROWS, ray_row, acc)
+            return jax.lax.fori_loop(0, n_stile, tile_body, acc)
+        # dummy data-derived scalar carry (layout inference wants carries
+        # rooted in data); the stores above are the real outputs
+        jax.lax.fori_loop(0, reps, rep_body, o_ref[0, 0] * 0.0)
     return pl.pallas_call(
         kern,
         interpret=_INTERPRET,
