@@ -326,6 +326,12 @@ STREAM_MAX = 131072
 # DMA-tier cap: bounds-row VMEM (~5.5 MB at 1M tris, leaf 96) plus
 # parent-descriptor code size set the practical ceiling, not HBM.
 DMA_MAX = 1 << 20
+# Third culling level (per-row 9-tri AABBs) only pays once the mesh is
+# big enough that rows actually prune: measured on-chip crossover
+# (BENCH.md round 4, uniform cloud 640x360@4spp): 2048 tris 3.7 vs 6.0
+# Mrays/s WITHOUT row culling (the ~40-op slab test loses to just
+# testing 9 tris), 8192 tris 2.8 vs 2.5 (wins), wash at 32k+.
+ROW_CULL_MIN = 8192  # env knob PT_ROW_CULL_MIN read at finalize (schema.py)
 
 
 def stream_rows_per_cluster(leaf: int) -> int:

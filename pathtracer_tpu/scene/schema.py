@@ -283,7 +283,10 @@ class Scene:
     # Third culling level: per-row 9-tri AABBs ride the pack rows' spare
     # lanes (clusters.ROW_BOUNDS_LANE); the record loop branches past a
     # row when no lane can beat its slab entry. Pure pruning (bit-equal
-    # results); PT_NO_ROW_CULL=1 disables for ablation.
+    # results). Defaults on only at >= clusters.ROW_CULL_MIN tris — below
+    # that the ~40-op slab test loses to just testing the 9 tris
+    # (measured on-chip crossover, BENCH.md round 4). PT_ROW_CULL_MIN
+    # overrides the threshold; PT_NO_ROW_CULL=1 disables for ablation.
     stream_row_cull: bool = struct.field(pytree_node=False, default=False)
     # Field-major ("outer") streamed layout (PT_FM_TIER=1): mtri_pack /
     # mtri_uvpack hold clusters.pack_stream_fm tiles instead of record
@@ -885,6 +888,8 @@ class WorldBuilder:
             tri_streamed=tri_streamed,
             tri_dma=tri_dma,
             stream_row_cull=(tri_streamed and not stream_fm
+                             and ntri >= int(_os.environ.get(
+                                 "PT_ROW_CULL_MIN", clu.ROW_CULL_MIN))
                              and not _os.environ.get("PT_NO_ROW_CULL")),
             stream_fm=stream_fm,
             stream_leaf=stream_leaf,

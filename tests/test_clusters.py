@@ -311,7 +311,14 @@ class TestStreamedMeshTier:
         )
         from pathtracer_tpu.scene.camera import define_camera
         from pathtracer_tpu.utils import prng
-        scene, _ = self._scene(2000)
+        # row culling defaults OFF below clusters.ROW_CULL_MIN (measured
+        # crossover, BENCH.md round 4) — force it on for the bit-equal gate
+        import os
+        os.environ["PT_ROW_CULL_MIN"] = "64"
+        try:
+            scene, _ = self._scene(2000)
+        finally:
+            os.environ.pop("PT_ROW_CULL_MIN", None)
         assert scene.stream_row_cull
         off = scene.replace(stream_row_cull=False)
         w, h, pp = 16, 8, 2
