@@ -77,6 +77,16 @@ run_step fm_cloud_32768.log 1800 env PT_FM_TIER=1 \
 run_step fm_sphere_250000.log 2400 env PT_FM_TIER=1 \
     python experiments/accel_crossover.py 250000 on 4 sphere
 
+# ---- priority 5b: world 7 on the static clustered tier ------------------
+# w7 is 1472 tris — just past STREAM_MIN (1024). The clustered static
+# tier supports mesh UVs (deferred post-LUT interpolation) and world 5
+# (752 tris static) runs 3.6x faster per-world; test whether the static
+# tier + raised Mosaic unroll budget beats the streamed tier at w7 scale.
+log "5b. world 7 static-tier experiment (PT_STREAM_MIN=2048)"
+run_step bench_w7_static.json 3600 env PT_STREAM_MIN=2048 \
+    PT_UNROLL_MAX_KERNEL=2048 python bench.py --world 7 --spp 64
+run_step bench_w7_default_postrowcull.json 2400 python bench.py --world 7 --spp 64
+
 # ---- priority 6: roofline calibration (verdict item 6) -----------------
 log "6. empirical VPU/HBM peaks for the BENCH.md MFU section"
 run_step vpu_roofline.log 1800 python experiments/vpu_roofline_micro.py 2048
