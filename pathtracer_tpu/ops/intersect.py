@@ -654,8 +654,29 @@ def _intersect_triangles_streamed(scene: Scene, o: Vec3, d: Vec3,
                 return run_range(ps, ps + pc, cc)
             return jax.lax.cond(jnp.any(relevant), descend,
                                 lambda cc: cc, carry)
-        carry = jax.lax.fori_loop(0, scene.n_stream_parents,
-                                  parent_body, init)
+        if scene.n_stream_gparents > 0:
+            # GRANDPARENT level (clusters.GPARENT_MIN+): same dynamic
+            # form one level up — grandparent AABB rows + (start, count)
+            # PARENT ranges — so the serial per-block-bounce term is
+            # O(n_gparents + descended parents), not O(n_parents). The
+            # log-depth descent the reference octree gets from
+            # AdoptChildren (win32_main.cpp:1395-1440), realized as
+            # nested cond-in-fori (both lower fine in Mosaic).
+            def gparent_body(g, carry):
+                grow = row_bcast(scene.mtri_gparents, g)
+                relevant = row_slab_relevant(grow, carry[0])
+                gs = scene.mtri_gprange[g, 0]
+                gc = scene.mtri_gprange[g, 1]
+
+                def descend(cc):
+                    return jax.lax.fori_loop(gs, gs + gc, parent_body, cc)
+                return jax.lax.cond(jnp.any(relevant), descend,
+                                    lambda cc: cc, carry)
+            carry = jax.lax.fori_loop(0, scene.n_stream_gparents,
+                                      gparent_body, init)
+        else:
+            carry = jax.lax.fori_loop(0, scene.n_stream_parents,
+                                      parent_body, init)
     elif scene.stream_parents:
         # Two-level hierarchy (the TPU analog of the reference octree's
         # log-depth descent, win32_main.cpp:476-526): parent AABBs are

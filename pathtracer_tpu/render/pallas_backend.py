@@ -467,15 +467,20 @@ def render_chunk_pallas(
         ref_slots |= {stack_idx}
     pack_idx = None
     prange_idx = None
+    gprange_idx = None
     if scene.tri_streamed:
         ref_slots |= {i for i, l in enumerate(scene_leaves)
                       if l is scene.mtri_bounds or l is scene.mtri_pack
                       or l is scene.mtri_parents or l is scene.mtri_prange
+                      or l is scene.mtri_gparents
+                      or l is scene.mtri_gprange
                       or (scene.has_mesh_uvs and l is scene.mtri_uvpack)}
         pack_idx = next(i for i, l in enumerate(scene_leaves)
                         if l is scene.mtri_pack)
         prange_idx = next(i for i, l in enumerate(scene_leaves)
                           if l is scene.mtri_prange)
+        gprange_idx = next(i for i, l in enumerate(scene_leaves)
+                           if l is scene.mtri_gprange)
     # DMA tier: the pack rows stay in HBM (memory_space=ANY); the kernel
     # double-buffers each cluster's rows into a 2-slot VMEM scratch
     # (ops/intersect._intersect_triangles_streamed, dma branch).
@@ -545,6 +550,9 @@ def render_chunk_pallas(
             return pl.BlockSpec(memory_space=pl.ANY)  # stays in HBM
         if i == prange_idx and scene.n_stream_parents > 0:
             # (start, count) scalars: fori bounds read from SMEM
+            return pl.BlockSpec(memory_space=pltpu.SMEM)
+        if (gprange_idx is not None and i == gprange_idx
+                and scene.n_stream_gparents > 0):
             return pl.BlockSpec(memory_space=pltpu.SMEM)
         return pl.BlockSpec(memory_space=pltpu.VMEM)
 

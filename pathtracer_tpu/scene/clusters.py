@@ -200,6 +200,13 @@ def triangle_precompute(A: np.ndarray, u: np.ndarray, v: np.ndarray):
 # O(hit parents x their leaves) dynamic cluster iterations instead of the
 # flat O(n_clusters) serial sweep.
 PARENT_GROUP = 16
+# Grandparent level (DMA tier only): once the DYNAMIC parent loop has this
+# many parents, its O(n_parents) serial slab tests per block-bounce start
+# to bind (512 parents at 500k tris, ~1024 at 1M) — regroup the parents
+# under grandparent AABBs (build_parents applied to the parent list) so
+# the serial term drops to O(n_gparents + descended). Env knob
+# PT_GPARENT_MIN (read at finalize, schema.py) for ablation/tests.
+GPARENT_MIN = 64
 
 
 def build_parents(clusters: tuple, group_size: Optional[int] = None,

@@ -185,6 +185,16 @@ class Scene:
     # 256+ parents loop a dynamic fori instead (O(1) code size).
     mtri_parents: jnp.ndarray     # (n_parents, 128) f32: mn3 mx3 pad
     mtri_prange: jnp.ndarray      # (n_parents, 2) int32: start, count
+    # Third hierarchy level (grandparents) for big DMA meshes: the dynamic
+    # parent loop is O(n_parents) serial slab tests per block-bounce, and
+    # at 500k-1M tris (512-1024+ parents) that linear term binds. When
+    # n_parents >= clusters.GPARENT_MIN, parents regroup under grandparent
+    # AABBs (clusters.build_parents applied to the parent list — the same
+    # log-depth descent the reference octree gets from AdoptChildren,
+    # win32_main.cpp:1395-1440) and the kernel loops grandparents,
+    # descending into a parent subrange only when a lane can improve.
+    mtri_gparents: jnp.ndarray    # (n_gparents, 128) f32: mn3 mx3 pad
+    mtri_gprange: jnp.ndarray     # (n_gparents, 2) int32: start, count (PARENT units)
 
     # --- axis-aligned boxes (parity with world_t.aabbs; always empty) -----
     box_min: Vec3
@@ -280,6 +290,9 @@ class Scene:
     # > 0 selects the dynamic parent loop (DMA tier); the resident tier
     # uses the static stream_parents tuple instead.
     n_stream_parents: int = struct.field(pytree_node=False, default=0)
+    # > 0 adds the grandparent loop above the dynamic parents (DMA tier,
+    # n_parents >= clusters.GPARENT_MIN; ranges in PARENT units)
+    n_stream_gparents: int = struct.field(pytree_node=False, default=0)
     # Third culling level: per-row 9-tri AABBs ride the pack rows' spare
     # lanes (clusters.ROW_BOUNDS_LANE); the record loop branches past a
     # row when no lane can beat its slab entry. Pure pruning (bit-equal
@@ -574,6 +587,9 @@ class WorldBuilder:
         mtri_uvpack = np.zeros((1, 128), f32)
         mtri_parents = np.zeros((1, 128), f32)
         mtri_prange = np.zeros((1, 2), i32)
+        mtri_gparents = np.zeros((1, 128), f32)
+        mtri_gprange = np.zeros((1, 2), i32)
+        n_stream_gparents = 0
         tri_streamed = False
         tri_dma = False
         stream_fm = False
@@ -639,6 +655,19 @@ class WorldBuilder:
                     # dynamic parent tables (O(1) kernel code size); the
                     # static tuple is the RESIDENT tier's faster form but
                     # compiles linearly in parent count
+                    gmin = int(_os.environ.get("PT_GPARENT_MIN",
+                                               clu.GPARENT_MIN))
+                    if len(stream_parents) >= gmin:
+                        # grandparent level: regroup the PARENTS (a pure
+                        # permutation of the parent list; cluster ranges
+                        # are absolute and move with their parent)
+                        pperm, gparents = clu.build_parents(
+                            stream_parents, sort_origin=view_origin)
+                        stream_parents = tuple(stream_parents[i]
+                                               for i in pperm)
+                        mtri_gparents, mtri_gprange = clu.pack_parents(
+                            gparents)
+                        n_stream_gparents = len(gparents)
                     mtri_parents, mtri_prange = clu.pack_parents(
                         stream_parents)
                     n_stream_parents = len(stream_parents)
@@ -885,6 +914,8 @@ class WorldBuilder:
             mtri_uvpack=jnp.asarray(mtri_uvpack),
             mtri_parents=jnp.asarray(mtri_parents),
             mtri_prange=jnp.asarray(mtri_prange),
+            mtri_gparents=jnp.asarray(mtri_gparents),
+            mtri_gprange=jnp.asarray(mtri_gprange),
             tri_streamed=tri_streamed,
             tri_dma=tri_dma,
             stream_row_cull=(tri_streamed and not stream_fm
@@ -895,6 +926,7 @@ class WorldBuilder:
             stream_leaf=stream_leaf,
             n_stream_clusters=n_stream_clusters,
             n_stream_parents=n_stream_parents,
+            n_stream_gparents=n_stream_gparents,
             stream_parents=stream_parents,
             sph_clusters=sph_clusters,
             tri_clusters=tri_clusters,

@@ -300,6 +300,44 @@ class TestStreamedMeshTier:
         np.testing.assert_array_equal(imgs[0], imgs[1])
         np.testing.assert_array_equal(imgs[0], imgs[2])
 
+    def test_gparent_level_bit_equal(self):
+        """The GRANDPARENT level (clusters.GPARENT_MIN: parents regroup
+        under grandparent AABBs, nested cond-in-fori descent) is pure
+        pruning one level up — a grandparent is only skipped when no lane
+        can improve inside its box — so the interpret-mode kernel render
+        must be BIT-EQUAL with the level forced on vs off."""
+        from pathtracer_tpu.render.renderer import (
+            RenderConfig, init_accum, render_chunk, resolve,
+        )
+        from pathtracer_tpu.scene.camera import define_camera
+        from pathtracer_tpu.utils import prng
+        import os
+        os.environ["PT_STREAM_DMA"] = "1"
+        # small parent groups -> many parents -> the gparent level builds
+        os.environ["PT_PARENT_GROUP"] = "4"
+        try:
+            os.environ["PT_GPARENT_MIN"] = "4"
+            scene_gp, _ = self._scene(2000)
+            os.environ["PT_GPARENT_MIN"] = "100000"
+            scene_flat, _ = self._scene(2000)
+        finally:
+            for k in ("PT_STREAM_DMA", "PT_PARENT_GROUP", "PT_GPARENT_MIN"):
+                os.environ.pop(k, None)
+        assert scene_gp.tri_dma and scene_gp.n_stream_gparents > 1
+        assert scene_flat.n_stream_gparents == 0
+        assert scene_flat.n_stream_parents > 0
+        w, h, pp = 16, 8, 2
+        cam = define_camera((0, -24, 2), (0, 0, 0), 35.0, w, h)
+        cfg = RenderConfig(width=w, height=h, pp=pp, seed=3,
+                           backend="pallas-interpret")
+        key = prng.base_key(3)
+        imgs = []
+        for sc in (scene_flat, scene_gp):
+            st = render_chunk(sc, cam, cfg, key, np.int32(0), cfg.spp,
+                              init_accum(w * h))
+            imgs.append(np.asarray(resolve(st, cfg)))
+        np.testing.assert_array_equal(imgs[0], imgs[1])
+
     def test_row_cull_bit_equal(self):
         """The third culling level (per-row 9-tri AABBs in the pack rows'
         spare lanes, clusters.ROW_BOUNDS_LANE) is pure pruning: a row is
