@@ -361,7 +361,11 @@ def _intersect_triangles_streamed(scene: Scene, o: Vec3, d: Vec3,
                    Vec3(_col(best.normal.x), _col(best.normal.y),
                         _col(best.normal.z)))
         shape = (R, 1)
-        fm_lane = jax.lax.broadcasted_iota(jnp.float32, (1, 128), 1)
+        # int iota + convert: Mosaic's tpu.iota only produces integer
+        # vectors (f32 iota fails MLIR verification); i32->f32 converts
+        # fine (it is u32->f32 that has no lowering)
+        fm_lane = jax.lax.broadcasted_iota(
+            jnp.int32, (1, 128), 1).astype(jnp.float32)
         FM_CH = 1024 if R % 1024 == 0 else R
         fm_nch = R // FM_CH
 
