@@ -1,23 +1,22 @@
 """Empirical VPU/HBM roofline calibration for the BENCH.md MFU section.
 
 The round-3 verdict (item 6) asks for a roofline that ties the measured
-renderer rates (Cornell's ~1550 Mrays/s, the streamed tier's ~1.3 us/tri
+renderer rates (Cornell's ~1550 Mrays/s, the streamed tier's ~1.5 us/tri
 extraction floor) to hardware limits "reviewers can check". Spec sheets
 don't give the v5e VPU's sustained f32 issue rate under real operand
 mixes, so this measures it:
 
-  fma-peak   : longest-chain-free unrolled a*b+c soup on (256,128) f32 —
-               the empirical elementwise FLOP ceiling.
-  isect-mix  : the triangle-test op mix (mul/add/sub/div-free compare/
-               select, ~45 ops per "triangle") — what intersection code
-               can actually sustain per op.
-  min-reduce : lane-min + compare + 2 selects (the deferred-winner
-               pattern) — the carry-update cost.
-  hbm-stream : big f32 array copy through a trivial kernel — sustained
-               HBM read+write bandwidth.
-
-Each prints ops/s (or B/s) from synced wall time over REPS in-kernel
-repetitions (one dispatch, ~27 ms tunnel floor amortized away).
+  fma-peak   : 8 independent (8,128)-vreg fma streams, 8 rounds unrolled
+               per rep — the empirical elementwise FLOP ceiling. Live set
+               ~12 vregs (v1 of this micro carried (256,128) streams =
+               64+ vregs of accumulators and measured SPILLS, not issue).
+  isect-mix  : the triangle-test op mix (mul/add/compare/select) on one
+               vreg — what intersection code can sustain per op.
+  min-reduce : lane-min + compare + select (the deferred-winner pattern).
+  hbm-stream : fori_loop of elementwise passes over a 256 MB array (the
+               loop defeats pass fusion) — sustained HBM read+write.
+               Syncs via a SCALAR fetch (v1 pulled the whole 256 MB back
+               through the tunnel and measured the tunnel, not HBM).
 
 Usage: python experiments/vpu_roofline_micro.py [REPS]
 """
@@ -33,9 +32,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _INTERPRET = bool(os.environ.get("PT_MICRO_INTERPRET"))  # CPU check mode
-REPS = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
-ROWS, LANES = 256, 128
-N = ROWS * LANES  # f32 elements per vector op
+REPS = int(sys.argv[1]) if len(sys.argv) > 1 else 65536
+ROWS, LANES = 8, 128
+N = ROWS * LANES  # f32 elements per vreg-shaped op
 
 
 def _timed(name, call, args, flops_per_rep, unit="FLOP"):
@@ -53,30 +52,28 @@ def _timed(name, call, args, flops_per_rep, unit="FLOP"):
 
 
 def kernel_fma_peak():
-    # 16 independent fma streams, 8 rounds each = 128 fmas (256 FLOP/elem)
-    # per rep; no loop-carried serial chain longer than one round.
+    # 8 independent vreg fma streams, 8 rounds each = 64 fmas/elem/rep;
+    # live set ~12 vregs so nothing spills.
     def kern(a_ref, b_ref, o_ref):
         a = a_ref[:]
         b = b_ref[:]
 
         def body(r, accs):
-            # mix the rep index in cheaply so the loop isn't foldable
             c = a + r.astype(jnp.float32) * 1e-9
-            new = tuple(acc * 0.999999 + b * c for acc in accs)
-            for _ in range(7):
-                new = tuple(acc * 0.999999 + b * c for acc in new)
-            return new
+            for _ in range(8):
+                accs = tuple(acc * 0.999999 + b * c for acc in accs)
+            return accs
 
         accs = jax.lax.fori_loop(
-            0, REPS, body, tuple(a * (1.0 + 0.01 * i) for i in range(16)))
+            0, REPS, body, tuple(a * (1.0 + 0.01 * i) for i in range(8)))
         o_ref[:] = sum(accs)
-    return kern, 2 * 128 * N  # 2 FLOP per fma, 16 streams x 8 rounds
+    return kern, 2 * 64 * N  # 2 FLOP per fma, 8 streams x 8 rounds
 
 
 def kernel_isect_mix():
-    # ~45-op triangle-test shaped mix per "tri": 12 fma-ish terms, one
-    # guarded divide replaced by mul (div-free form), 6 compares, 4
-    # selects, one min-reduce every 9 "tris" amortized out.
+    # ~35-op triangle-test shaped mix on one vreg: 12 fma-ish terms,
+    # div-free compare/select tail — the realistic per-op rate for
+    # intersection code (carries 2 vregs).
     def kern(a_ref, b_ref, o_ref):
         ox = a_ref[:]
         dx = b_ref[:]
@@ -99,7 +96,7 @@ def kernel_isect_mix():
             0, REPS, body,
             (jnp.full((ROWS, LANES), 3.4e38, jnp.float32), ox * 0.0))
         o_ref[:] = jnp.where(t_best > 1e30, 0.0, t_best) + w
-    # count the ops in body: 2+2+2+1+3+4+4+4+4+1+3+1+2+2 ~= 35 vector ops
+    # ops in body: ~35 vector ops (count in source)
     return kern, 35 * N
 
 
@@ -139,24 +136,25 @@ def run_vmem(name, mk):
 
 
 def run_hbm_stream():
-    # 256 MB round trip through XLA (read + write), 8 reps in one jit
-    n = 64 * 1024 * 1024  # f32 elements = 256 MB
+    # 256 MB array, 64 elementwise passes under lax.fori_loop (the loop
+    # boundary defeats XLA pass fusion) = 32 GB of HBM read+write. Sync
+    # via a SCALAR fetch so the tunnel moves 4 bytes, not 256 MB.
+    n = 64 * 1024 * 1024
+    passes = 64
     x = jnp.arange(n, dtype=jnp.float32)
 
-    def copy(x):
-        for _ in range(8):
-            x = x * 1.0000001
-        return x
+    def sweep(x):
+        return jax.lax.fori_loop(0, passes, lambda i, v: v * 1.0000001, x)
 
-    f = jax.jit(copy)
-    float(np.asarray(f(x))[0])
+    f = jax.jit(sweep)
+    float(f(x)[0])  # compile + sync (scalar fetch)
     t0 = time.perf_counter()
     y = f(x)
-    float(np.asarray(y)[0])
+    float(y[0])
     dt = time.perf_counter() - t0
-    bw = 8 * 2 * 4 * n / dt
+    bw = passes * 2 * 4 * n / dt
     print(f"hbm-stream: {dt*1e3:8.2f} ms  {bw/1e9:7.1f} GB/s "
-          f"(8x read+write 256 MB)", flush=True)
+          f"({passes}x read+write 256 MB)", flush=True)
 
 
 if __name__ == "__main__":
