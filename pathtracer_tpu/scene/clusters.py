@@ -333,12 +333,15 @@ STREAM_MAX = 131072
 # DMA-tier cap: bounds-row VMEM (~5.5 MB at 1M tris, leaf 96) plus
 # parent-descriptor code size set the practical ceiling, not HBM.
 DMA_MAX = 1 << 20
-# Third culling level (per-row 9-tri AABBs) only pays once the mesh is
-# big enough that rows actually prune: measured on-chip crossover
-# (BENCH.md round 4, uniform cloud 640x360@4spp): 2048 tris 3.7 vs 6.0
-# Mrays/s WITHOUT row culling (the ~40-op slab test loses to just
-# testing 9 tris), 8192 tris 2.8 vs 2.5 (wins), wash at 32k+.
-ROW_CULL_MIN = 8192  # env knob PT_ROW_CULL_MIN read at finalize (schema.py)
+# Third culling level (per-row 9-tri AABBs): ON for every streamed mesh.
+# Measured both ways on chip (BENCH.md round 4): the only regime where it
+# LOSES is the synthetic uniform-volume cloud between ~2k and ~8k tris
+# (2048: 3.7 vs 6.0 without — rows never prune when triangles fill the
+# view volume), while on real SURFACE meshes it wins (world 7, 1472
+# tris: 34.7 vs 31.6 official) and at 8k+ cloud it wins or washes.
+# Production meshes are surfaces, so the default follows world 7, and
+# PT_NO_ROW_CULL=1 / PT_ROW_CULL_MIN=<n> remain for the cloud regime.
+ROW_CULL_MIN = 1024  # == STREAM_MIN: every streamed mesh row-culls
 
 
 def stream_rows_per_cluster(leaf: int) -> int:
