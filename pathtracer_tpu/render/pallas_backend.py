@@ -82,11 +82,41 @@ BLOCK = _BLOCK_ROWS * _LANES
 _SUB_CHUNK_SAMPLES = 64
 
 
+def _use_lockstep(scene: Scene) -> bool:
+    """Loop choice for the kernel (single source for make_kernel and
+    _block_rows). Lockstep trades ~3.6x idle-lane waste for per-bounce
+    fetch coherence, which only pays when the texture working set is
+    LARGE. Measured (BENCH.md rounds 2b + 4): world 1's combined set
+    (5464 rows) wants lockstep (64 vs 34 regen); world 7's 64x64 checker
+    stack (32 rows) wants REGEN (46.5 vs 33.9 @64spp, official 44.1 vs
+    34.7). Small stacks therefore run regen; PT_LOCKSTEP_STACK_MIN moves
+    the row threshold, PT_FORCE_REGEN=1 forces regen, and
+    PT_LOCKSTEP_CLUSTERED=1 re-enables the round-2 ablation."""
+    import os
+    use_tex_ref = scene.tex_combined and scene.n_textures > 0
+    use_stack = (scene.n_textures > 0 and scene.tex_stack_tiled
+                 and not scene.tex_combined)
+    big_stack = use_stack and (scene.tex_stack_tile.shape[0] > int(
+        os.environ.get("PT_LOCKSTEP_STACK_MIN", "512")))
+    clustered = bool(scene.sph_clusters or scene.tri_clusters
+                     or scene.tri_streamed)
+    return bool((use_tex_ref or big_stack
+                 or (clustered and os.environ.get("PT_LOCKSTEP_CLUSTERED")))
+                and not os.environ.get("PT_FORCE_REGEN"))
+
+
 def _block_rows(scene: Scene) -> int:
     import os
     if os.environ.get("PT_BLOCK_ROWS"):  # perf-sweep knob (experiments/)
         return int(os.environ["PT_BLOCK_ROWS"])
     if scene.n_textures and (scene.tex_combined or scene.tex_stack_tiled):
+        # the 128-row textured block was tuned for LOCKSTEP fetch
+        # amortization (round 2b); regen-scheduled stack scenes behave
+        # like the streamed record loop and want 64 (w7 sweep: 46.5 @64
+        # vs 42.5 @32 / 40.4 @128, BENCH.md round 4)
+        if not _use_lockstep(scene):
+            return (_BLOCK_ROWS_STREAMED if scene.tri_streamed
+                    else _BLOCK_ROWS)
         return _BLOCK_ROWS_TEXTURED
     if scene.tri_streamed:
         return _BLOCK_ROWS_STREAMED
@@ -183,12 +213,20 @@ def _wave_loop(scene: Scene, camera: Camera, config: RenderConfig,
         prad = vwhere(regen, zvec(), prad)
 
         rays = rays + active.astype(jnp.float32)
-        hit = intersect_scene(scene, o, d)
+        if scene.has_mesh_uvs:
+            # mirror render/wavefront.py: the winner's interpolated uv
+            # rides the triangle loops (no per-lane gathers)
+            from ..ops.intersect import intersect_scene_uv
+            hit, uvx, uvy, uv_ok = intersect_scene_uv(scene, o, d)
+            uv = (uvx, uvy, uv_ok)
+        else:
+            hit, uv = intersect_scene(scene, o, d), None
         stream = prng.PathStream(
             jnp.broadcast_to(jnp.uint32(key), shape),
             pixel_idx.astype(jnp.uint32), s_abs.astype(jnp.uint32))
         u = prng.bounce_uniforms_v(stream, bounce)
-        out = shade_bounce(scene, o, d, hit, u, mip_scale=config.mip_scale)
+        out = shade_bounce(scene, o, d, hit, u, mip_scale=config.mip_scale,
+                           uv=uv)
 
         contrib = hadamard(thr, out.emit)
         prad = Vec3(
@@ -518,16 +556,9 @@ def render_chunk_pallas(
             if use_stack:
                 _texture_mod.KERNEL_STACK_REF = scene_refs[stack_idx]
             pixel_block = pix_ref[:]
-            import os
-            clustered = bool(scene.sph_clusters or scene.tri_clusters
-                             or scene.tri_streamed)
-            # stack-textured scenes also run lockstep: the windowed
-            # fetches pay per distinct row a block touches, and bounce-
-            # synchronized lanes keep each bounce's row set small (same
-            # coherence argument as the combined-set fetch)
-            use_lockstep = use_tex_ref or use_stack or (
-                clustered and os.environ.get("PT_LOCKSTEP_CLUSTERED"))
-            loop = _lockstep_loop if use_lockstep else _wave_loop
+            # loop choice + rationale: _use_lockstep (shared with
+            # _block_rows so the block size follows the loop)
+            loop = _lockstep_loop if _use_lockstep(scene) else _wave_loop
             acc_sum, acc_sq, count, nan_c, ray_c = loop(
                 scene_local, camera, config, sk_ref[0, 0], ss0_ref[0, 0],
                 ns, pixel_block)
