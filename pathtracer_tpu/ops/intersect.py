@@ -619,6 +619,17 @@ def _intersect_triangles_streamed(scene: Scene, o: Vec3, d: Vec3,
             def run(cc):
                 if fm:
                     return fm_tests(cc)
+                if rpc <= _row_unroll_max():
+                    # Python-unrolled row loop (rpc is static): the rows'
+                    # ~100-op test chains are independent of the carry
+                    # until the final merge, but a fori boundary forbids
+                    # Mosaic from overlapping row r+1's loads/tests with
+                    # row r's latency tail — straight-line code gives the
+                    # scheduler that freedom. Bit-exact by construction
+                    # (identical op sequence, static indices).
+                    for r in range(rpc):
+                        cc = row_body(r, cc)
+                    return cc
                 return jax.lax.fori_loop(0, rpc, row_body, cc)
 
             return jax.lax.cond(jnp.any(relevant), run, lambda cc: cc, carry)
@@ -748,6 +759,14 @@ def _windowed_lut(tab: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 # Scene-level nearest hit (RayCastIntersect, win32_main.cpp:406-556)
 # ---------------------------------------------------------------------------
+
+def _row_unroll_max() -> int:
+    # streamed-tier row-loop unroll budget (rows per cluster); see run()
+    # in _intersect_triangles_streamed. 0 disables (pure fori, the
+    # round-3 form). Read per call so tests/sweeps can flip it.
+    import os
+    return int(os.environ.get("PT_ROW_UNROLL", "16"))
+
 
 _UNROLL_MAX = 192          # XLA drivers: larger unrolls blow up compile
 _UNROLL_MAX_KERNEL = 1024  # inside the Pallas kernel: Mosaic compiles
