@@ -336,6 +336,14 @@ def _intersect_triangles_streamed(scene: Scene, o: Vec3, d: Vec3,
         return r if fm else jnp.broadcast_to(r, shape)
 
     def lane(rowb, j):
+        # fm: shape is (R, 1), so rowb[:, j:j+1] is a (1,1) -> (R,1)
+        # SUBLANE-only broadcast, which lowers. For the record loop's
+        # (R, 128) blocks the static-slice form needs a (1,1) -> (R,128)
+        # broadcast "in both sublanes and lanes" — Mosaic has NO lowering
+        # for that (measured decisive negative, BENCH.md round 4; chained
+        # single-axis broadcasts get re-fused by XLA and hit the same
+        # error), so field extraction stays take_along_axis on the
+        # sublane-broadcast row (a lane-uniform dynamic_gather).
         if fm:
             return jnp.broadcast_to(rowb[:, j:j + 1], shape)
         idx = jnp.broadcast_to(jnp.asarray(j, jnp.int32), shape)
