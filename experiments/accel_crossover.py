@@ -2,7 +2,14 @@
 
 Usage: python experiments/accel_crossover.py NTRIS MODE [SPP] [SHAPE]
 MODE: on | off   (scene/clusters.py packet culling vs plain unrolled)
-SHAPE: cloud (default) | sphere
+SHAPE: cloud (default) | sphere | sphere-zoom
+
+"sphere-zoom" is the LOCALIZED-view variant: the camera sits close to
+the surface looking at a patch, so most clusters/parents are behind the
+camera or occluded — the regime the hierarchy's upper levels
+(parents/grandparents) exist for (the full-screen "sphere" view must
+descend almost everything, which is why the grandparent A/B washes
+there, BENCH.md round 4).
 
 Scenes: "cloud" = NTRIS random small triangles uniformly in a 20-unit
 cube — the spatial regime packet culling likes LEAST (every scattered
@@ -74,8 +81,14 @@ W, H = 640, 360
 # view_origin engages the camera-ordered t-cull exactly as production
 # does (worlds.finalize_world passes cam.pos); round-2 numbers omitted it
 # and under-measured the shipping configuration
-scene = b.finalize(view_origin=(0, -30, 4))
-camera = define_camera((0, -30, 4), (0, 0, 0), 35.0, W, H)
+if shape == "sphere-zoom":
+    # camera just off the surface (radius 8), looking at a patch near
+    # the +y pole region: the localized-view regime
+    cam_pos, cam_tgt = (0.0, -10.0, 1.0), (0.0, -7.5, 0.5)
+else:
+    cam_pos, cam_tgt = (0, -30, 4), (0, 0, 0)
+scene = b.finalize(view_origin=cam_pos)
+camera = define_camera(cam_pos, cam_tgt, 35.0, W, H)
 pp = int(round(spp ** 0.5))
 cfg = RenderConfig(width=W, height=H, pp=pp, backend="auto")
 _, _, st = render_image(scene, camera, cfg)
