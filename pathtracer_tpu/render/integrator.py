@@ -759,3 +759,72 @@ def trace(
         radiance = cond_color
 
     return radiance, TraceStats(rays_cast=rays_cast, lane_casts=lane_casts)
+
+
+def trace_fori(
+    scene: Scene,
+    o: Vec3,
+    d: Vec3,
+    pkeys: prng.PathStream,
+    use_russian_roulette: bool = False,
+    mip_scale: float = 0.0,
+) -> Tuple[Vec3, TraceStats]:
+    """:func:`trace` with the bounce loop as ``lax.fori_loop`` instead of
+    a Python unroll — the COMPILE-SIZE-BOUNDED driver for the Pallas
+    lockstep loop. The unrolled trace bakes MAX_BOUNCE_COUNT copies of
+    intersect+shade (plus, on textured scenes, the windowed-fetch while
+    loops) into one straight-line Mosaic compile unit; world 1's kernel
+    measured 504 s to compile (VERIFY_r04.json). Looping the bounce makes
+    kernel code size O(1) in bounce count while keeping every lane at the
+    SAME bounce (the lockstep coherence the texture fetch feeds on).
+
+    Per-path arithmetic matches trace exactly, in the _wave_loop style:
+    the traced bounce index feeds the same prng tag math, terminal-depth
+    and Russian-roulette branches become masks (``b >= 1`` etc.) whose
+    values equal the unrolled Python branches at every b. REGULAR /
+    VARIANCE only (debug kinds keep the unrolled driver: their per-bounce
+    captures want Python-level specialization, and debug renders are not
+    the hot path)."""
+    shape = jnp.shape(o.x)
+    zeros = lambda: o.x * 0.0  # derived from data (kernel layout inference)
+    zvec = lambda: Vec3(zeros(), zeros(), zeros())
+    ones = lambda: zeros() + 1.0
+
+    def body(b, carry):
+        o, d, radiance, throughput, alive_f, lane_casts = carry
+        alive = alive_f > 0.0
+        lane_casts = lane_casts + alive_f
+        if scene.has_mesh_uvs:
+            hit, uvx, uvy, uv_ok = intersect_scene_uv(scene, o, d)
+            uv = (uvx, uvy, uv_ok)
+        else:
+            hit, uv = intersect_scene(scene, o, d), None
+        u = prng.bounce_uniforms_v(pkeys, b)
+        out = shade_bounce(scene, o, d, hit, u, mip_scale=mip_scale, uv=uv)
+
+        contrib = hadamard(throughput, out.emit)
+        radiance = Vec3(
+            jnp.where(alive, radiance.x + contrib.x, radiance.x),
+            jnp.where(alive, radiance.y + contrib.y, radiance.y),
+            jnp.where(alive, radiance.z + contrib.z, radiance.z),
+        )
+
+        at_depth_limit = b >= MAX_BOUNCE_COUNT - 1
+        cont = alive & out.cont & ~at_depth_limit
+        new_thr = hadamard(throughput, out.weight)
+        if use_russian_roulette:
+            survive, rr_thr = russian_roulette(new_thr, u[4])
+            rr_applies = b >= 1
+            cont = cont & (survive | ~rr_applies)
+            new_thr = vwhere(rr_applies, rr_thr, new_thr)
+        throughput = vwhere(cont, new_thr, throughput)
+        o = vwhere(cont, out.hitpoint, o)
+        d = vwhere(cont, out.L, d)
+        return (o, d, radiance, throughput, cont.astype(jnp.float32),
+                lane_casts)
+
+    init = (o, d, zvec(), Vec3(ones(), ones(), ones()), ones(), zeros())
+    (_, _, radiance, _, _, lane_casts) = jax.lax.fori_loop(
+        0, MAX_BOUNCE_COUNT, body, init)
+    return radiance, TraceStats(rays_cast=jnp.sum(lane_casts),
+                                lane_casts=lane_casts)

@@ -292,8 +292,16 @@ def _lockstep_loop(scene: Scene, camera: Camera, config: RenderConfig,
     bounce's tiles, and dead lanes contribute no tiles at all (a sky
     block's fetch costs zero). Idle-lane waste is bounded by
     the scene's mean path length; for textured scenes the fetch latency
-    dominates that waste by an order of magnitude (BENCH.md round 2)."""
-    from .integrator import trace
+    dominates that waste by an order of magnitude (BENCH.md round 2).
+
+    Bounce-loop form (PT_BOUNCE_FORI=1): REGULAR/VARIANCE renders run
+    integrator.trace_fori — the bounce as a lax.fori_loop, one bounce
+    body to compile instead of MAX_BOUNCE_COUNT straight-line copies
+    (world 1's unrolled kernel is the tree's biggest compile,
+    VERIFY_r04.json 504 s). Debug kinds keep the unrolled trace (their
+    per-bounce captures specialize at Python level)."""
+    import os
+    from .integrator import trace, trace_fori, REGULAR, VARIANCE
 
     shape = pixel_idx.shape
     zeros = lambda: pixel_idx.astype(jnp.float32) * 0.0
@@ -319,6 +327,13 @@ def _lockstep_loop(scene: Scene, camera: Camera, config: RenderConfig,
     def cond(carry):
         return jnp.any(carry[0] < n_samples)
 
+    if config.bounce_fori is None:  # auto (see RenderConfig.bounce_fori)
+        use_fori = (config.debug_kind in (REGULAR, VARIANCE)
+                    and not os.environ.get("PT_LOCKSTEP_UNROLL"))
+    else:
+        use_fori = (config.bounce_fori
+                    and config.debug_kind in (REGULAR, VARIANCE))
+
     def body(carry):
         (s_rel, acc_sum, acc_sq, count, nan_c, rays) = carry
         s_abs = s0 + s_rel
@@ -326,10 +341,16 @@ def _lockstep_loop(scene: Scene, camera: Camera, config: RenderConfig,
         stream = prng.PathStream(
             jnp.broadcast_to(jnp.uint32(key), shape),
             pixel_idx.astype(jnp.uint32), s_abs.astype(jnp.uint32))
-        radiance, stats = trace(
-            scene, o, d, stream, debug_kind=config.debug_kind,
-            use_russian_roulette=config.use_russian_roulette,
-            mip_scale=config.mip_scale)
+        if use_fori:
+            radiance, stats = trace_fori(
+                scene, o, d, stream,
+                use_russian_roulette=config.use_russian_roulette,
+                mip_scale=config.mip_scale)
+        else:
+            radiance, stats = trace(
+                scene, o, d, stream, debug_kind=config.debug_kind,
+                use_russian_roulette=config.use_russian_roulette,
+                mip_scale=config.mip_scale)
         # NaN policy: mask & count (renderer._one_sample)
         bad = (jnp.isnan(radiance.x) | jnp.isnan(radiance.y)
                | jnp.isnan(radiance.z))

@@ -68,6 +68,13 @@ class RenderConfig:
     # the tonemap (--denoise; the reference's "denoising" TODO,
     # win32_main.cpp:184). 0 = raw estimator (golden-test parity).
     denoise: int = 0
+    # Bounce-loop form for the Pallas LOCKSTEP driver (textured scenes):
+    # None = auto (fori for regular/variance — compile-size-bounded, see
+    # integrator.trace_fori — unless PT_LOCKSTEP_UNROLL=1), True/False
+    # force. Part of the config so the jit cache keys on it. Radiance
+    # matches the unrolled driver except the usual ulp/coin-flip class
+    # (tests/test_integrator_fori.py); XLA drivers never use it.
+    bounce_fori: "bool | None" = None
 
     @property
     def spp(self) -> int:

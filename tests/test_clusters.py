@@ -132,6 +132,60 @@ class TestClusteredIntersectEquivalence:
         _assert_same_hits(brute, clustered)
 
 
+class TestSAHSplits:
+    """Binned surface-area-heuristic splits (clusters.py _sah_partition,
+    the default since round 4; PT_NO_SAH=1 restores the median split)
+    must preserve every builder invariant and remain a pure pruning
+    optimization — same nearest hits as brute."""
+
+    def test_builder_invariants(self, monkeypatch):
+        rng = np.random.RandomState(11)
+        centers = (rng.rand(400, 3) - 0.5) * 10
+        radii = 0.1 + rng.rand(400)
+        bmin, bmax = clu.sphere_bounds(centers, radii)
+        order, cl = clu.build_clusters(bmin, bmax)
+        assert sorted(order.tolist()) == list(range(400))
+        for off, cnt, mn, mx in cl:
+            idx = order[off:off + cnt]
+            if mn is not None:
+                assert (bmin[idx] >= np.asarray(mn) - 1e-5).all()
+                assert (bmax[idx] <= np.asarray(mx) + 1e-5).all()
+            assert cnt <= clu.LEAF_SIZE or mn is None
+        # SAH should not LOOSEN the boxes vs the median split: compare
+        # summed surface area (the cost both builders try to minimize)
+        monkeypatch.setenv("PT_NO_SAH", "1")
+        _, cl_med = clu.build_clusters(bmin, bmax)
+
+        def sa(cl_list):
+            tot = 0.0
+            for _, _, mn, mx in cl_list:
+                if mn is None:
+                    continue
+                d = np.asarray(mx) - np.asarray(mn)
+                tot += 2 * (d[0] * d[1] + d[1] * d[2] + d[2] * d[0])
+            return tot
+
+        assert sa(cl) <= sa(cl_med) * 1.05
+
+    def test_triangles_match_brute(self, monkeypatch):
+        monkeypatch.setenv("PT_SAH", "1")
+        rng = np.random.RandomState(12)
+        scene = _random_tri_builder(rng, n=200).finalize()
+        assert len(scene.tri_clusters) > 1
+        o, d = _rays(rng)
+        shape = o.x.shape
+        best = lambda: isect.Hit(
+            jnp.full(shape, isect.F32_MAX), jnp.zeros(shape, jnp.int32),
+            Vec3(jnp.zeros(shape), jnp.zeros(shape), jnp.zeros(shape)))
+        brute = isect.intersect_triangles_brute(scene, o, d, best())
+        isect._tracing_pallas_kernel = True
+        try:
+            clustered = isect.intersect_triangles_brute(scene, o, d, best())
+        finally:
+            isect._tracing_pallas_kernel = False
+        _assert_same_hits(brute, clustered)
+
+
 class TestWindowedMaterialLookup:
     def _scene(self, n_mats):
         rng = np.random.RandomState(4)
