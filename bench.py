@@ -35,6 +35,41 @@ import time
 
 import numpy as np
 
+# Compile+run budgets (seconds) for the 320x180/16spp verify chunk on the
+# real chip, per backend (VERDICT r4 item 8: kernel compiles ranged 2 s to
+# 504 s and only shipped "loudly" via a JSON field nobody gated). Budgets
+# are ~3x the healthy-tunnel measurements recorded in BENCH.md round 5 so
+# tunnel weather doesn't trip them, but a world-1-class blowup (504 s)
+# fails --verify with nonzero exit instead of rotting in the artifact.
+COMPILE_BUDGET_S = {
+    ("world", "pallas"): {1: 120.0, 2: 60.0, 3: 30.0, 4: 90.0, 5: 120.0,
+                          6: 30.0, 7: 60.0},
+    ("world", "xla"): 150.0,       # any world, XLA wavefront driver
+    ("feature", "pallas"): 120.0,  # bump/tbn/fog/dispersion/everything
+    ("feature", "xla"): 120.0,
+}
+
+
+def _check_budget(kind: str, key, secs: dict) -> list:
+    """Return a list of budget-violation strings (empty = within budget)."""
+    over = []
+    for backend, s in (secs or {}).items():
+        budget = COMPILE_BUDGET_S.get((kind, backend))
+        if isinstance(budget, dict):
+            budget = budget.get(key)
+        if budget is not None and s > budget:
+            over.append(f"{kind} {key} {backend}: {s}s > budget {budget}s")
+    return over
+
+
+def _is_transient(e: BaseException) -> bool:
+    """Transient infrastructure failures worth one retry: the axon remote
+    compile helper intermittently 500s under long compiles / tunnel load
+    (BENCH_r04.json world 1), which is weather, not a kernel regression."""
+    s = f"{type(e).__name__}: {e}"
+    return ("remote_compile" in s or "HTTP 500" in s or "HTTP 502" in s
+            or "DEADLINE_EXCEEDED" in s or "UNAVAILABLE" in s)
+
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
@@ -62,6 +97,17 @@ def main(argv=None) -> int:
                     help="with --verify: run ALL kernel worlds and print one "
                          "combined JSON artifact (VERIFY_r{N}.json); exits "
                          "nonzero on any gate miss")
+    ap.add_argument("--rmse", action="store_true",
+                    help="gate the device render against the scalar CPU "
+                         "oracle at the NORTH-STAR workload shape (Cornell "
+                         "1280x720; RMSE < 1e-3, BASELINE.json) and print "
+                         "one JSON line. Uses the committed cached oracle "
+                         "frame (images/oracle_cornell_720p_1spp.npz); "
+                         "--regen-oracle recomputes it (~27 min of scalar "
+                         "numpy on this 1-cpu box) and refreshes the cache")
+    ap.add_argument("--regen-oracle", action="store_true",
+                    help="with --rmse: recompute the 720p oracle frame "
+                         "instead of reading the cache")
     ap.add_argument("--rr", action="store_true",
                     help="bench with Russian roulette enabled (the north "
                          "star names RR; reference TODO win32_main.cpp:187)")
@@ -92,6 +138,11 @@ def main(argv=None) -> int:
                          " TPU tunnel unavailable",
             }))
             return 1
+
+    if args.rmse:
+        result = rmse_vs_oracle(regen=args.regen_oracle)
+        print(json.dumps(result))
+        return 0 if result.get("ok") else 1
 
     if args.verify:
         if args.json:
@@ -127,23 +178,42 @@ def main(argv=None) -> int:
                            sharded=args.sharded, repeats=2)
     worlds = {}
     for wld in (1, 2, 3, 4, 5, 6, 7):
-        try:
-            worlds[str(wld)] = round(
-                bench_world(wld, block_spp, size, sharded=args.sharded,
-                            repeats=2), 3)
-        except Exception as e:  # noqa: BLE001 — record, keep benching
-            worlds[str(wld)] = {"error": f"{type(e).__name__}: {e}"[:200]}
+        # One retry for transient remote-compile/tunnel failures: round 4's
+        # recorded artifact carried a world-1 HTTP 500 and a geomean
+        # silently computed over 6/7 worlds (VERDICT r4 weak #1).
+        for attempt in (0, 1):
+            try:
+                worlds[str(wld)] = round(
+                    bench_world(wld, block_spp, size, rr=args.rr,
+                                mips=args.mips, sharded=args.sharded,
+                                repeats=2), 3)
+                break
+            except Exception as e:  # noqa: BLE001 — record, keep benching
+                worlds[str(wld)] = {"error": f"{type(e).__name__}: {e}"[:200]}
+                if attempt == 0 and _is_transient(e):
+                    print(f"  world {wld}: transient failure, retrying once",
+                          file=sys.stderr)
+                    time.sleep(10)
+                    continue
+                break
     vals = [v for v in worlds.values() if isinstance(v, float)]
-    geomean = float(np.exp(np.mean(np.log(vals)))) if vals else 0.0
+    complete = len(vals) == len(worlds)
+    # An incomplete geomean overstates (the failed world is usually the
+    # slow one): record null so the artifact says "partial" loudly.
+    geomean = (round(float(np.exp(np.mean(np.log(vals)))), 3)
+               if complete else None)
     print(json.dumps({
         "metric": "Mrays/sec",
         "value": round(headline, 3),
         "unit": "Mrays/s",
         "vs_baseline": round(headline / target, 4),
         "aggregate": {
-            "geomean_mrays": round(geomean, 3),
+            "geomean_mrays": geomean,
+            "complete": complete,
             "spp": block_spp,
             "size": size,
+            "rr": args.rr,
+            "mips": args.mips,
             "worlds": worlds,
         },
     }))
@@ -186,11 +256,15 @@ def bench_world(world: int, spp: int, size: str, rr: bool = False,
         # warmup/compile
         warm_cfg = RenderConfig(width=w, height=h, pp=1, seed=0)
         render_image_sharded(scene, camera, warm_cfg)
-        t0 = time.perf_counter()
-        img, packed, state = render_image_sharded(scene, camera, config)
-        jax.block_until_ready(packed)
-        wall = time.perf_counter() - t0
-        rays = float(np.asarray(state.rays_cast))
+        best = 0.0
+        for _ in range(max(1, repeats)):  # best-of-N, like the single-chip
+            t0 = time.perf_counter()
+            img, packed, state = render_image_sharded(scene, camera, config)
+            jax.block_until_ready(packed)
+            wall = time.perf_counter() - t0
+            rays = float(np.asarray(state.rays_cast))
+            best = max(best, rays / wall)
+        return best / 1e6
     else:
         # compile the measured chunk size on a throwaway accumulator, then
         # time the steady-state dispatches (donated state). World 3 runs
@@ -222,7 +296,60 @@ def bench_world(world: int, spp: int, size: str, rr: bool = False,
             best = max(best, rays / wall)
         return best / 1e6
 
-    return rays / wall / 1e6
+
+ORACLE_CACHE = "images/oracle_cornell_720p_1spp.npz"
+
+
+def rmse_vs_oracle(regen: bool = False) -> dict:
+    """The per-round NORTH-STAR fidelity gate (VERDICT r4 item 5): render
+    Cornell at the BASELINE.json workload shape (1280x720) on the current
+    device with the shipping backend and compare against the independent
+    scalar CPU oracle, asserting RMSE < 1e-3 over linear radiance.
+
+    The oracle and renderer consume identical PCG4D streams, so they agree
+    per-SAMPLE to f32 rounding — RMSE at 1 spp measures the same rounding
+    class the 1024-spp workload would (averaging only shrinks it), which is
+    the extrapolation argument for gating at 1 spp: the oracle is a scalar
+    Python loop (~27 min for one 720p sample on this box), so the frame is
+    rendered once and cached (``--regen-oracle``; images/README notes the
+    provenance). The DEVICE side re-renders fresh every round — a renderer
+    regression fails this gate even with a cached oracle."""
+    import os
+    import numpy as np
+    from pathtracer_tpu import RenderConfig, finalize_world, render_image
+    from pathtracer_tpu.scene.schema import WORLD_CORNELL_BOX
+    from pathtracer_tpu.scene.worlds import build_world
+
+    w, h, pp, seed = 1280, 720, 1, 0
+    scene, cam = finalize_world(WORLD_CORNELL_BOX, w, h)
+
+    if regen or not os.path.exists(ORACLE_CACHE):
+        from pathtracer_tpu.reference.cpu_oracle import render_oracle
+        b, _ = build_world(WORLD_CORNELL_BOX)
+        t0 = time.perf_counter()
+        oracle = render_oracle(b, cam, w, h, pp, seed=seed,
+                               world_kind=WORLD_CORNELL_BOX)
+        print(f"  oracle render: {time.perf_counter() - t0:.0f} s",
+              file=sys.stderr)
+        np.savez_compressed(ORACLE_CACHE, img=oracle, spp=pp * pp,
+                            seed=seed, world=3)
+    else:
+        oracle = np.load(ORACLE_CACHE)["img"]
+
+    cfg = RenderConfig(width=w, height=h, pp=pp, seed=seed)
+    img, _, _ = render_image(scene, cam, cfg)
+    img = np.asarray(img)
+    e = float(np.sqrt(((img - oracle) ** 2).mean()))
+    d = np.abs(img - oracle).max(axis=-1)
+    return {
+        "metric": "rmse_vs_oracle",
+        "workload": "cornell 1280x720 (north star, 1 spp stream-exact)",
+        "rmse": e,
+        "median_absdiff": float(np.median(d)),
+        "frac_gt_1e-2": float((d > 1e-2).mean()),
+        "gate": 1e-3,
+        "ok": bool(e < 1e-3),
+    }
 
 
 def verify(args) -> int:
@@ -289,9 +416,10 @@ def _verify_world(world: int, w: int, h: int, spp: int) -> dict:
     f_1e1 = float((diff > 0.1).sum()) / n_pix
     same_graph = (not scene.sph_clusters and not scene.tri_clusters
                   and not scene.tri_streamed and scene.n_textures == 0)
-    ok = f_1e3 < 0.01 and f_1e1 < 0.001 and (
-        bit_equal >= 0.5 or not same_graph)
-    return {
+    over_budget = _check_budget("world", world, secs)
+    ok = (f_1e3 < 0.01 and f_1e1 < 0.001
+          and (bit_equal >= 0.5 or not same_graph) and not over_budget)
+    rec = {
         "metric": "pallas_verify", "world": world,
         "size": f"{w}x{h}", "spp": pp * pp,
         "bit_equal_frac": round(bit_equal, 4),
@@ -301,6 +429,9 @@ def _verify_world(world: int, w: int, h: int, spp: int) -> dict:
         "compile_run_s": secs,
         "ok": ok,
     }
+    if over_budget:
+        rec["over_budget"] = over_budget
+    return rec
 
 
 def _verify_feature(name: str, w: int, h: int, pp: int,
@@ -340,13 +471,17 @@ def _verify_feature(name: str, w: int, h: int, pp: int,
     n_pix = diff.size
     f_1e3 = float((diff > 1e-3).sum()) / n_pix
     f_1e1 = float((diff > 0.1).sum()) / n_pix
-    ok = f_1e3 < 0.01 and f_1e1 < 0.001 and np.isfinite(
-        imgs["pallas"]).all()
-    return {"surface": name, "size": f"{w}x{h}", "spp": pp * pp,
-            "bit_equal_frac": round(float((diff == 0.0).mean()), 4),
-            "frac_gt_1e-3": round(f_1e3, 5),
-            "frac_gt_0.1": round(f_1e1, 6),
-            "compile_run_s": secs, "ok": bool(ok)}
+    over_budget = _check_budget("feature", name, secs)
+    ok = (f_1e3 < 0.01 and f_1e1 < 0.001
+          and np.isfinite(imgs["pallas"]).all() and not over_budget)
+    rec = {"surface": name, "size": f"{w}x{h}", "spp": pp * pp,
+           "bit_equal_frac": round(float((diff == 0.0).mean()), 4),
+           "frac_gt_1e-3": round(f_1e3, 5),
+           "frac_gt_0.1": round(f_1e1, 6),
+           "compile_run_s": secs, "ok": bool(ok)}
+    if over_budget:
+        rec["over_budget"] = over_budget
+    return rec
 
 
 def verify_all(args) -> int:
@@ -373,6 +508,10 @@ def verify_all(args) -> int:
         features.append(r)
         all_ok = all_ok and r.get("ok", True)
         print(f"  feature {name}: " + json.dumps(r), file=sys.stderr)
+    # the north-star fidelity gate, re-proven per round (VERDICT r4 item 5)
+    rmse = rmse_vs_oracle()
+    all_ok = all_ok and rmse.get("ok", False)
+    print("  rmse: " + json.dumps(rmse), file=sys.stderr)
     print(json.dumps({
         "metric": "pallas_verify_all",
         "backend": jax.default_backend(),
@@ -380,6 +519,7 @@ def verify_all(args) -> int:
         "ok": all_ok,
         "worlds": worlds,
         "features": features,
+        "rmse_vs_oracle": rmse,
     }))
     return 0 if all_ok else 1
 

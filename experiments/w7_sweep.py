@@ -31,11 +31,14 @@ CONFIGS = [
     ("pg32", {"PT_PARENT_GROUP": "32"}),
     ("rows96", {"PT_BLOCK_ROWS": "96"}),
     ("leaf48+pg8", {"PT_LEAF_SIZE": "48", "PT_PARENT_GROUP": "8"}),
-    ("sah", {"PT_SAH": "1"}),
-    ("sah+leaf48", {"PT_SAH": "1", "PT_LEAF_SIZE": "48"}),
+    # SAH is the DEFAULT; the real A/B is median-split (PT_NO_SAH=1) vs
+    # default (the old PT_SAH=1 arms were no-ops measuring the default
+    # twice — ADVICE r4)
+    ("no-sah (median split)", {"PT_NO_SAH": "1"}),
+    ("no-sah+leaf48", {"PT_NO_SAH": "1", "PT_LEAF_SIZE": "48"}),
 ]
 
-KNOBS = ["PT_LEAF_SIZE", "PT_PARENT_GROUP", "PT_BLOCK_ROWS", "PT_SAH"]
+KNOBS = ["PT_LEAF_SIZE", "PT_PARENT_GROUP", "PT_BLOCK_ROWS", "PT_NO_SAH"]
 results = []
 for name, env in CONFIGS:
     for k in KNOBS:

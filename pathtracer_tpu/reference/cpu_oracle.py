@@ -686,8 +686,15 @@ def render_oracle(
     use_roughness_maps: bool = True,
     use_russian_roulette: bool = False,
     mip_scale: float = 0.0,
+    row_range=None,
 ) -> np.ndarray:
     """Full oracle render -> (H, W, 3) float32 mean radiance (pre-tonemap).
+
+    ``row_range`` (an iterable of y indices) renders only those rows and
+    returns a (len(row_range), W, 3) band — geometry, streams and pixel
+    indices stay GLOBAL (p = y*width+x), so bands computed by parallel
+    worker processes assemble bit-identically to a whole-frame render
+    (bench.py --rmse uses this to afford the 720p north-star gate).
 
     ``mip_scale`` > 0 enables the opt-in mip twin (RenderConfig.mip_scale):
     per-texture decimation chains (textures.generate_mipmap_chain semantics)
@@ -729,7 +736,10 @@ def render_oracle(
     fc = v3(*cam.frustum_center)
     ax, ay = v3(*cam.axis_x), v3(*cam.axis_y)
 
-    for y in range(height):
+    rows = range(height) if row_range is None else list(row_range)
+    if row_range is not None:
+        img = np.zeros((len(rows), width, 3), np.float32)
+    for yi, y in enumerate(rows):
         fy = F32(-1.0 + 2.0 * y / height)
         for x in range(width):
             fx = F32(-1.0 + 2.0 * x / width)
@@ -791,5 +801,5 @@ def render_oracle(
                             continue
                         color += rad
                         valid += 1
-            img[y, x] = color / max(valid, 1)
+            img[yi, x] = color / max(valid, 1)
     return img

@@ -786,7 +786,19 @@ def trace_fori(
     captures want Python-level specialization, and debug renders are not
     the hot path)."""
     shape = jnp.shape(o.x)
-    zeros = lambda: o.x * 0.0  # derived from data (kernel layout inference)
+    # Kernel layout inference: every fori carry's INIT must have a concrete
+    # per-lane layout, or Mosaic infers the carry replicated and the body's
+    # concrete yield has no valid relayout ("Invalid relayout: Non-singleton
+    # logical dimension is replicated in destination but not in source" —
+    # the round-4 world-1 crash, BENCH_r04.json). A pinhole camera's o is a
+    # replicated splat (one origin for every lane), so derive zeros from d
+    # (per-lane by construction) and launder o itself through an always-true
+    # data-dependent select — numerically the identity.
+    concrete = d.x < jnp.inf
+    o = Vec3(jnp.where(concrete, o.x, d.x),
+             jnp.where(concrete, o.y, d.y),
+             jnp.where(concrete, o.z, d.z))
+    zeros = lambda: jnp.where(concrete, 0.0, d.x)
     zvec = lambda: Vec3(zeros(), zeros(), zeros())
     ones = lambda: zeros() + 1.0
 

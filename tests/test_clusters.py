@@ -168,7 +168,9 @@ class TestSAHSplits:
         assert sa(cl) <= sa(cl_med) * 1.05
 
     def test_triangles_match_brute(self, monkeypatch):
-        monkeypatch.setenv("PT_SAH", "1")
+        # SAH is the default build; make sure no leaked knob disables it
+        # (a PT_SAH=1 setenv here used to be a no-op — ADVICE r4)
+        monkeypatch.delenv("PT_NO_SAH", raising=False)
         rng = np.random.RandomState(12)
         scene = _random_tri_builder(rng, n=200).finalize()
         assert len(scene.tri_clusters) > 1
@@ -424,6 +426,42 @@ class TestStreamedMeshTier:
                 st = render_chunk(sc, cam, cfg, key, np.int32(0), cfg.spp,
                                   init_accum(w * h))
                 imgs.append(np.asarray(resolve(st, cfg)))
+            np.testing.assert_array_equal(imgs[0], imgs[1])
+
+    def test_row_unroll_bit_equal(self):
+        """The streamed-tier row loop's Python unroll (PT_ROW_UNROLL,
+        default 16) vs the pure fori form (PT_ROW_UNROLL=0) must render
+        BIT-EQUAL: the claim in intersect._row_unroll_max is 'bit-exact by
+        construction' (same per-row expression tree, only loop structure
+        differs), but fma contraction can in principle differ between loop
+        and straight-line compiles and flip strict-< winners on ties — so
+        gate it like row culling (ADVICE r4). jax caches are cleared
+        between arms (the env knob is read at trace time, not in the jit
+        key)."""
+        import jax
+        from pathtracer_tpu.render.renderer import (
+            RenderConfig, init_accum, render_chunk, resolve,
+        )
+        from pathtracer_tpu.scene.camera import define_camera
+        from pathtracer_tpu.utils import prng
+        import os
+        scene, _ = self._scene(2000)
+        w, h, pp = 16, 8, 2
+        cam = define_camera((0, -24, 2), (0, 0, 0), 35.0, w, h)
+        key = prng.base_key(7)
+        for backend in ("xla", "pallas-interpret"):
+            cfg = RenderConfig(width=w, height=h, pp=pp, seed=7,
+                               backend=backend)
+            imgs = []
+            for unroll in ("16", "0"):
+                os.environ["PT_ROW_UNROLL"] = unroll
+                try:
+                    jax.clear_caches()
+                    st = render_chunk(scene, cam, cfg, key, np.int32(0),
+                                      cfg.spp, init_accum(w * h))
+                    imgs.append(np.asarray(resolve(st, cfg)))
+                finally:
+                    os.environ.pop("PT_ROW_UNROLL", None)
             np.testing.assert_array_equal(imgs[0], imgs[1])
 
     def test_row_boxes_packed(self):
