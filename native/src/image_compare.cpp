@@ -90,8 +90,12 @@ bool load_bmp(const char* path, Image* out) {
     return ok;
 }
 
-// --- minimal PNG decode (the stbi role): 8-bit depth, color types
-// 0/2/3/4/6, non-interlaced, filters 0-4, zlib IDAT ------------------------
+// --- minimal PNG decode (the stbi role): bit depths 1/2/4/8/16, color
+// types 0/2/3/4/6, Adam7 interlace, filters 0-4, zlib IDAT. 16-bit
+// samples reduce to 8-bit by taking the high byte (stb's
+// stbi__convert_16_to_8 semantics); 1/2/4-bit grayscale expands with
+// stb's depth-scale table (x255/x85/x17). Matches the input class the
+// reference tool accepts through stbi_load (image_compare.c:37,47). ----
 
 int paeth(int a, int b, int c) {
     const int p = a + b - c, pa = std::abs(p - a), pb = std::abs(p - b),
@@ -119,7 +123,7 @@ bool load_png(const char* path, Image* out) {
                (data[o + 2] << 8) | data[o + 3];
     };
     uint32_t w = 0, h = 0;
-    int color_type = -1;
+    int color_type = -1, depth = 0, interlace = 0;
     std::vector<unsigned char> idat, plte;
     for (size_t off = 8; off + 8 <= data.size();) {
         const uint32_t len = be32(off);
@@ -129,9 +133,9 @@ bool load_png(const char* path, Image* out) {
         if (!std::memcmp(type, "IHDR", 4)) {
             w = be32(off + 8);
             h = be32(off + 12);
-            const int depth = body[8], interlace = body[12];
+            depth = body[8];
+            interlace = body[12];
             color_type = body[9];
-            if (depth != 8 || interlace != 0) return false;
         } else if (!std::memcmp(type, "PLTE", 4)) {
             plte.assign(body, body + len);
         } else if (!std::memcmp(type, "IDAT", 4)) {
@@ -143,17 +147,38 @@ bool load_png(const char* path, Image* out) {
     }
     static const int kChannels[] = {1, 0, 3, 1, 2, 0, 4};
     if (!w || !h || color_type < 0 || color_type > 6 ||
-        kChannels[color_type] == 0)
+        kChannels[color_type] == 0 || interlace > 1)
         return false;
+    // legal (depth, color type) pairs per the PNG spec
+    const bool d124 = depth == 1 || depth == 2 || depth == 4;
+    if (!((depth == 8 || depth == 16) || ((color_type == 0 || color_type == 3)
+                                          && d124)))
+        return false;
+    if (color_type == 3 && depth == 16) return false;
     const int ch = kChannels[color_type];
     if (!pt_dims_ok(w, h)) return false;
-    const size_t stride = static_cast<size_t>(w) * ch;
+    const long bpp_bits = static_cast<long>(ch) * depth;
+    auto row_bytes = [&](uint32_t width) {
+        return (static_cast<size_t>(width) * bpp_bits + 7) / 8;
+    };
+
+    // Adam7 pass geometry (pass 0 == the whole image when non-interlaced)
+    static const uint32_t XO[] = {0, 4, 0, 2, 0, 1, 0};
+    static const uint32_t YO[] = {0, 0, 4, 0, 2, 0, 1};
+    static const uint32_t XS[] = {8, 8, 4, 4, 2, 2, 1};
+    static const uint32_t YS[] = {8, 8, 8, 4, 4, 2, 2};
+    const int n_pass = interlace ? 7 : 1;
+    unsigned long long raw_need = 0;
+    for (int p = 0; p < n_pass; ++p) {
+        const uint32_t pw = interlace ? (w > XO[p] ? (w - XO[p] + XS[p] - 1) / XS[p] : 0) : w;
+        const uint32_t ph = interlace ? (h > YO[p] ? (h - YO[p] + YS[p] - 1) / YS[p] : 0) : h;
+        if (pw && ph)
+            raw_need += (row_bytes(pw) + 1) * static_cast<unsigned long long>(ph);
+    }
     // Deflate expands at most ~1032:1 — IHDR dimensions the IDAT stream
     // could never fill are rejected before sizing the filter buffer.
-    if (!pt_payload_plausible((stride + 1) * static_cast<unsigned long long>(h),
-                              idat.size(), 1032))
-        return false;
-    std::vector<unsigned char> raw((stride + 1) * h);
+    if (!pt_payload_plausible(raw_need, idat.size(), 1032)) return false;
+    std::vector<unsigned char> raw(static_cast<size_t>(raw_need));
     uLongf raw_len = raw.size();
     if (uncompress(raw.data(), &raw_len, idat.data(), idat.size()) != Z_OK ||
         raw_len != raw.size())
@@ -161,47 +186,73 @@ bool load_png(const char* path, Image* out) {
 
     out->w = static_cast<int>(w);
     out->h = static_cast<int>(h);
-    out->px.resize(static_cast<size_t>(w) * h);
-    std::vector<unsigned char> prev(stride, 0), cur(stride);
-    for (uint32_t y = 0; y < h; ++y) {
-        const unsigned char* src = &raw[(stride + 1) * y];
-        const int filter = src[0];
-        ++src;
-        for (size_t i = 0; i < stride; ++i) {
-            const int x = src[i];
-            const int a = i >= static_cast<size_t>(ch) ? cur[i - ch] : 0;
-            const int b = prev[i];
-            const int c = i >= static_cast<size_t>(ch) ? prev[i - ch] : 0;
-            int v = x;
-            switch (filter) {
-                case 1: v = x + a; break;
-                case 2: v = x + b; break;
-                case 3: v = x + (a + b) / 2; break;
-                case 4: v = x + paeth(a, b, c); break;
-                default: break;
-            }
-            cur[i] = static_cast<unsigned char>(v & 0xFF);
-        }
-        uint32_t* dst = out->px.data() + static_cast<size_t>(y) * w;
-        for (uint32_t x = 0; x < w; ++x) {
-            const unsigned char* p = &cur[static_cast<size_t>(x) * ch];
-            unsigned r, g, b2, a2 = 0xFF;
-            switch (color_type) {
-                case 0: r = g = b2 = p[0]; break;
-                case 4: r = g = b2 = p[0]; a2 = p[1]; break;
-                case 3: {
-                    const size_t pi = static_cast<size_t>(p[0]) * 3;
-                    if (pi + 2 >= plte.size()) return false;
-                    r = plte[pi]; g = plte[pi + 1]; b2 = plte[pi + 2];
-                    break;
+    out->px.assign(static_cast<size_t>(w) * h, 0xFF000000u);
+    // stb's depth-scale table: 1-bit x255, 2-bit x85, 4-bit x17
+    static const unsigned kScale[] = {0, 0xFF, 0x55, 0, 0x11};
+    const size_t fo = static_cast<size_t>(bpp_bits + 7) / 8;  // filter offset
+
+    size_t roff = 0;
+    for (int p = 0; p < n_pass; ++p) {
+        const uint32_t pw = interlace ? (w > XO[p] ? (w - XO[p] + XS[p] - 1) / XS[p] : 0) : w;
+        const uint32_t ph = interlace ? (h > YO[p] ? (h - YO[p] + YS[p] - 1) / YS[p] : 0) : h;
+        if (!pw || !ph) continue;
+        const size_t stride = row_bytes(pw);
+        std::vector<unsigned char> prev(stride, 0), cur(stride);
+        for (uint32_t y = 0; y < ph; ++y) {
+            const unsigned char* src = &raw[roff];
+            roff += stride + 1;
+            const int filter = src[0];
+            ++src;
+            for (size_t i = 0; i < stride; ++i) {
+                const int x = src[i];
+                const int a = i >= fo ? cur[i - fo] : 0;
+                const int b = prev[i];
+                const int c = i >= fo ? prev[i - fo] : 0;
+                int v = x;
+                switch (filter) {
+                    case 1: v = x + a; break;
+                    case 2: v = x + b; break;
+                    case 3: v = x + (a + b) / 2; break;
+                    case 4: v = x + paeth(a, b, c); break;
+                    default: break;
                 }
-                case 6: a2 = p[3];  // fallthrough
-                default: r = p[0]; g = p[1]; b2 = p[2]; break;
+                cur[i] = static_cast<unsigned char>(v & 0xFF);
             }
-            dst[x] = b2 | (g << 8) | (r << 16) |
-                     (static_cast<uint32_t>(a2) << 24);
+            // per-channel 8-bit sample at pass-pixel x
+            auto sample = [&](uint32_t x, int c) -> unsigned {
+                const size_t si = static_cast<size_t>(x) * ch + c;
+                if (depth == 16) return cur[si * 2];  // high byte (stb)
+                if (depth == 8) return cur[si];
+                const size_t bit = si * depth;
+                const unsigned v =
+                    (cur[bit / 8] >> (8 - depth - bit % 8)) &
+                    ((1u << depth) - 1);
+                return color_type == 3 ? v : v * kScale[depth];
+            };
+            const uint32_t oy = interlace ? YO[p] + y * YS[p] : y;
+            uint32_t* dst = out->px.data() + static_cast<size_t>(oy) * w;
+            for (uint32_t x = 0; x < pw; ++x) {
+                const uint32_t ox = interlace ? XO[p] + x * XS[p] : x;
+                unsigned r, g, b2, a2 = 0xFF;
+                switch (color_type) {
+                    case 0: r = g = b2 = sample(x, 0); break;
+                    case 4: r = g = b2 = sample(x, 0); a2 = sample(x, 1); break;
+                    case 3: {
+                        const size_t pi = static_cast<size_t>(sample(x, 0)) * 3;
+                        if (pi + 2 >= plte.size()) return false;
+                        r = plte[pi]; g = plte[pi + 1]; b2 = plte[pi + 2];
+                        break;
+                    }
+                    case 6: a2 = sample(x, 3);  // fallthrough
+                    default:
+                        r = sample(x, 0); g = sample(x, 1); b2 = sample(x, 2);
+                        break;
+                }
+                dst[ox] = b2 | (g << 8) | (r << 16) |
+                          (static_cast<uint32_t>(a2) << 24);
+            }
+            prev.swap(cur);
         }
-        prev.swap(cur);
     }
     return true;
 }

@@ -1,18 +1,23 @@
-// Baseline JPEG decoder for the image-compare tool — the remaining slice
-// of the vendored-stb_image role (reference include/external/stb_image.h,
-// pulled in by src/image_compare.c:37,47: the reference tool accepts any
+// JPEG decoder for the image-compare tool — the remaining slice of the
+// vendored-stb_image role (reference include/external/stb_image.h, pulled
+// in by src/image_compare.c:37,47: the reference tool accepts any
 // stbi-readable format; ours read BMP + PNG natively and this adds JPG).
 //
-// Scope: baseline sequential DCT (SOF0), 8-bit, grayscale or YCbCr with
-// any 1-2x chroma subsampling (4:4:4 / 4:2:2 / 4:4:0 / 4:2:0), restart
-// markers, multiple DQT/DHT segments. Progressive (SOF2), arithmetic
-// coding, 12-bit, and CMYK are out of scope — the compare tool's inputs
-// are renderer outputs and test fixtures, not arbitrary web JPEGs.
+// Scope: baseline sequential DCT (SOF0/1) AND progressive DCT (SOF2) —
+// spectral selection + successive approximation, DC/AC first and
+// refinement scans, EOB runs — 8-bit, grayscale or YCbCr with any 1-2x
+// chroma subsampling (4:4:4 / 4:2:2 / 4:4:0 / 4:2:0), restart markers,
+// multiple DQT/DHT segments (tables may change between scans).
+// Arithmetic coding, 12-bit, and CMYK remain out of scope.
 //
-// Decoding pipeline: marker parse -> per-MCU Huffman decode (DC diff +
-// AC run/size, 0xFF00 stuffing, RSTn) -> dequantize -> inverse zigzag ->
-// separable float IDCT -> nearest-neighbor chroma upsample -> YCbCr->RGB
-// (ITU-R BT.601, the JFIF convention stbi implements).
+// Design: a unified coefficient store. Every scan — baseline's single
+// interleaved DC+AC scan is just (Ss=0, Se=63, Ah=Al=0) — decodes into
+// per-component per-block zigzag-order coefficient arrays; after EOI one
+// pass dequantizes, un-zigzags, and IDCTs every block into the sample
+// planes, then nearest-neighbor chroma upsample + YCbCr->RGB (BT.601,
+// the JFIF convention stbi implements). The AC refinement pass follows
+// the classic IJG correction-bit algorithm (JPEG G.1.2.3, the same one
+// stb_image implements).
 
 #include <cmath>
 #include <cstdint>
@@ -57,7 +62,6 @@ struct BitReader {
 
     BitReader(const uint8_t* data, size_t n) : p(data), end(data + n) {}
 
-    // Returns -1 on a marker (scan end) — callers treat it as EOB-ish.
     int bit() {
         if (nbits == 0) {
             if (p >= end) { bad = true; return 0; }
@@ -86,7 +90,6 @@ struct BitReader {
 
     void align_to_marker() {  // drop partial byte before an RST marker
         nbits = 0;
-        // skip the 0xFF 0xDn marker itself
         while (p < end && *p == 0xFF && p + 1 < end &&
                (p[1] >= 0xD0 && p[1] <= 0xD7))
             p += 2;
@@ -130,13 +133,13 @@ void idct8x8(const float in[64], uint8_t out[64]) {
         init = true;
     }
     float tmp[64];
-    for (int y = 0; y < 8; ++y)        // rows: sum over u
+    for (int y = 0; y < 8; ++y)
         for (int x = 0; x < 8; ++x) {
             float s = 0.0f;
             for (int u = 0; u < 8; ++u) s += c[u][x] * in[y * 8 + u];
             tmp[y * 8 + x] = s;
         }
-    for (int x = 0; x < 8; ++x)        // cols: sum over v
+    for (int x = 0; x < 8; ++x)
         for (int y = 0; y < 8; ++y) {
             float s = 0.0f;
             for (int v = 0; v < 8; ++v) s += c[v][y] * tmp[v * 8 + x];
@@ -149,15 +152,17 @@ void idct8x8(const float in[64], uint8_t out[64]) {
 struct Component {
     int id = 0, hs = 1, vs = 1, tq = 0, td = 0, ta = 0;
     int dc_pred = 0;
-    int bw = 0, bh = 0;               // plane size in blocks
-    std::vector<uint8_t> plane;       // bw*8 x bh*8 samples
+    int bw = 0, bh = 0;     // padded (MCU-grid) plane size in blocks
+    int nbw = 0, nbh = 0;   // non-interleaved scan grid (ceil(comp_px/8))
+    std::vector<int32_t> coef;       // bw*bh blocks x 64, zigzag order
+    std::vector<uint8_t> plane;      // bw*8 x bh*8 samples
 };
 
 }  // namespace ptjpeg
 
-// Decodes a baseline JPEG into packed BGRA (row 0 = top), matching the
-// Image layout in image_compare.cpp. Returns false on anything outside
-// the supported baseline subset.
+// Decodes a baseline or progressive JPEG into packed BGRA (row 0 = top),
+// matching the Image layout in image_compare.cpp. Returns false on
+// anything outside the supported subset.
 bool pt_load_jpeg(const char* path, int* out_w, int* out_h,
                   std::vector<uint32_t>* out_px) {
     using namespace ptjpeg;
@@ -175,11 +180,150 @@ bool pt_load_jpeg(const char* path, int* out_w, int* out_h,
     Huff hdc[4], hac[4];
     Component comp[3];
     int ncomp = 0, W = 0, H = 0, restart_interval = 0;
-    size_t scan_off = 0, scan_len = 0;
+    int hmax = 1, vmax = 1, mcux = 0, mcuy = 0;
+    bool got_sof = false, any_scan = false;
 
     auto u16 = [&](size_t o) {
         return (static_cast<int>(d[o]) << 8) | d[o + 1];
     };
+
+    // One entropy-coded scan: decodes coefficients for the listed
+    // components over [Ss, Se] at approximation (Ah -> Al).
+    auto decode_scan = [&](Component* sc[], int ns, int Ss, int Se, int Ah,
+                           int Al, size_t off, size_t len) -> bool {
+        BitReader br(&d[off], len);
+        int eobrun = 0;
+        for (int i = 0; i < ns; ++i) sc[i]->dc_pred = 0;
+
+        // first pass (Ah == 0) for one block's [Ss, Se] band
+        auto block_first = [&](Component& C, int32_t* cf) -> bool {
+            int k = Ss;
+            if (Ss == 0) {
+                const int s = decode_huff(br, hdc[C.td]);
+                if (s < 0 || s > 11) return false;
+                C.dc_pred += extend(br.bits(s), s);
+                cf[0] = C.dc_pred << Al;
+                k = 1;
+            }
+            if (k > Se) return true;  // DC-only scan
+            if (eobrun > 0) { --eobrun; return true; }
+            for (; k <= Se;) {
+                const int rs = decode_huff(br, hac[C.ta]);
+                if (rs < 0) return false;
+                const int run = rs >> 4, size = rs & 15;
+                if (size == 0) {
+                    if (run < 15) {  // EOBn (baseline: run==0 -> plain EOB)
+                        eobrun = (1 << run) - 1;
+                        if (run) eobrun += br.bits(run);
+                        break;
+                    }
+                    k += 16;  // ZRL
+                    continue;
+                }
+                k += run;
+                if (k > 63) return false;
+                cf[k] = extend(br.bits(size), size) *
+                        (1 << Al);  // coefficient << Al (signed-safe)
+                ++k;
+            }
+            return true;
+        };
+
+        // refinement pass (Ah > 0): JPEG G.1.2.3 correction bits (the
+        // IJG/stb algorithm)
+        auto block_refine = [&](Component& C, int32_t* cf) -> bool {
+            if (Ss == 0) {  // DC refinement: one bit
+                if (br.bit()) cf[0] |= (1 << Al);
+                return true;
+            }
+            const int bit_val = 1 << Al;
+            auto correct = [&](int32_t* p) {
+                if (br.bit() && (*p & bit_val) == 0)
+                    *p += (*p > 0) ? bit_val : -bit_val;
+            };
+            if (eobrun > 0) {
+                --eobrun;
+                for (int k = Ss; k <= Se; ++k)
+                    if (cf[k] != 0) correct(&cf[k]);
+                return true;
+            }
+            int k = Ss;
+            do {
+                int rs = decode_huff(br, hac[C.ta]);
+                if (rs < 0) return false;
+                int r = rs >> 4;
+                const int s = rs & 15;
+                int newval = 0;
+                if (s == 0) {
+                    if (r < 15) {
+                        eobrun = (1 << r) - 1;
+                        if (r) eobrun += br.bits(r);
+                        r = 64;  // flush remaining corrections below
+                    }
+                    // r == 15: ZRL — skip 16 zero-history coefficients
+                } else {
+                    if (s != 1) return false;
+                    newval = br.bit() ? bit_val : -bit_val;
+                }
+                while (k <= Se) {
+                    int32_t* p = &cf[k++];
+                    if (*p != 0) {
+                        correct(p);
+                    } else {
+                        if (r == 0) { if (newval) p[0] = newval; break; }
+                        --r;
+                    }
+                }
+                // an EOBn code set r=64: the while above just flushed the
+                // rest of THIS block's corrections — the current block is
+                // consumed inline, eobrun counts only the FOLLOWING blocks
+            } while (k <= Se);
+            return true;
+        };
+
+        auto block = [&](Component& C, int bx, int by) -> bool {
+            int32_t* cf =
+                &C.coef[(static_cast<size_t>(by) * C.bw + bx) * 64];
+            if (Ss == 0 && !hdc[C.td].present) return false;
+            if (Se > 0 && !hac[C.ta].present) return false;
+            return Ah == 0 ? block_first(C, cf) : block_refine(C, cf);
+        };
+
+        int until_restart = restart_interval ? restart_interval : -1;
+        auto restart = [&]() {
+            br.align_to_marker();
+            for (int i = 0; i < ns; ++i) sc[i]->dc_pred = 0;
+            eobrun = 0;
+            until_restart = restart_interval;
+        };
+
+        if (ns == 1) {
+            // non-interleaved: the component's own ceil(px/8) block grid
+            Component& C = *sc[0];
+            for (int by = 0; by < C.nbh; ++by)
+                for (int bx = 0; bx < C.nbw; ++bx) {
+                    if (until_restart == 0) restart();
+                    if (!block(C, bx, by)) return false;
+                    if (until_restart > 0) --until_restart;
+                }
+        } else {
+            for (int my = 0; my < mcuy; ++my)
+                for (int mx = 0; mx < mcux; ++mx) {
+                    if (until_restart == 0) restart();
+                    for (int i = 0; i < ns; ++i) {
+                        Component& C = *sc[i];
+                        for (int by = 0; by < C.vs; ++by)
+                            for (int bx = 0; bx < C.hs; ++bx)
+                                if (!block(C, mx * C.hs + bx,
+                                           my * C.vs + by))
+                                    return false;
+                    }
+                    if (until_restart > 0) --until_restart;
+                }
+        }
+        return true;
+    };
+
     for (size_t off = 2; off + 4 <= d.size();) {
         if (d[off] != 0xFF) return false;
         const uint8_t m = d[off + 1];
@@ -217,7 +361,8 @@ bool pt_load_jpeg(const char* path, int* out_w, int* out_h,
                 (cls ? hac : hdc)[id].build(counts, &seg[i], nvals);
                 i += static_cast<size_t>(nvals);
             }
-        } else if (m == 0xC0 || m == 0xC1) {  // SOF0/1: baseline
+        } else if (m == 0xC0 || m == 0xC1 || m == 0xC2) {  // SOF0/1/2
+            if (got_sof) return false;
             if (seglen < 6) return false;
             if (seg[0] != 8) return false;   // 8-bit precision only
             H = u16(off + 5);
@@ -234,107 +379,87 @@ bool pt_load_jpeg(const char* path, int* out_w, int* out_h,
                     comp[i].vs > 2 || comp[i].tq > 3)
                     return false;
             }
-        } else if (m == 0xC2) {
-            return false;  // progressive: out of scope
+            // SOF dimensions size the coefficient stores; cap before
+            // allocation (a mangled header can declare 65535x65535).
+            if (!W || !H || !pt_dims_ok(W, H)) return false;
+            for (int i = 0; i < ncomp; ++i) {
+                hmax = comp[i].hs > hmax ? comp[i].hs : hmax;
+                vmax = comp[i].vs > vmax ? comp[i].vs : vmax;
+            }
+            mcux = (W + 8 * hmax - 1) / (8 * hmax);
+            mcuy = (H + 8 * vmax - 1) / (8 * vmax);
+            for (int i = 0; i < ncomp; ++i) {
+                Component& C = comp[i];
+                C.bw = mcux * C.hs;
+                C.bh = mcuy * C.vs;
+                C.nbw = (W * C.hs + 8 * hmax - 1) / (8 * hmax);
+                C.nbh = (H * C.vs + 8 * vmax - 1) / (8 * vmax);
+                C.coef.assign(static_cast<size_t>(C.bw) * C.bh * 64, 0);
+            }
+            got_sof = true;
         } else if (m == 0xDD) {  // DRI
             if (seglen < 2) return false;
             restart_interval = u16(off + 4);
-        } else if (m == 0xDA) {  // SOS
-            if (seglen < 1) return false;
+        } else if (m == 0xDA) {  // SOS (one of possibly many)
+            if (!got_sof || seglen < 1) return false;
             const int ns = seg[0];
-            if (ns != ncomp) return false;
-            if (seglen < 1 + 2 * static_cast<size_t>(ns)) return false;
+            if (ns < 1 || ns > ncomp) return false;
+            if (seglen < 1 + 2 * static_cast<size_t>(ns) + 3) return false;
+            Component* sc[3] = {nullptr, nullptr, nullptr};
             for (int i = 0; i < ns; ++i) {
                 const int cid = seg[1 + 2 * i];
                 for (int j = 0; j < ncomp; ++j)
                     if (comp[j].id == cid) {
                         comp[j].td = seg[2 + 2 * i] >> 4;
                         comp[j].ta = seg[2 + 2 * i] & 15;
+                        sc[i] = &comp[j];
                     }
+                if (!sc[i]) return false;
             }
-            scan_off = off + 2 + len;
-            // entropy data runs to the next non-RST/non-stuffed marker
+            const int Ss = seg[1 + 2 * ns];
+            const int Se = seg[2 + 2 * ns];
+            const int Ah = seg[3 + 2 * ns] >> 4;
+            const int Al = seg[3 + 2 * ns] & 15;
+            if (Ss > 63 || Se > 63 || Se < Ss || Al > 13) return false;
+            if (Ss > 0 && ns != 1) return false;  // AC scans: 1 component
+            const size_t scan_off = off + 2 + len;
             size_t e = scan_off;
             while (e + 1 < d.size() &&
                    !(d[e] == 0xFF && d[e + 1] != 0x00 &&
                      !(d[e + 1] >= 0xD0 && d[e + 1] <= 0xD7)))
                 ++e;
-            scan_len = e - scan_off;
-            break;  // single-scan baseline: decode below
+            if (!decode_scan(sc, ns, Ss, Se, Ah, Al, scan_off,
+                             e - scan_off))
+                return false;
+            any_scan = true;
+            off = e;
+            continue;
         }
         off += 2 + len;
     }
-    // SOF dimensions size the component planes below; cap them before
-    // allocation (a mangled header can declare 65535x65535 = ~13 GB).
-    if (!W || !H || !scan_len || !pt_dims_ok(W, H)) return false;
+    if (!got_sof || !any_scan) return false;
 
-    int hmax = 1, vmax = 1;
+    // dequantize + un-zigzag + IDCT every block into the sample planes
     for (int i = 0; i < ncomp; ++i) {
-        hmax = comp[i].hs > hmax ? comp[i].hs : hmax;
-        vmax = comp[i].vs > vmax ? comp[i].vs : vmax;
+        Component& C = comp[i];
+        C.plane.assign(static_cast<size_t>(C.bw) * C.bh * 64, 0);
+        for (int by = 0; by < C.bh; ++by)
+            for (int bx = 0; bx < C.bw; ++bx) {
+                const int32_t* cf =
+                    &C.coef[(static_cast<size_t>(by) * C.bw + bx) * 64];
+                float blk[64];
+                for (int k = 0; k < 64; ++k)
+                    blk[kZigzag[k]] =
+                        static_cast<float>(cf[k]) * qt[C.tq][k];
+                uint8_t px[64];
+                idct8x8(blk, px);
+                const int ox = bx * 8, oy = by * 8;
+                for (int y = 0; y < 8; ++y)
+                    std::memcpy(&C.plane[(static_cast<size_t>(oy) + y) *
+                                         C.bw * 8 + ox],
+                                &px[y * 8], 8);
+            }
     }
-    const int mcux = (W + 8 * hmax - 1) / (8 * hmax);
-    const int mcuy = (H + 8 * vmax - 1) / (8 * vmax);
-    for (int i = 0; i < ncomp; ++i) {
-        comp[i].bw = mcux * comp[i].hs;
-        comp[i].bh = mcuy * comp[i].vs;
-        comp[i].plane.assign(
-            static_cast<size_t>(comp[i].bw) * comp[i].bh * 64, 0);
-    }
-
-    BitReader br(&d[scan_off], scan_len);
-    int mcus_until_restart = restart_interval ? restart_interval : -1;
-    for (int my = 0; my < mcuy; ++my)
-        for (int mx = 0; mx < mcux; ++mx) {
-            if (mcus_until_restart == 0) {
-                br.align_to_marker();
-                for (int i = 0; i < ncomp; ++i) comp[i].dc_pred = 0;
-                mcus_until_restart = restart_interval;
-            }
-            for (int ci = 0; ci < ncomp; ++ci) {
-                Component& C = comp[ci];
-                if (!hdc[C.td].present || !hac[C.ta].present) return false;
-                for (int by = 0; by < C.vs; ++by)
-                    for (int bx = 0; bx < C.hs; ++bx) {
-                        float blk[64] = {0};
-                        const int s = decode_huff(br, hdc[C.td]);
-                        if (s < 0 || s > 11) return false;
-                        C.dc_pred += extend(br.bits(s), s);
-                        blk[0] = static_cast<float>(C.dc_pred) *
-                                 qt[C.tq][0];
-                        for (int k = 1; k < 64;) {
-                            const int rs = decode_huff(br, hac[C.ta]);
-                            if (rs < 0) return false;
-                            const int run = rs >> 4, size = rs & 15;
-                            if (size == 0) {
-                                if (run != 15) break;  // EOB
-                                k += 16;               // ZRL
-                                continue;
-                            }
-                            k += run;
-                            if (k > 63) return false;
-                            blk[kZigzag[k]] =
-                                static_cast<float>(
-                                    extend(br.bits(size), size)) *
-                                qt[C.tq][k];
-                            ++k;
-                        }
-                        uint8_t px[64];
-                        idct8x8(blk, px);
-                        const int ox = (mx * C.hs + bx) * 8;
-                        const int oy = (my * C.vs + by) * 8;
-                        for (int y = 0; y < 8; ++y)
-                            std::memcpy(&C.plane[(static_cast<size_t>(oy) +
-                                                  y) * C.bw * 8 + ox],
-                                        &px[y * 8], 8);
-                    }
-            }
-            if (mcus_until_restart > 0) --mcus_until_restart;
-            if (br.bad && !(my == mcuy - 1 && mx == mcux - 1)) {
-                // markers mid-scan other than handled RSTs = corrupt
-                if (mcus_until_restart != 0) return false;
-            }
-        }
 
     out_px->resize(static_cast<size_t>(W) * H);
     *out_w = W;
@@ -342,7 +467,7 @@ bool pt_load_jpeg(const char* path, int* out_w, int* out_h,
     for (int y = 0; y < H; ++y)
         for (int x = 0; x < W; ++x) {
             int r, g, b2;
-            auto samp = [&](const Component& C) {
+            auto samp = [&](const ptjpeg::Component& C) {
                 const int sx = x * C.hs / hmax, sy = y * C.vs / vmax;
                 return static_cast<int>(
                     C.plane[static_cast<size_t>(sy) * C.bw * 8 + sx]);

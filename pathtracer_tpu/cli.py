@@ -152,6 +152,13 @@ def main(argv=None):
                          "frame (the reference's non-up-surface normal-map "
                          "TODO, win32_main.cpp:175); off = world-space "
                          "replacement parity (:642)")
+    ap.add_argument("--scene-seed", default=None, metavar="N|os",
+                    help="seed for world 4's random RTIOW layout "
+                         "(win32_main.cpp:1966 seeds MT from the OS so the "
+                         "reference scene differs per run; our default is "
+                         "the fixed seed 1337 for reproducibility — pass an "
+                         "integer for a specific layout or 'os' for the "
+                         "reference's per-run-random semantics)")
     args = ap.parse_args(rest)
 
     import jax
@@ -175,6 +182,15 @@ def main(argv=None):
     print(f"System has {len(jax.devices())} device(s).")   # cf. :2193
     print(f"Using {n_dev} device(s).\n")                   # cf. :2194
 
+    rtiow_seed = 1337
+    if args.scene_seed is not None:
+        if args.scene_seed == "os":
+            import secrets
+            rtiow_seed = secrets.randbits(31)  # the reference's OS-seeded MT
+            print(f"(--scene-seed os: layout seed {rtiow_seed})")
+        else:
+            rtiow_seed = int(args.scene_seed)
+
     timer = PhaseTimer()
     with timer.phase("scene"):
         scene, camera = finalize_world(
@@ -183,6 +199,7 @@ def main(argv=None):
             use_normal_maps=not ref["n"],
             use_metalness_maps=not ref["m"],
             use_roughness_maps=not ref["r"],
+            rtiow_seed=rtiow_seed,
         )
         if args.tbn:
             scene = scene.replace(tbn_normal_maps=True)
@@ -272,18 +289,25 @@ def main(argv=None):
             if live is not None:
                 live.update(rgb, status=f"  {s_done}/{s_total} samples")
 
+    # --live cadence: adapt the chunk size toward ~2 s between frame
+    # updates (the reference viewer blits continuously,
+    # win32_main.cpp:252-274; a slow world's 64-sample chunk can run tens
+    # of seconds). Exact chunking — results are unchanged.
+    adapt = 2.0 if live is not None else None
+
     with timer.phase("render"), profiler_trace(args.profile):
         t0 = time.perf_counter()
         if args.single_chip or n_dev == 1:
             img, packed, state = render_image(scene, camera, cfg,
                                               chunk_samples=args.chunk,
                                               state=state,
-                                              progress_cb=progress)
+                                              progress_cb=progress,
+                                              adapt_chunk_s=adapt)
         else:
             mesh = make_mesh(devices)
             img, packed, state = render_image_sharded(
                 scene, camera, cfg, mesh=mesh, chunk_samples=args.chunk,
-                state=state, progress_cb=progress)
+                state=state, progress_cb=progress, adapt_chunk_s=adapt)
         packed = np.asarray(jax.block_until_ready(packed))
         wall = time.perf_counter() - t0
 

@@ -404,34 +404,14 @@ def _intersect_triangles_streamed(scene: Scene, o: Vec3, d: Vec3,
                            jnp.maximum(t0z, t1z))
         return (tmax >= tmin) & (tmax >= 0.0) & (tmin < t_r)
 
-    def make_cluster_body(hi):
-        # fori body over a cluster range ending at hi (one parent's
-        # leaves, or the whole list). DMA slot parity is ABSOLUTE (c % 2)
-        # so it composes with both static and traced range starts.
-        def cluster_body(c, carry):
-            t_r = carry[0]
-            if dma:
-                # Wait on THIS cluster's copy (started by the range
-                # prologue or the previous iteration), then immediately
-                # start the NEXT cluster's into the other slot so its
-                # HBM->VMEM time hides under this cluster's tests. The
-                # prefetch is unconditional within a descended parent —
-                # a cluster's rows are ~rpc*512 B, noise next to the
-                # slab-test + record-extraction cost.
-                slot = jax.lax.rem(c, 2)
-                _dma_copy(c, slot).wait()
-                if dma_uv:
-                    _dma_copy_uv(c, slot).wait()
+    def make_cluster_run(c, slot):
+        # The DESCEND body for cluster ``c`` (rows loaded from the DMA
+        # scratch ``slot`` when set, else from the resident pack): returns
+        # the run(carry) closure. Split from the bounds test so run_range's
+        # grouped path can batch the per-cluster relevance reduces.
+        if True:  # (keeps the historical indentation of the inner defs)
 
-                @pl.when(c + 1 < hi)
-                def _prefetch():
-                    _dma_copy(c + 1, 1 - slot).start()
-                    if dma_uv:
-                        _dma_copy_uv(c + 1, 1 - slot).start()
-            brow = row_bcast(scene.mtri_bounds, c)
-            relevant = row_slab_relevant(brow, t_r)
-
-            def row_body(r, cc):
+            def load_row(r):
                 # ONE dynamic row read per 9 triangles; record fields
                 # extract at STATIC lane offsets (clusters are row-aligned,
                 # clusters.pack_stream_clusters). Winner attributes
@@ -441,10 +421,10 @@ def _intersect_triangles_streamed(scene: Scene, o: Vec3, d: Vec3,
                 # explosion at this tier's 32k+. Padding records have
                 # n=0 -> invalid -> never hit.
                 if dma:
-                    trow = row_bcast(scene.stream_scratch, slot * rpc + r)
-                else:
-                    trow = row_bcast(scene.mtri_pack, c * rpc + r)
+                    return row_bcast(scene.stream_scratch, slot * rpc + r)
+                return row_bcast(scene.mtri_pack, c * rpc + r)
 
+            def row_test(trow, r, cc):
                 def test9(cc):
                     t_r2, nx, ny, nz, mf = cc[:5]
                     if want_uv:
@@ -484,32 +464,53 @@ def _intersect_triangles_streamed(scene: Scene, o: Vec3, d: Vec3,
                         # load the PARALLEL uv row only when this record
                         # row improved some lane (takes are rare: the
                         # running min improves a handful of times per
-                        # block per bounce)
+                        # block per bounce). Winner fields come out by
+                        # ONE per-lane gather per field (take_along_axis
+                        # with the per-lane slot index — the same
+                        # 128-lane-window tpu.dynamic_gather the windowed
+                        # LUTs use): 6 gathers instead of the old 54
+                        # static extracts + 18 selects (~9x fewer vector
+                        # ops on the winning-row path, round 5).
                         ux, uy = uv
                         if dma_uv:
                             uvrow = row_bcast(scene.stream_uv_scratch,
                                               slot * rpc + r)
                         else:
                             uvrow = row_bcast(scene.mtri_uvpack, c * rpc + r)
-                        for jj in range(per):
-                            sel = jw == jnp.float32(jj)
-                            b6 = jj * 6
-                            nux = (lane(uvrow, b6 + 0)
-                                   + aw * lane(uvrow, b6 + 2)
-                                   + bw * lane(uvrow, b6 + 4))
-                            nuy = (lane(uvrow, b6 + 1)
-                                   + aw * lane(uvrow, b6 + 3)
-                                   + bw * lane(uvrow, b6 + 5))
-                            ux = jnp.where(sel, nux, ux)
-                            uy = jnp.where(sel, nuy, uy)
-                        return ux, uy
+                        ok = jw >= 0.0
+                        j6 = (jnp.clip(jw, 0.0, jnp.float32(per - 1))
+                              * 6.0).astype(jnp.int32)
+                        g = lambda k: jnp.take_along_axis(
+                            uvrow, j6 + k, axis=-1)
+                        nux = g(0) + aw * g(2) + bw * g(4)
+                        nuy = g(1) + aw * g(3) + bw * g(5)
+                        return (jnp.where(ok, nux, ux),
+                                jnp.where(ok, nuy, uy))
 
-                    uvx, uvy = jax.lax.cond(jnp.any(jw >= 0.0), fetch_uv,
-                                            lambda uv: uv, (uvx, uvy))
+                    import os as _e
+                    if _e.environ.get("PT_UV_COND"):
+                        # ablation: the round-4 form — skip the fetch under
+                        # an any-winner branch. Measured SLOWER once the
+                        # fetch shrank to 6 gathers (w7 @64spp: 53.5 cond
+                        # vs 55.1 unconditional): the ~470-cycle any-reduce
+                        # costs more than the fetch it skips, and it
+                        # serializes the row chain.
+                        uvx, uvy = jax.lax.cond(jnp.any(jw >= 0.0), fetch_uv,
+                                                lambda uv: uv, (uvx, uvy))
+                    else:
+                        # unconditional: no-winner rows mask to unchanged
+                        # (ok all false) — identical values, no reduce
+                        uvx, uvy = fetch_uv((uvx, uvy))
                     return (t_r2, nx, ny, nz, mf, uvx, uvy)
 
+                return test9(cc)
+
+            def row_body(r, cc):
+                # fori form (rpc above the unroll budget): one row per
+                # iteration, cull + test inline
+                trow = load_row(r)
                 if not scene.stream_row_cull:
-                    return test9(cc)
+                    return row_test(trow, r, cc)
                 # Third culling level: the row's own 9-tri AABB rides the
                 # spare lanes of the row just loaded (zero extra traffic;
                 # clusters.ROW_BOUNDS_LANE). ~40 vector ops + a branch
@@ -518,8 +519,10 @@ def _intersect_triangles_streamed(scene: Scene, o: Vec3, d: Vec3,
                 # rows pack a far-point box so they skip for free.
                 rowrel = row_slab_relevant(trow, cc[0],
                                            base=clu.ROW_BOUNDS_LANE)
-                return jax.lax.cond(jnp.any(rowrel), test9,
-                                    lambda cc: cc, cc)
+                return jax.lax.cond(
+                    jnp.any(rowrel),
+                    lambda cc: row_test(trow, r, cc),
+                    lambda cc: cc, cc)
 
             def fm_tests(cc):
                 # Field-major tiles (clusters.pack_stream_fm): the tile's
@@ -633,15 +636,81 @@ def _intersect_triangles_streamed(scene: Scene, o: Vec3, d: Vec3,
                     # until the final merge, but a fori boundary forbids
                     # Mosaic from overlapping row r+1's loads/tests with
                     # row r's latency tail — straight-line code gives the
-                    # scheduler that freedom. Bit-exact by construction
-                    # (identical op sequence, static indices).
+                    # scheduler that freedom. Measured bit-equal to the
+                    # fori form (tests/test_clusters.py row-unroll A/B).
+                    if not scene.stream_row_cull:
+                        for r in range(rpc):
+                            cc = row_test(load_row(r), r, cc)
+                        return cc
+                    # Round 5: BATCHED row culls. The old interleaved form
+                    # (load row -> slab -> any-reduce -> branch -> tests,
+                    # per row) put one ~470-cycle any-reduce latency on
+                    # the critical path PER ROW (the reduce's result gates
+                    # everything after it). Loading every row and
+                    # evaluating all row-box slab tests + their reduces
+                    # upfront makes the rpc reduces mutually independent —
+                    # they pipeline instead of serializing. Predicates
+                    # test against the carry t at CLUSTER ENTRY: a
+                    # conservative superset of rows passes (pure pruning —
+                    # the tests keep the exact running strict-< carry), so
+                    # results stay bit-equal to the interleaved form
+                    # (gated in tests/test_clusters.py).
+                    rows = [load_row(r) for r in range(rpc)]
+                    rels = [jnp.any(row_slab_relevant(
+                                rows[r], cc[0], base=clu.ROW_BOUNDS_LANE))
+                            for r in range(rpc)]
                     for r in range(rpc):
-                        cc = row_body(r, cc)
+                        cc = jax.lax.cond(
+                            rels[r],
+                            lambda cc, r=r: row_test(rows[r], r, cc),
+                            lambda cc: cc, cc)
                     return cc
                 return jax.lax.fori_loop(0, rpc, row_body, cc)
 
-            return jax.lax.cond(jnp.any(relevant), run, lambda cc: cc, carry)
+            return run
+
+    def make_cluster_body(hi):
+        # fori body over a cluster range ending at hi (one parent's
+        # leaves, or the whole list). DMA slot parity is ABSOLUTE (c % 2)
+        # so it composes with both static and traced range starts.
+        def cluster_body(c, carry):
+            t_r = carry[0]
+            slot = None
+            if dma:
+                # Wait on THIS cluster's copy (started by the range
+                # prologue or the previous iteration), then immediately
+                # start the NEXT cluster's into the other slot so its
+                # HBM->VMEM time hides under this cluster's tests. The
+                # prefetch is unconditional within a descended parent —
+                # a cluster's rows are ~rpc*512 B, noise next to the
+                # slab-test + record-extraction cost.
+                slot = jax.lax.rem(c, 2)
+                _dma_copy(c, slot).wait()
+                if dma_uv:
+                    _dma_copy_uv(c, slot).wait()
+
+                @pl.when(c + 1 < hi)
+                def _prefetch():
+                    _dma_copy(c + 1, 1 - slot).start()
+                    if dma_uv:
+                        _dma_copy_uv(c + 1, 1 - slot).start()
+            brow = row_bcast(scene.mtri_bounds, c)
+            relevant = row_slab_relevant(brow, t_r)
+            return jax.lax.cond(jnp.any(relevant), make_cluster_run(c, slot),
+                                lambda cc: cc, carry)
         return cluster_body
+
+    # Grouped cluster/parent culls (PT_CLUSTER_GROUP > 1): measured
+    # NEGATIVE as a default — w7 @64spp 41.4 grouped(4) vs 55.0 running-t
+    # (BENCH.md round 5): clusters are camera-ordered and the running t
+    # from front clusters culls the back ones; group-entry-t conservatism
+    # descends them all, costing far more than the pipelined reduces save.
+    # (The intra-CLUSTER batched row culls stay default-on: 11 rows share
+    # one cluster's t staleness — mild — and measured a clear win.) The
+    # knob remains for the localized-view DMA regime where most
+    # parents/gparents DON'T descend and their reduces dominate.
+    import os as _osmod
+    _CLUSTER_GROUP = int(_osmod.environ.get("PT_CLUSTER_GROUP", "1"))
 
     def run_range(lo, hi, carry):
         # cluster range [lo, hi) — static for the resident tier's parent
@@ -651,6 +720,35 @@ def _intersect_triangles_streamed(scene: Scene, o: Vec3, d: Vec3,
             _dma_copy(lo, lo % 2).start()
             if dma_uv:
                 _dma_copy_uv(lo, lo % 2).start()
+        elif _CLUSTER_GROUP > 1 and isinstance(lo, int) and isinstance(hi, int):
+            # Round 5: GROUPED cluster culls (resident tier). Like the
+            # batched row culls, the per-cluster relevance any-reduces
+            # (~470 cycles each) serialize when interleaved with the
+            # descents; evaluating a GROUP of bounds tests + reduces
+            # upfront pipelines them. Members after the first test against
+            # the group-entry t — conservative, pure pruning, bit-equal
+            # (the descents keep the exact running strict-< carry).
+            # Group bodies stay FUNCTIONS under lax.cond (one copy per
+            # group member per group-loop iteration is avoided by the
+            # traced member index), so kernel code size is O(GROUP), not
+            # O(n_clusters).
+            n = hi - lo
+            G = min(_CLUSTER_GROUP, n)
+            n_groups = -(-n // G)
+
+            def group_body(gi, carry):
+                base = lo + gi * G
+                cs = [base + k for k in range(G)]
+                brows = [row_bcast(scene.mtri_bounds,
+                                   jnp.minimum(c, hi - 1)) for c in cs]
+                rels = [jnp.any(row_slab_relevant(brows[k], carry[0]))
+                        & (cs[k] < hi) for k in range(G)]
+                for k in range(G):
+                    carry = jax.lax.cond(
+                        rels[k], make_cluster_run(cs[k], None),
+                        lambda cc: cc, carry)
+                return carry
+            return jax.lax.fori_loop(0, n_groups, group_body, carry)
         return jax.lax.fori_loop(lo, hi, make_cluster_body(hi), carry)
 
     zero = o.x * 0.0
@@ -667,16 +765,46 @@ def _intersect_triangles_streamed(scene: Scene, o: Vec3, d: Vec3,
         # ~1.2 s/parent in Mosaic (minutes at 250k+ tris). Semantics match
         # the static branch below exactly; the huge cluster's parent packs
         # as an infinite box (always relevant).
+        def parent_descend(p):
+            def descend(cc):
+                ps = scene.mtri_prange[p, 0]
+                pc = scene.mtri_prange[p, 1]
+                return run_range(ps, ps + pc, cc)
+            return descend
+
         def parent_body(p, carry):
             prow = row_bcast(scene.mtri_parents, p)
             relevant = row_slab_relevant(prow, carry[0])
-            ps = scene.mtri_prange[p, 0]
-            pc = scene.mtri_prange[p, 1]
-
-            def descend(cc):
-                return run_range(ps, ps + pc, cc)
-            return jax.lax.cond(jnp.any(relevant), descend,
+            return jax.lax.cond(jnp.any(relevant), parent_descend(p),
                                 lambda cc: cc, carry)
+
+        def grouped_level(n_items, bounds_tab, descend_of, carry):
+            # Grouped culls one level up (same pipelined-reduce trick as
+            # run_range's cluster groups): G bounds rows + G any-reduces
+            # evaluate upfront per group — the reduces overlap instead of
+            # each sitting on the critical path. Members after the first
+            # test against the group-entry t: conservative, pure pruning,
+            # bit-equal. At the 1M DMA cap most parents/gparents DON'T
+            # descend under a localized view, so their serialized reduces
+            # dominate the sweep — exactly what this pipelines.
+            G = min(_CLUSTER_GROUP, n_items)
+            if G <= 1:
+                return None
+            n_groups = -(-n_items // G)
+
+            def group_body(gi, carry):
+                base = gi * G
+                idxs = [base + k for k in range(G)]
+                rows = [row_bcast(bounds_tab, jnp.minimum(p, n_items - 1))
+                        for p in idxs]
+                rels = [jnp.any(row_slab_relevant(rows[k], carry[0]))
+                        & (idxs[k] < n_items) for k in range(G)]
+                for k in range(G):
+                    carry = jax.lax.cond(rels[k], descend_of(idxs[k]),
+                                         lambda cc: cc, carry)
+                return carry
+            return jax.lax.fori_loop(0, n_groups, group_body, carry)
+
         if scene.n_stream_gparents > 0:
             # GRANDPARENT level (clusters.GPARENT_MIN+): same dynamic
             # form one level up — grandparent AABB rows + (start, count)
@@ -685,21 +813,29 @@ def _intersect_triangles_streamed(scene: Scene, o: Vec3, d: Vec3,
             # log-depth descent the reference octree gets from
             # AdoptChildren (win32_main.cpp:1395-1440), realized as
             # nested cond-in-fori (both lower fine in Mosaic).
+            def gparent_descend(g):
+                def descend(cc):
+                    gs = scene.mtri_gprange[g, 0]
+                    gc = scene.mtri_gprange[g, 1]
+                    return jax.lax.fori_loop(gs, gs + gc, parent_body, cc)
+                return descend
+
             def gparent_body(g, carry):
                 grow = row_bcast(scene.mtri_gparents, g)
                 relevant = row_slab_relevant(grow, carry[0])
-                gs = scene.mtri_gprange[g, 0]
-                gc = scene.mtri_gprange[g, 1]
-
-                def descend(cc):
-                    return jax.lax.fori_loop(gs, gs + gc, parent_body, cc)
-                return jax.lax.cond(jnp.any(relevant), descend,
+                return jax.lax.cond(jnp.any(relevant), gparent_descend(g),
                                     lambda cc: cc, carry)
-            carry = jax.lax.fori_loop(0, scene.n_stream_gparents,
-                                      gparent_body, init)
+            carry = grouped_level(scene.n_stream_gparents,
+                                  scene.mtri_gparents, gparent_descend, init)
+            if carry is None:
+                carry = jax.lax.fori_loop(0, scene.n_stream_gparents,
+                                          gparent_body, init)
         else:
-            carry = jax.lax.fori_loop(0, scene.n_stream_parents,
-                                      parent_body, init)
+            carry = grouped_level(scene.n_stream_parents,
+                                  scene.mtri_parents, parent_descend, init)
+            if carry is None:
+                carry = jax.lax.fori_loop(0, scene.n_stream_parents,
+                                          parent_body, init)
     elif scene.stream_parents:
         # Two-level hierarchy (the TPU analog of the reference octree's
         # log-depth descent, win32_main.cpp:476-526): parent AABBs are
@@ -897,7 +1033,12 @@ def intersect_quads(scene: Scene, o: Vec3, d: Vec3, best: Hit) -> Hit:
         A = Vec3(scene.quad_point.x[i], scene.quad_point.y[i], scene.quad_point.z[i])
         u = Vec3(scene.quad_u.x[i], scene.quad_u.y[i], scene.quad_u.z[i])
         v = Vec3(scene.quad_v.x[i], scene.quad_v.y[i], scene.quad_v.z[i])
-        n = normalize(cross(u, v), eps=1e-30)
+        if scene.quad_n is not None:
+            # baked at finalize (schema._bake_quad_normals) — bit-identical
+            # to the normalize(cross) this loop used to evaluate per bounce
+            n = Vec3(scene.quad_n.x[i], scene.quad_n.y[i], scene.quad_n.z[i])
+        else:
+            n = normalize(cross(u, v), eps=1e-30)
         t, hit = ray_planar_quad(o, d, A, u, v)
         take = hit & (t < h.t)
         return Hit(

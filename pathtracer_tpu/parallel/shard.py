@@ -24,6 +24,7 @@ same number of bounded bounces).
 from __future__ import annotations
 
 import functools
+import time as _time
 from typing import Optional, Tuple
 
 import jax
@@ -120,6 +121,7 @@ def render_image_sharded(
     chunk_samples: Optional[int] = None,
     state: Optional[AccumState] = None,
     progress_cb=None,
+    adapt_chunk_s: Optional[float] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, AccumState]:
     """Sharded equivalent of render_image: same results, N-chip throughput.
 
@@ -153,12 +155,24 @@ def render_image_sharded(
     total = config.spp
     chunk = min(chunk_samples or total, total)
     s0 = int(np.asarray(state.samples_done))
+    first = True
     while s0 < total:
         n = min(chunk, total - s0)
+        t0 = _time.perf_counter() if adapt_chunk_s else 0.0
         state = _render_chunk_sharded(scene, camera, config, mesh, key,
                                       jnp.asarray(s0, jnp.int32), n,
                                       pixel_idx, state)
         s0 += n
+        if adapt_chunk_s and s0 < total:
+            # --live cadence adaptation; see renderer.render_image
+            float(np.asarray(state.rays_cast))
+            dt = _time.perf_counter() - t0
+            if first:
+                first = False
+            else:
+                while chunk > 1 and dt > adapt_chunk_s * 1.5:
+                    chunk //= 2
+                    dt /= 2.0
         if progress_cb is not None:
             progress_cb(s0, total, state)
 

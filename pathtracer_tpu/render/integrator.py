@@ -147,6 +147,17 @@ def _material_fields(scene: Scene) -> dict:
     return fields
 
 
+def _const_field(v, mat):
+    """Broadcast row 0 of a table-constant field (scene.mat_const): every
+    real row holds the same value, so the lookup is the value itself —
+    bit-identical to a sweep/gather, zero compare/select chains."""
+    if isinstance(v, Vec3):
+        return Vec3(jnp.full(mat.shape, v.x[0]),
+                    jnp.full(mat.shape, v.y[0]),
+                    jnp.full(mat.shape, v.z[0]))
+    return jnp.full(mat.shape, v[0], v.dtype)
+
+
 def _material_lookup_windowed(scene: Scene, mat: jnp.ndarray):
     """In-kernel material fetch via the 128-lane-window LUT (the same
     tpu.dynamic_gather primitive as the texture path, ops/texture.py).
@@ -170,7 +181,8 @@ def _material_lookup_windowed(scene: Scene, mat: jnp.ndarray):
         return acc
 
     return {
-        k: Vec3(fetch(v.x), fetch(v.y), fetch(v.z)) if isinstance(v, Vec3)
+        k: _const_field(v, mat) if k in scene.mat_const
+        else Vec3(fetch(v.x), fetch(v.y), fetch(v.z)) if isinstance(v, Vec3)
         else fetch(v)
         for k, v in _material_fields(scene).items()
     }
@@ -194,12 +206,15 @@ def _material_lookup(scene: Scene, mat: jnp.ndarray):
     fields = _material_fields(scene)
     if n > sweep_max:
         return {
-            k: gather(v, mat) if isinstance(v, Vec3) else v[mat]
+            k: _const_field(v, mat) if k in scene.mat_const
+            else gather(v, mat) if isinstance(v, Vec3) else v[mat]
             for k, v in fields.items()
         }
     out = {}
     for k, v in fields.items():
-        if isinstance(v, Vec3):
+        if k in scene.mat_const:
+            out[k] = _const_field(v, mat)
+        elif isinstance(v, Vec3):
             accx = jnp.full(mat.shape, v.x[0])
             accy = jnp.full(mat.shape, v.y[0])
             accz = jnp.full(mat.shape, v.z[0])

@@ -274,7 +274,24 @@ def _wave_loop(scene: Scene, camera: Camera, config: RenderConfig,
         Vec3(ones(), ones(), ones()), zvec(),
         zvec(), zvec(), zeros(), zeros(), zeros(),
     )
-    carry = jax.lax.while_loop(cond, body, init)
+    # Check the termination predicate every K body steps, not every step:
+    # the while cond's jnp.any is a ~470-cycle serial lane reduce gating
+    # everything after it — a large fraction of a small scene's ~2.6 us
+    # body (round-5 measurement, Cornell). EXACT: the body is a no-op for
+    # done lanes (active masks every update), so up to K-1 trailing
+    # all-done steps change nothing. Streamed-mesh scenes keep K=1 — their
+    # ~80 us bodies make the reduce noise and the row sweeps x4 would
+    # bloat kernel code size for nothing.
+    import os
+    k_unroll = int(os.environ.get(
+        "PT_WAVE_UNROLL", "1" if scene.tri_streamed else "4"))
+
+    def body_k(carry):
+        for _ in range(max(1, k_unroll)):
+            carry = body(carry)
+        return carry
+
+    carry = jax.lax.while_loop(cond, body_k, init)
     (_, _, _, _, _, _, acc_sum, acc_sq, count, nan_c, rays) = carry
     return acc_sum, acc_sq, count, nan_c, rays
 
@@ -336,6 +353,11 @@ def _lockstep_loop(scene: Scene, camera: Camera, config: RenderConfig,
 
     def body(carry):
         (s_rel, acc_sum, acc_sq, count, nan_c, rays) = carry
+        # active mask: all lanes advance in lockstep so this is all-true
+        # under a step-1 while loop — it exists to make the body a no-op
+        # past n_samples, which is what lets body_k below check the
+        # termination reduce every K samples instead of every sample
+        active = s_rel < n_samples
         s_abs = s0 + s_rel
         o, d = primary(s_abs)
         stream = prng.PathStream(
@@ -354,24 +376,38 @@ def _lockstep_loop(scene: Scene, camera: Camera, config: RenderConfig,
         # NaN policy: mask & count (renderer._one_sample)
         bad = (jnp.isnan(radiance.x) | jnp.isnan(radiance.y)
                | jnp.isnan(radiance.z))
-        ok = ~bad
+        ok = ~bad & active
         okf = ok.astype(jnp.float32)
         rx = jnp.where(ok, radiance.x, 0.0)
         ry = jnp.where(ok, radiance.y, 0.0)
         rz = jnp.where(ok, radiance.z, 0.0)
+        actf = active.astype(jnp.float32)
         return (
             s_rel + 1,
             Vec3(acc_sum.x + rx, acc_sum.y + ry, acc_sum.z + rz),
             Vec3(acc_sq.x + rx * rx, acc_sq.y + ry * ry, acc_sq.z + rz * rz),
             count + okf,
-            nan_c + bad.astype(jnp.float32),
-            rays + stats.lane_casts,
+            nan_c + (bad & active).astype(jnp.float32),
+            rays + stats.lane_casts * actf,
         )
 
     zvec = lambda: Vec3(zeros(), zeros(), zeros())
     izeros = lambda: pixel_idx * 0
     init = (izeros(), zvec(), zvec(), zeros(), zeros(), zeros())
-    carry = jax.lax.while_loop(cond, body, init)
+    # Termination-reduce amortization (see _wave_loop body_k): K samples
+    # per while-cond check. Measured a WASH for lockstep (w1 @64spp: 81.7
+    # at K=2 vs 81.6 at K=1 — one reduce per FULL 4-bounce textured sample
+    # is already noise), so the default keeps the single-sample body; the
+    # knob remains for ablation.
+    import os
+    k_unroll = int(os.environ.get("PT_LOCKSTEP_SAMPLE_UNROLL", "1"))
+
+    def body_k(carry):
+        for _ in range(max(1, k_unroll)):
+            carry = body(carry)
+        return carry
+
+    carry = jax.lax.while_loop(cond, body_k, init)
     (_, acc_sum, acc_sq, count, nan_c, rays) = carry
     return acc_sum, acc_sq, count, nan_c, rays
 

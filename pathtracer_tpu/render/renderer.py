@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import time
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -238,12 +239,21 @@ def render_image(
     chunk_samples: Optional[int] = None,
     state: Optional[AccumState] = None,
     progress_cb=None,
+    adapt_chunk_s: Optional[float] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, AccumState]:
     """Full render: returns (mean_radiance (H,W,3), packed_bgra (H,W), state).
 
     ``chunk_samples`` bounds the samples per jit invocation (progressive
     preview / checkpoint cadence); defaults to all of them in one call.
-    """
+
+    ``adapt_chunk_s`` (the --live cadence, VERDICT r4 item 9): target
+    seconds between progress callbacks. Slow worlds run a 64-sample chunk
+    for tens of seconds — far coarser than the reference viewer's
+    every-loop blit (win32_main.cpp:252-274). When a steady-state chunk
+    overshoots the target, the chunk HALVES (power-of-two sizes bound the
+    extra jit signatures to log2(chunk)); the first chunk's timing is
+    ignored (compile-tainted). No cost when unset, and no effect on
+    results either way (chunking is exact — same samples, same sums)."""
     assert config.debug_kind in DEBUG_KINDS
     total = config.spp
     chunk = min(chunk_samples or total, total)
@@ -253,11 +263,22 @@ def render_image(
     # exact resume: the accumulator records how many whole-image samples are
     # already folded in; the counter-based PRNG regenerates the rest verbatim
     s0 = int(np.asarray(state.samples_done))
+    first = True
     while s0 < total:
         n = min(chunk, total - s0)
+        t0 = time.perf_counter() if adapt_chunk_s else 0.0
         state = render_chunk(scene, camera, config, key,
                              jnp.asarray(s0, jnp.int32), n, state)
         s0 += n
+        if adapt_chunk_s and s0 < total:
+            float(np.asarray(state.rays_cast))  # value-fetch sync (axon)
+            dt = time.perf_counter() - t0
+            if first:
+                first = False  # compile-tainted timing
+            else:
+                while chunk > 1 and dt > adapt_chunk_s * 1.5:
+                    chunk //= 2
+                    dt /= 2.0
         if progress_cb is not None:
             progress_cb(s0, total, state)
     img = resolve(state, config)

@@ -28,7 +28,15 @@ import numpy as np
 import jax.numpy as jnp
 from flax import struct
 
-from ..utils.vec import Vec3
+from ..utils.vec import Vec3, cross as _vec_cross, normalize as _vec_normalize
+
+
+def _bake_quad_normals(u: Vec3, v: Vec3) -> Vec3:
+    """normalize(cross(u, v)) over the quad table — the exact expression
+    intersect_quads evaluated per bounce (win32_main.cpp:437-456 face
+    normal), baked once at finalize. Elementwise over the table, so each
+    quad's value is bit-identical to the old per-quad scalar compute."""
+    return _vec_normalize(_vec_cross(u, v), eps=1e-30)
 
 # Reference constants (win32_main.cpp:86-95).
 MAX_BOUNCE_COUNT = 4
@@ -307,6 +315,12 @@ class Scene:
     # the lane axis (ops/intersect fm branch). Same hierarchy, bounds and
     # DMA machinery; row-cull n/a (no spare lanes).
     stream_fm: bool = struct.field(pytree_node=False, default=False)
+    # normalize(cross(u, v)) per quad, baked at finalize with the SAME jnp
+    # expression intersect_quads used to evaluate per bounce (bit-identical
+    # values); keeps the per-quad scalar cross/normalize chains out of the
+    # kernel's sample loop (round-5 op-count pass). None only in
+    # hand-built test Scenes predating the field.
+    quad_n: Optional[Vec3] = None
     # Kernel-only plumbing for the DMA tier: render/pallas_backend fills
     # these with the VMEM scratch ref and DMA semaphore array inside the
     # kernel (None everywhere else — None flattens to no pytree leaves).
@@ -362,6 +376,10 @@ class Scene:
     n_tris: int = struct.field(pytree_node=False, default=0)
     n_boxes: int = struct.field(pytree_node=False, default=0)
     n_materials: int = struct.field(pytree_node=False, default=0)
+    # material fields whose column is ONE value across the real rows —
+    # the lookup broadcasts row 0 instead of sweeping (bit-identical;
+    # round-5 op-count pass, integrator._material_lookup)
+    mat_const: tuple = struct.field(pytree_node=False, default=())
     n_textures: int = struct.field(pytree_node=False, default=0)
     grid_res: int = struct.field(pytree_node=False, default=0)
     # Opt-in tangent-frame normal mapping (the reference's "support normal
@@ -841,7 +859,36 @@ class WorldBuilder:
         else:
             grid_start, grid_count, grid_tris, grid_res = grid
 
+        # STATIC constancy map for the material lookup (integrator
+        # _material_lookup): a field whose column holds ONE value across
+        # the real rows broadcasts row 0 instead of sweeping/gathering —
+        # bit-identical (pure lookup) and it removes most of the sweep's
+        # compare+select chains on scenes with mostly-uniform tables
+        # (Cornell: metalness/ior/metal_color and every *_idx are
+        # single-valued; round-5 estimator op-count pass).
+        def _column(name):
+            return [getattr(m, name) for m in mats]
+
+        mat_const = tuple(sorted(
+            k for k, col in dict(
+                albedo=_column("albedo"), emit=_column("emit"),
+                metal_color=_column("metal_color"),
+                metalness=_column("metalness"),
+                roughness=_column("roughness"), ior=_column("ior"),
+                albedo_idx=_column("albedo_idx"),
+                metalness_idx=_column("metalness_idx"),
+                roughness_idx=_column("roughness_idx"),
+                normal_idx=_column("normal_idx"),
+                transmission=_column("transmission"),
+                dispersion=_column("dispersion"),
+                bump_idx=_column("bump_idx"),
+                bump_scale=_column("bump_scale"),
+            ).items()
+            if len({tuple(np.ravel(np.asarray(x, np.float64))) for x in col})
+            <= 1))
+
         return Scene(
+            mat_const=mat_const,
             mat_albedo=vec_table([m.albedo for m in mats], M),
             mat_emit=vec_table([m.emit for m in mats], M),
             mat_metal_color=vec_table([m.metal_color for m in mats], M),
@@ -873,6 +920,9 @@ class WorldBuilder:
             quad_v=vec_table([q[2] for q in self.quads], Q),
             quad_mat=scalar_table([q[3] for q in self.quads], Q, i32),
             quad_mask=mask_table(len(self.quads), Q),
+            quad_n=_bake_quad_normals(
+                vec_table([q[1] for q in self.quads], Q),
+                vec_table([q[2] for q in self.quads], Q)),
             pln_n=vec_table([p[0] for p in self.planes], P),
             pln_d=scalar_table([p[1] for p in self.planes], P),
             pln_mat=scalar_table([p[2] for p in self.planes], P, i32),

@@ -534,3 +534,178 @@ class TestNativeCompare:
                                      capture_output=True, timeout=60)
                 assert out.returncode >= 0, (
                     name, len(case), out.returncode)
+
+
+@needs_native
+class TestPngFullInputClass:
+    """16-bit, sub-8-bit and Adam7-interlaced PNGs — the rest of the input
+    class the reference tool accepts via stbi_load (image_compare.c:37,47).
+    Fixtures are hand-crafted (PIL cannot WRITE interlaced or 16-bit-RGB
+    PNGs); each fixture is first decoded with PIL to prove the fixture
+    itself is well-formed, then the native tool must match the expected
+    8-bit reduction at RMSE 0.0 (16-bit reduces by high byte — stb's
+    stbi__convert_16_to_8 — which PIL's I;16 path also produces)."""
+
+    @staticmethod
+    def _chunk(typ, body):
+        import struct
+        import zlib
+        return (struct.pack(">I", len(body)) + typ + body
+                + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF))
+
+    def _write_png(self, path, w, h, depth, color_type, interlace, raw):
+        import struct
+        import zlib
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0,
+                           interlace)
+        with open(path, "wb") as fh:
+            fh.write(b"\x89PNG\r\n\x1a\n" + self._chunk(b"IHDR", ihdr)
+                     + self._chunk(b"IDAT", zlib.compress(raw))
+                     + self._chunk(b"IEND", b""))
+
+    @staticmethod
+    def _adam7_raw(img):
+        """Filter-0 Adam7 scanline stream for an (H, W, C) uint8 image."""
+        XO = [0, 4, 0, 2, 0, 1, 0]
+        YO = [0, 0, 4, 0, 2, 0, 1]
+        XS = [8, 8, 4, 4, 2, 2, 1]
+        YS = [8, 8, 8, 4, 4, 2, 2]
+        raw = b""
+        for p in range(7):
+            sub = img[YO[p]::YS[p], XO[p]::XS[p]]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            for row in sub:
+                raw += b"\x00" + row.tobytes()
+        return raw
+
+    def _assert_tool_matches(self, tmp_path, fixture_path, expected_rgb):
+        from PIL import Image
+        exe = native.compare_exe_path()
+        ref = str(tmp_path / "expected.png")
+        Image.fromarray(expected_rgb).save(ref)
+        out = subprocess.run([exe, fixture_path, ref], capture_output=True,
+                             text=True)
+        assert out.returncode == 0, out.stderr
+        assert "RMSE: 0.000000" in out.stdout, out.stdout
+
+    def test_16bit_rgb(self, tmp_path, rng):
+        from PIL import Image
+        w, h = 13, 9
+        hi = rng.randint(0, 255, (h, w, 3)).astype(np.uint8)
+        lo = rng.randint(0, 255, (h, w, 3)).astype(np.uint8)
+        px16 = (hi.astype(np.uint16) << 8) | lo
+        raw = b"".join(b"\x00" + px16[y].astype(">u2").tobytes()
+                       for y in range(h))
+        p = str(tmp_path / "rgb16.png")
+        self._write_png(p, w, h, 16, 2, 0, raw)
+        pil = np.asarray(Image.open(p).convert("RGB"))  # PIL proves fixture
+        np.testing.assert_array_equal(pil, hi)
+        self._assert_tool_matches(tmp_path, p, hi)
+
+    def test_16bit_gray_pil_written(self, tmp_path, rng):
+        from PIL import Image
+        w, h = 11, 7
+        g16 = rng.randint(0, 65535, (h, w)).astype(np.uint16)
+        p = str(tmp_path / "g16.png")
+        Image.fromarray(g16, mode="I;16").save(p)
+        expected = np.repeat((g16 >> 8).astype(np.uint8)[:, :, None], 3, 2)
+        self._assert_tool_matches(tmp_path, p, expected)
+
+    def test_interlaced_rgb(self, tmp_path, rng):
+        from PIL import Image
+        w, h = 19, 13  # non-multiples of 8 exercise partial passes
+        img = rng.randint(0, 255, (h, w, 3)).astype(np.uint8)
+        p = str(tmp_path / "adam7.png")
+        self._write_png(p, w, h, 8, 2, 1, self._adam7_raw(img))
+        pil = np.asarray(Image.open(p).convert("RGB"))
+        np.testing.assert_array_equal(pil, img)
+        self._assert_tool_matches(tmp_path, p, img)
+
+    def test_interlaced_16bit_rgba(self, tmp_path, rng):
+        from PIL import Image
+        w, h = 10, 6
+        hi = rng.randint(0, 255, (h, w, 4)).astype(np.uint8)
+        hi[:, :, 3] = 255  # opaque (the compare includes alpha)
+        px16 = (hi.astype(np.uint16) << 8) | 0x33
+        be = px16.astype(">u2").view(np.uint8).reshape(h, w, 8)
+        p = str(tmp_path / "adam7_16.png")
+        self._write_png(p, w, h, 16, 6, 1, self._adam7_raw(be))
+        pil = np.asarray(Image.open(p).convert("RGBA"))
+        np.testing.assert_array_equal(pil, hi)
+        self._assert_tool_matches(tmp_path, p, hi[:, :, :3])
+
+    def test_1bit_and_4bit_gray(self, tmp_path, rng):
+        from PIL import Image
+        w, h = 17, 5
+        bits = rng.randint(0, 2, (h, w)).astype(np.uint8)
+        p1 = str(tmp_path / "g1.png")
+        raw = b""
+        for y in range(h):
+            packed = np.packbits(bits[y])
+            raw += b"\x00" + packed.tobytes()
+        self._write_png(p1, w, h, 1, 0, 0, raw)
+        exp1 = np.repeat((bits * 255)[:, :, None], 3, 2)
+        np.testing.assert_array_equal(
+            np.asarray(Image.open(p1).convert("RGB")), exp1)
+        self._assert_tool_matches(tmp_path, p1, exp1)
+        nib = rng.randint(0, 16, (h, w)).astype(np.uint8)
+        p4 = str(tmp_path / "g4.png")
+        raw = b""
+        for y in range(h):
+            row = nib[y]
+            if w % 2:
+                row = np.concatenate([row, [0]]).astype(np.uint8)
+            packed = (row[0::2] << 4) | row[1::2]
+            raw += b"\x00" + packed.astype(np.uint8).tobytes()
+        self._write_png(p4, w, h, 4, 0, 0, raw)
+        exp4 = np.repeat((nib * 17)[:, :, None], 3, 2)
+        np.testing.assert_array_equal(
+            np.asarray(Image.open(p4).convert("RGB")), exp4)
+        self._assert_tool_matches(tmp_path, p4, exp4)
+
+
+@needs_native
+class TestProgressiveJpeg:
+    def test_exe_reads_progressive_jpeg(self, tmp_path, rng):
+        """Progressive (SOF2) JPEG — the last unsupported stbi input
+        class (image_compare.c:37,47 accepts it via stb_image). PIL
+        writes spectral-selection + successive-approximation scans
+        (DC/AC first + refinement, EOB runs); the tool's decode vs PIL's
+        decode of the SAME file must agree to decoder rounding, for
+        grayscale and every chroma subsampling, restart markers
+        included, at non-MCU-aligned sizes."""
+        from PIL import Image
+        exe = native.compare_exe_path()
+        for i, (w, h, sub, gray, rst) in enumerate(
+                [(64, 48, 0, False, 0), (100, 75, 2, False, 0),
+                 (33, 17, 1, False, 0), (40, 40, 0, True, 0),
+                 (80, 50, 2, False, 4)]):
+            x = np.linspace(0, 1, w)[None, :, None]
+            y = np.linspace(0, 1, h)[:, None, None]
+            img = (128 + 100 * np.sin(6 * x) * np.cos(4 * y)
+                   + rng.randn(h, w, 1) * 8
+                   + np.array([10, -5, 20])[None, None, :])
+            img = np.clip(img, 0, 255).astype(np.uint8)
+            pim = (Image.fromarray(img[..., 0], "L") if gray
+                   else Image.fromarray(img, "RGB"))
+            p_jpg = str(tmp_path / f"p{i}.jpg")
+            kw = dict(quality=85, subsampling=sub, progressive=True)
+            if rst:
+                kw["restart_marker_rows"] = rst
+            try:
+                pim.save(p_jpg, **kw)
+            except TypeError:  # older PIL: no restart_marker_rows
+                kw.pop("restart_marker_rows", None)
+                pim.save(p_jpg, **kw)
+            with open(p_jpg, "rb") as fh:
+                data = fh.read()
+            assert b"\xff\xc2" in data, "fixture is not progressive"
+            dec = np.asarray(Image.open(p_jpg).convert("RGB"))
+            p_png = str(tmp_path / f"p{i}.png")
+            Image.fromarray(dec).save(p_png)
+            out = subprocess.run([exe, p_jpg, p_png, "--threshold", "0.005"],
+                                 capture_output=True, text=True)
+            assert out.returncode == 0, (i, out.stdout, out.stderr)
+            rmse = float(out.stdout.split("RMSE:")[1].split()[0])
+            assert rmse < 0.002, (i, out.stdout)

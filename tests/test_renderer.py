@@ -165,3 +165,25 @@ class TestExposure:
         again = packed_to_rgb(np.asarray(
             _finalize(st, dataclasses.replace(cfg, exposure=1.0))))
         np.testing.assert_array_equal(base, again)
+
+
+class TestAdaptiveLiveChunking:
+    def test_adaptive_chunking_is_exact(self, cornell):
+        """--live's cadence adaptation (renderer.render_image
+        adapt_chunk_s) halves the chunk when a steady-state chunk
+        overshoots the target, which must not change results: chunking is
+        exact (same samples, same accumulation order). A vanishing target
+        forces halving to 1-sample chunks after the first (compile-
+        tainted, unadapted) chunk."""
+        scene, cam = cornell
+        cfg = RenderConfig(width=16, height=12, pp=3, seed=0)  # 9 spp
+        full, _, _ = render_image(scene, cam, cfg)
+        calls = []
+        adap, _, st = render_image(
+            scene, cam, cfg, chunk_samples=4,
+            progress_cb=lambda s, t, _st: calls.append(s),
+            adapt_chunk_s=1e-9)
+        np.testing.assert_array_equal(np.asarray(full), np.asarray(adap))
+        # chunk 4 (first, unadapted), chunk 4 (adapts 4->2->1), chunk 1
+        assert calls == [4, 8, 9]
+        assert int(np.asarray(st.samples_done)) == cfg.spp

@@ -110,3 +110,22 @@ class TestWorlds:
     def test_rtiow_just_cosine_flag(self):
         scene, _ = finalize_world(WORLD_RAYTRACING_ONE_WEEKEND, 16, 9)
         assert scene.just_cosine
+
+
+def test_rtiow_scene_seed_varies_layout():
+    """--scene-seed (cli) / rtiow_seed (worlds.build_world): the reference
+    seeds MT from the OS so world 4's layout differs per run
+    (win32_main.cpp:1966, ray_math.hpp:245-248); our default is fixed for
+    reproducibility and the knob restores the per-run-random semantics.
+    Different seeds must give different sphere layouts; the same seed the
+    identical one."""
+    from pathtracer_tpu.scene.schema import WORLD_RAYTRACING_ONE_WEEKEND
+    from pathtracer_tpu.scene.worlds import build_world
+    b1, _ = build_world(WORLD_RAYTRACING_ONE_WEEKEND)
+    b2, _ = build_world(WORLD_RAYTRACING_ONE_WEEKEND, rtiow_seed=1337)
+    b3, _ = build_world(WORLD_RAYTRACING_ONE_WEEKEND, rtiow_seed=99)
+    c1 = [s[0] for s in b1.spheres]
+    c2 = [s[0] for s in b2.spheres]
+    c3 = [s[0] for s in b3.spheres]
+    assert c1 == c2
+    assert c1 != c3
