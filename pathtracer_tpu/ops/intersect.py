@@ -299,7 +299,12 @@ def _intersect_triangles_streamed(scene: Scene, o: Vec3, d: Vec3,
     tpc = clu.fm_tiles_per_cluster(leaf)
     rpc = (clu.fm_rows_per_cluster(leaf) if fm
            else clu.stream_rows_per_cluster(leaf))  # static rows/cluster
-    rpc_uv = clu.fm_uv_rows_per_cluster(leaf) if fm else rpc
+    # cluster-field-major uv layout (Scene.stream_uv_cfm, round 5): the
+    # winner uv resolves once per descended cluster from 6 field rows
+    # (lane = cluster-local tri index) instead of per record row
+    cfm_uv = want_uv and scene.stream_uv_cfm and not fm
+    rpc_uv = (clu.fm_uv_rows_per_cluster(leaf) if fm
+              else (clu.UV_CFM_ROWS if cfm_uv else rpc))
     # DMA mode (scene.tri_dma, > STREAM_MAX tris): the pack rows live in
     # HBM; render/pallas_backend hands the kernel a 2-slot VMEM scratch
     # (2*rpc rows) + DMA semaphore pair through the scene pytree. Only the
@@ -427,7 +432,12 @@ def _intersect_triangles_streamed(scene: Scene, o: Vec3, d: Vec3,
             def row_test(trow, r, cc):
                 def test9(cc):
                     t_r2, nx, ny, nz, mf = cc[:5]
-                    if want_uv:
+                    if cfm_uv:
+                        # cluster-local winner (tri index, alpha, beta)
+                        # carried ACROSS rows; uv untouched until the
+                        # per-cluster resolve (resolve_uv_cfm)
+                        uvx, uvy, kw, aw, bw = cc[5:10]
+                    elif want_uv:
                         uvx, uvy = cc[5], cc[6]
                         zero = t_r2 * 0.0
                         # row-local winner slot + barycentrics (f32 slot
@@ -453,10 +463,19 @@ def _intersect_triangles_streamed(scene: Scene, o: Vec3, d: Vec3,
                         ny = jnp.where(take, n.y, ny)
                         nz = jnp.where(take, n.z, nz)
                         mf = jnp.where(take, f(12), mf)
-                        if want_uv:
+                        if cfm_uv:
+                            # (r*per + jj): cluster-local tri index — r is
+                            # a Python int in the unrolled forms, a traced
+                            # scalar in the fori form; *1.0 promotes both
+                            kw = jnp.where(take, (r * per + jj) * 1.0, kw)
+                            aw = jnp.where(take, alpha, aw)
+                            bw = jnp.where(take, beta, bw)
+                        elif want_uv:
                             jw = jnp.where(take, jnp.float32(jj), jw)
                             aw = jnp.where(take, alpha, aw)
                             bw = jnp.where(take, beta, bw)
+                    if cfm_uv:
+                        return (t_r2, nx, ny, nz, mf, uvx, uvy, kw, aw, bw)
                     if not want_uv:
                         return (t_r2, nx, ny, nz, mf)
 
@@ -627,7 +646,44 @@ def _intersect_triangles_streamed(scene: Scene, o: Vec3, d: Vec3,
                                    for ps in zip(*pieces))
                 return cc
 
+            def resolve_uv_cfm(cc):
+                # ONE uv resolve per descended cluster (cfm layout): 6
+                # field-row loads + 6 per-lane dynamic_gathers on the
+                # cluster-local winner index — independent, so they
+                # pipeline — under a single any-winner branch (takes are
+                # rare: most descended clusters improve nobody and skip
+                # the whole resolve for one ~470-cycle reduce). Same
+                # interpolation expression order as the row-parallel
+                # fetch (g0 + aw*g2 + bw*g4), so winner values are
+                # BIT-equal to the old per-row path.
+                def do(cc):
+                    t_r2, nx, ny, nz, mf, uvx, uvy, kw, aw, bw = cc
+                    U = clu.UV_CFM_ROWS
+                    if dma_uv:
+                        rows6 = [row_bcast(scene.stream_uv_scratch,
+                                           slot * U + k) for k in range(U)]
+                    else:
+                        rows6 = [row_bcast(scene.mtri_uvpack, c * U + k)
+                                 for k in range(U)]
+                    ok = kw >= 0.0
+                    ki = jnp.clip(kw, 0.0, 127.0).astype(jnp.int32)
+                    g = lambda k: jnp.take_along_axis(rows6[k], ki, axis=-1)
+                    nux = g(0) + aw * g(2) + bw * g(4)
+                    nuy = g(1) + aw * g(3) + bw * g(5)
+                    return (t_r2, nx, ny, nz, mf,
+                            jnp.where(ok, nux, uvx),
+                            jnp.where(ok, nuy, uvy), kw, aw, bw)
+                return jax.lax.cond(jnp.any(cc[7] >= 0.0), do,
+                                    lambda cc: cc, cc)
+
             def run(cc):
+                if cfm_uv:
+                    zero = cc[0] * 0.0
+                    cc = rows_pass(cc + (zero - 1.0, zero, zero))
+                    return resolve_uv_cfm(cc)[:7]
+                return rows_pass(cc)
+
+            def rows_pass(cc):
                 if fm:
                     return fm_tests(cc)
                 if rpc <= _row_unroll_max():
@@ -805,6 +861,38 @@ def _intersect_triangles_streamed(scene: Scene, o: Vec3, d: Vec3,
                 return carry
             return jax.lax.fori_loop(0, n_groups, group_body, carry)
 
+        # Front-to-back EARLY-OUT (PT_PARENT_EARLY, VERDICT r4 item 6):
+        # the top-level sweep runs as a while loop whose cond tests the
+        # SUFFIX union box packed in lanes 6..12 of the current row
+        # (clusters.pack_parents) — once no lane's running t can still be
+        # beaten by any remaining (camera-ordered, hence farther) item,
+        # the sweep breaks. Pure pruning, bit-equal: every skipped item's
+        # entry distance is >= the suffix box's >= every lane's best t.
+        # Costs one extra row-load + slab + any-reduce per iteration, so
+        # it pays where the sweep would mostly NOT descend (localized
+        # views over big parent lists) and taxes where it would (full
+        # screen) — both regimes measured in BENCH.md round 5.
+        _EARLY = _osmod.environ.get("PT_PARENT_EARLY", "0") != "0"
+
+        def level_sweep(n_items, bounds_tab, body_fn, descend_of, init):
+            carry = grouped_level(n_items, bounds_tab, descend_of, init)
+            if carry is not None:
+                return carry
+            if _EARLY and n_items > 1:
+                def wcond(c):
+                    row = row_bcast(bounds_tab,
+                                    jnp.minimum(c[0], n_items - 1))
+                    return (c[0] < n_items) & jnp.any(row_slab_relevant(
+                        row, c[1], base=clu.PSUFFIX_LANE))
+
+                def wbody(c):
+                    return (c[0] + 1,) + tuple(body_fn(c[0], c[1:]))
+
+                out = jax.lax.while_loop(wcond, wbody,
+                                         (jnp.int32(0),) + tuple(init))
+                return out[1:]
+            return jax.lax.fori_loop(0, n_items, body_fn, init)
+
         if scene.n_stream_gparents > 0:
             # GRANDPARENT level (clusters.GPARENT_MIN+): same dynamic
             # form one level up — grandparent AABB rows + (start, count)
@@ -825,17 +913,13 @@ def _intersect_triangles_streamed(scene: Scene, o: Vec3, d: Vec3,
                 relevant = row_slab_relevant(grow, carry[0])
                 return jax.lax.cond(jnp.any(relevant), gparent_descend(g),
                                     lambda cc: cc, carry)
-            carry = grouped_level(scene.n_stream_gparents,
-                                  scene.mtri_gparents, gparent_descend, init)
-            if carry is None:
-                carry = jax.lax.fori_loop(0, scene.n_stream_gparents,
-                                          gparent_body, init)
+            carry = level_sweep(scene.n_stream_gparents,
+                                scene.mtri_gparents, gparent_body,
+                                gparent_descend, init)
         else:
-            carry = grouped_level(scene.n_stream_parents,
-                                  scene.mtri_parents, parent_descend, init)
-            if carry is None:
-                carry = jax.lax.fori_loop(0, scene.n_stream_parents,
-                                          parent_body, init)
+            carry = level_sweep(scene.n_stream_parents,
+                                scene.mtri_parents, parent_body,
+                                parent_descend, init)
     elif scene.stream_parents:
         # Two-level hierarchy (the TPU analog of the reference octree's
         # log-depth descent, win32_main.cpp:476-526): parent AABBs are

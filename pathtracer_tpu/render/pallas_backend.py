@@ -652,7 +652,7 @@ def render_chunk_pallas(
             rpc_uv = _clu.fm_uv_rows_per_cluster(scene.stream_leaf)
         else:
             rpc = _clu.stream_rows_per_cluster(scene.stream_leaf)
-            rpc_uv = rpc
+            rpc_uv = (_clu.UV_CFM_ROWS if scene.stream_uv_cfm else rpc)
         scratch_shapes = [pltpu.VMEM((2 * rpc, _LANES), jnp.float32),
                           pltpu.SemaphoreType.DMA((2,))]
         if uvpack_idx is not None:

@@ -356,7 +356,16 @@ def pack_parents(parents: tuple):
     size is O(1) in parent count — static immediates (the resident tier's
     form) compile ~1.2 s/parent in Mosaic, minutes at 250k+ tris. A
     bounds-None "huge" parent packs as an infinite box (slab test always
-    relevant)."""
+    relevant).
+
+    Lanes 6..12 carry the SUFFIX union box — union of boxes[i:] — in the
+    same mn3 mx3 layout (``PSUFFIX_LANE``). The kernel's front-to-back
+    early-out (ops/intersect, PT_PARENT_EARLY) tests it from the already-
+    loaded row: when no lane's running t can still be beaten by ANY
+    remaining parent (every remaining entry distance >= best t), the
+    camera-ordered sweep breaks — pure pruning, bit-equal (the reference
+    octree gets the same effect from its recursive t-sorted descent,
+    win32_main.cpp:476-526)."""
     n = len(parents)
     rows = np.zeros((max(n, 1), 128), np.float32)
     rng = np.zeros((max(n, 1), 2), np.int32)
@@ -366,7 +375,14 @@ def pack_parents(parents: tuple):
         rows[i, 0:3] = mn
         rows[i, 3:6] = mx
         rng[i] = (start, count)
+    if n:
+        rows[:, 6:9] = np.minimum.accumulate(rows[::-1, 0:3], axis=0)[::-1]
+        rows[:, 9:12] = np.maximum.accumulate(rows[::-1, 3:6], axis=0)[::-1]
     return rows, rng
+
+
+# lane offset of the suffix union box in pack_parents rows (mn3 mx3)
+PSUFFIX_LANE = 6
 
 
 # Streamed mesh tier (ops/intersect streamed branch): meshes too large to
@@ -493,6 +509,28 @@ def pack_stream_uv(uvt: np.ndarray, clusters: tuple, leaf: int):
         block = np.zeros((rpc * per, 6), np.float32)
         block[:cnt] = uvt[off:off + cnt]
         rows[ci * rpc:(ci + 1) * rpc, : per * 6] = block.reshape(rpc, per * 6)
+    return rows
+
+
+UV_CFM_ROWS = 6  # u0 v0 du1 dv1 du2 dv2 — one field per row
+
+
+def pack_stream_uv_cfm(uvt: np.ndarray, clusters: tuple, leaf: int):
+    """Cluster-FIELD-MAJOR uv table (round 5, the production mesh-UV
+    layout when the leaf fits the lane axis): 6 rows of 128 lanes per
+    cluster — row ``c * 6 + k``, lane ``j`` = uv field ``k`` (u0 v0 du1
+    dv1 du2 dv2, texel space) of cluster c's j-th triangle. The winner uv
+    then resolves ONCE per descended cluster: 6 per-lane dynamic_gathers
+    on the cluster-local winner index (tracked through the record loop as
+    3 extra carried selects), instead of 6 gathers + interpolation on
+    EVERY record row (pack_stream_uv's row-parallel layout — kept as the
+    leaf > 128 fallback and the PT_NO_UV_CFM ablation). Also ~2x smaller
+    (6 rows vs rows-per-cluster) and cheaper to DMA."""
+    assert leaf <= 128, "cfm uv lanes ride the cluster-local tri index"
+    rows = np.zeros((max(len(clusters), 1) * UV_CFM_ROWS, 128), np.float32)
+    for ci, (off, cnt, _, _) in enumerate(clusters):
+        rows[ci * UV_CFM_ROWS:(ci + 1) * UV_CFM_ROWS, :cnt] = \
+            uvt[off:off + cnt].T
     return rows
 
 

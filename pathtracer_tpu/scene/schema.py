@@ -315,6 +315,12 @@ class Scene:
     # the lane axis (ops/intersect fm branch). Same hierarchy, bounds and
     # DMA machinery; row-cull n/a (no spare lanes).
     stream_fm: bool = struct.field(pytree_node=False, default=False)
+    # mtri_uvpack holds the cluster-FIELD-MAJOR layout (6 rows/cluster,
+    # lane = cluster-local tri index, clusters.pack_stream_uv_cfm): the
+    # winner uv resolves once per descended cluster instead of per record
+    # row. Auto when the leaf fits the lane axis (<= 128) and not fm;
+    # PT_NO_UV_CFM=1 restores the row-parallel layout (ablation).
+    stream_uv_cfm: bool = struct.field(pytree_node=False, default=False)
     # normalize(cross(u, v)) per quad, baked at finalize with the SAME jnp
     # expression intersect_quads used to evaluate per bounce (bit-identical
     # values); keeps the per-quad scalar cross/normalize chains out of the
@@ -611,6 +617,7 @@ class WorldBuilder:
         tri_streamed = False
         tri_dma = False
         stream_fm = False
+        stream_uv_cfm = False
         stream_leaf = 0
         n_stream_clusters = 0
         n_stream_parents = 0
@@ -646,9 +653,17 @@ class WorldBuilder:
                     mtri_pack = clu.pack_stream_fm(
                         ctri, ctri_m, tri_clusters, stream_leaf)
                 if has_mesh_uvs:
-                    mtri_uvpack = (clu.pack_stream_fm_uv if stream_fm
-                                   else clu.pack_stream_uv)(
-                        ctri_uvt, tri_clusters, stream_leaf)
+                    stream_uv_cfm = (not stream_fm and stream_leaf <= 128
+                                     and not _os.environ.get("PT_NO_UV_CFM"))
+                    if stream_fm:
+                        mtri_uvpack = clu.pack_stream_fm_uv(
+                            ctri_uvt, tri_clusters, stream_leaf)
+                    elif stream_uv_cfm:
+                        mtri_uvpack = clu.pack_stream_uv_cfm(
+                            ctri_uvt, tri_clusters, stream_leaf)
+                    else:
+                        mtri_uvpack = clu.pack_stream_uv(
+                            ctri_uvt, tri_clusters, stream_leaf)
                     ctri_uvt = np.zeros((1, 6), f32)
                 n_stream_clusters = len(tri_clusters)
                 tri_streamed = True
@@ -973,6 +988,7 @@ class WorldBuilder:
                                  "PT_ROW_CULL_MIN", clu.ROW_CULL_MIN))
                              and not _os.environ.get("PT_NO_ROW_CULL")),
             stream_fm=stream_fm,
+            stream_uv_cfm=stream_uv_cfm,
             stream_leaf=stream_leaf,
             n_stream_clusters=n_stream_clusters,
             n_stream_parents=n_stream_parents,

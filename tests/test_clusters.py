@@ -394,6 +394,52 @@ class TestStreamedMeshTier:
             imgs.append(np.asarray(resolve(st, cfg)))
         np.testing.assert_array_equal(imgs[0], imgs[1])
 
+    def test_parent_early_out_bit_equal(self):
+        """The front-to-back early-out (PT_PARENT_EARLY: the top-level
+        parent/gparent sweep breaks once the camera-ordered SUFFIX union
+        box — clusters.PSUFFIX_LANE — can no longer beat any lane's
+        running t) is pure pruning: every skipped item's entry distance
+        is >= every lane's best t, so renders with it on vs off must be
+        BIT-EQUAL. Covers BOTH level_sweep call sites: the parents-only
+        DMA form and the grandparent level."""
+        from pathtracer_tpu.render.renderer import (
+            RenderConfig, init_accum, render_chunk, resolve,
+        )
+        from pathtracer_tpu.scene.camera import define_camera
+        from pathtracer_tpu.utils import prng
+        import os
+        os.environ["PT_STREAM_DMA"] = "1"
+        os.environ["PT_PARENT_GROUP"] = "4"
+        try:
+            os.environ["PT_GPARENT_MIN"] = "4"
+            scene_gp, _ = self._scene(2000)
+            os.environ["PT_GPARENT_MIN"] = "100000"
+            scene_flat, _ = self._scene(2000)
+        finally:
+            for k in ("PT_STREAM_DMA", "PT_PARENT_GROUP", "PT_GPARENT_MIN"):
+                os.environ.pop(k, None)
+        assert scene_gp.n_stream_gparents > 1
+        assert scene_flat.n_stream_gparents == 0
+        assert scene_flat.n_stream_parents > 1
+        w, h, pp = 16, 8, 2
+        cam = define_camera((0, -24, 2), (0, 0, 0), 35.0, w, h)
+        key = prng.base_key(3)
+        for sc in (scene_flat, scene_gp):
+            imgs = []
+            for early in ("0", "1"):
+                os.environ["PT_PARENT_EARLY"] = early
+                try:
+                    # env knob is read at trace time, not in the jit key
+                    jax.clear_caches()
+                    cfg = RenderConfig(width=w, height=h, pp=pp, seed=3,
+                                       backend="pallas-interpret")
+                    st = render_chunk(sc, cam, cfg, key, np.int32(0),
+                                      cfg.spp, init_accum(w * h))
+                    imgs.append(np.asarray(resolve(st, cfg)))
+                finally:
+                    os.environ.pop("PT_PARENT_EARLY", None)
+            np.testing.assert_array_equal(imgs[0], imgs[1])
+
     def test_row_cull_bit_equal(self):
         """The third culling level (per-row 9-tri AABBs in the pack rows'
         spare lanes, clusters.ROW_BOUNDS_LANE) is pure pruning: a row is

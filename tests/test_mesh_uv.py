@@ -493,8 +493,56 @@ class TestMeshUVKernelTiers:
     def test_streamed_tier_matches_brute(self):
         scene = _uv_mesh_builder(1500).finalize()
         assert scene.tri_streamed
+        # default layout is cluster-field-major: 6 rows per cluster
+        assert scene.stream_uv_cfm
+        assert scene.mtri_uvpack.shape == (scene.n_stream_clusters * 6, 128)
+        self._compare_tiers(scene)
+
+    def test_streamed_rowpar_layout_matches_brute(self):
+        """The row-parallel uv fallback (PT_NO_UV_CFM=1, also the
+        leaf > 128 path) against brute — keeps the old layout tested."""
+        import os
+        os.environ["PT_NO_UV_CFM"] = "1"
+        try:
+            scene = _uv_mesh_builder(1500).finalize()
+        finally:
+            del os.environ["PT_NO_UV_CFM"]
+        assert scene.tri_streamed and not scene.stream_uv_cfm
         assert scene.mtri_uvpack.shape == scene.mtri_pack.shape
         self._compare_tiers(scene)
+
+    def test_uv_cfm_bit_equal_to_rowpar(self):
+        """The cfm layout's once-per-cluster winner resolve must render
+        BIT-EQUAL to the row-parallel per-row fetch: same winner, same
+        interpolation expression order, only fetch placement differs."""
+        import os
+        import jax
+        from pathtracer_tpu.render.renderer import (
+            RenderConfig, init_accum, render_chunk, resolve,
+        )
+        from pathtracer_tpu.scene.camera import define_camera
+        from pathtracer_tpu.utils import prng
+        scenes = []
+        for env in (None, "1"):
+            if env:
+                os.environ["PT_NO_UV_CFM"] = env
+            try:
+                scenes.append(_uv_mesh_builder(1500).finalize())
+            finally:
+                os.environ.pop("PT_NO_UV_CFM", None)
+        assert scenes[0].stream_uv_cfm and not scenes[1].stream_uv_cfm
+        w, h, pp = 16, 8, 2
+        cam = define_camera((0, -24, 2), (0, 0, 0), 35.0, w, h)
+        key = prng.base_key(9)
+        imgs = []
+        for sc in scenes:
+            jax.clear_caches()
+            cfg = RenderConfig(width=w, height=h, pp=pp, seed=9,
+                               backend="pallas-interpret")
+            st = render_chunk(sc, cam, cfg, key, np.int32(0), cfg.spp,
+                              init_accum(w * h))
+            imgs.append(np.asarray(resolve(st, cfg)))
+        np.testing.assert_array_equal(imgs[0], imgs[1])
 
     def test_dma_uv_tier_bit_equal_to_resident(self):
         """PT_STREAM_DMA=1 forces the DMA tier on a mesh-UV scene: the uv
