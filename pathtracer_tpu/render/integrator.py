@@ -783,6 +783,7 @@ def trace_fori(
     pkeys: prng.PathStream,
     use_russian_roulette: bool = False,
     mip_scale: float = 0.0,
+    unroll: int = 1,
 ) -> Tuple[Vec3, TraceStats]:
     """:func:`trace` with the bounce loop as ``lax.fori_loop`` instead of
     a Python unroll — the COMPILE-SIZE-BOUNDED driver for the Pallas
@@ -850,8 +851,57 @@ def trace_fori(
         return (o, d, radiance, throughput, cont.astype(jnp.float32),
                 lane_casts)
 
+    def body_last(carry):
+        # The FINAL bounce, peeled out of the loop with a STATIC index:
+        # its continuation is forced off by depth, so everything feeding
+        # only (weight, L, hitpoint, cont) — the whole estimator sampling
+        # chain AND, on textured scenes, the windowed texture fetch
+        # (albedo/metal/rough/normal feed nothing but the brdf) — is dead
+        # code XLA can DCE. A traced bounce index hides that: the flat
+        # fori ran the full body 4x and world 1 measured 19% under the
+        # unrolled kernel (round 5). The radiance/lane_casts expressions
+        # are the ones body would have computed at this b — same draws,
+        # same accumulation order.
+        b = MAX_BOUNCE_COUNT - 1
+        o, d, radiance, throughput, alive_f, lane_casts = carry
+        alive = alive_f > 0.0
+        lane_casts = lane_casts + alive_f
+        if scene.has_mesh_uvs:
+            hit, uvx, uvy, uv_ok = intersect_scene_uv(scene, o, d)
+            uv = (uvx, uvy, uv_ok)
+        else:
+            hit, uv = intersect_scene(scene, o, d), None
+        u = prng.bounce_uniforms_v(pkeys, b)
+        out = shade_bounce(scene, o, d, hit, u, mip_scale=mip_scale, uv=uv)
+        contrib = hadamard(throughput, out.emit)
+        radiance = Vec3(
+            jnp.where(alive, radiance.x + contrib.x, radiance.x),
+            jnp.where(alive, radiance.y + contrib.y, radiance.y),
+            jnp.where(alive, radiance.z + contrib.z, radiance.z),
+        )
+        return radiance, lane_casts
+
     init = (o, d, zvec(), Vec3(ones(), ones(), ones()), ones(), zeros())
-    (_, _, radiance, _, _, lane_casts) = jax.lax.fori_loop(
-        0, MAX_BOUNCE_COUNT, body, init)
+    # Partial unroll (``unroll`` bounce bodies per fori step): the compile-
+    # time/run-time dial between the O(1)-code fori (U=1) and the straight-
+    # line trace (U=MAX_BOUNCE_COUNT). Bounce index b = i*U + k is the same
+    # traced value either way, so per-bounce arithmetic is unchanged; only
+    # cross-bounce scheduling/fusion can differ (the documented ulp class).
+    n_loop = MAX_BOUNCE_COUNT - 1 if MAX_BOUNCE_COUNT >= 2 else \
+        MAX_BOUNCE_COUNT
+    U = max(1, min(int(unroll), n_loop))
+    while n_loop % U:
+        U -= 1
+
+    def body_u(i, carry):
+        for k in range(U):
+            carry = body(i * U + k, carry)
+        return carry
+
+    carry = jax.lax.fori_loop(0, n_loop // U, body_u, init)
+    if n_loop < MAX_BOUNCE_COUNT:
+        radiance, lane_casts = body_last(carry)
+    else:
+        (_, _, radiance, _, _, lane_casts) = carry
     return radiance, TraceStats(rays_cast=jnp.sum(lane_casts),
                                 lane_casts=lane_casts)

@@ -279,12 +279,19 @@ def _wave_loop(scene: Scene, camera: Camera, config: RenderConfig,
     # everything after it — a large fraction of a small scene's ~2.6 us
     # body (round-5 measurement, Cornell). EXACT: the body is a no-op for
     # done lanes (active masks every update), so up to K-1 trailing
-    # all-done steps change nothing. Streamed-mesh scenes keep K=1 — their
-    # ~80 us bodies make the reduce noise and the row sweeps x4 would
-    # bloat kernel code size for nothing.
+    # all-done steps change nothing. K=4 pays ONLY while the body is
+    # small — the kernel carries K copies of the whole unrolled intersect
+    # sweep, so big static bodies lose to code size (and streamed bodies
+    # make the reduce noise). Measured @64spp, round 5: Cornell (5 quads)
+    # +19%, w2 official (122 spheres) +21%; w5 (752 unrolled tris) K=1
+    # 123.9 vs K=4 94.1 (-24%), w4 (494 spheres) official -3% with a
+    # compile blowup past its budget. Cut: no static triangles and
+    # <= 200 spheres.
     import os
+    small_body = (not scene.tri_streamed and scene.n_tris == 0
+                  and scene.n_spheres <= 200)
     k_unroll = int(os.environ.get(
-        "PT_WAVE_UNROLL", "1" if scene.tri_streamed else "4"))
+        "PT_WAVE_UNROLL", "4" if small_body else "1"))
 
     def body_k(carry):
         for _ in range(max(1, k_unroll)):
@@ -367,7 +374,8 @@ def _lockstep_loop(scene: Scene, camera: Camera, config: RenderConfig,
             radiance, stats = trace_fori(
                 scene, o, d, stream,
                 use_russian_roulette=config.use_russian_roulette,
-                mip_scale=config.mip_scale)
+                mip_scale=config.mip_scale,
+                unroll=int(os.environ.get("PT_FORI_UNROLL", "1")))
         else:
             radiance, stats = trace(
                 scene, o, d, stream, debug_kind=config.debug_kind,

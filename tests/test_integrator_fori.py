@@ -18,7 +18,9 @@ import pytest
 from pathtracer_tpu import RenderConfig, finalize_world
 from pathtracer_tpu.render import integrator as integ
 from pathtracer_tpu.render import raygen
-from pathtracer_tpu.scene.schema import WORLD_CORNELL_BOX, WORLD_DEFAULT
+from pathtracer_tpu.scene.schema import (
+    WORLD_CORNELL_BOX, WORLD_DEFAULT, WORLD_MESH_UV,
+)
 from pathtracer_tpu.utils import prng
 
 
@@ -44,6 +46,9 @@ class TestTraceForiEquivalence:
         (WORLD_CORNELL_BOX, False),
         (WORLD_DEFAULT, False),
         (WORLD_DEFAULT, True),
+        # mesh-UV: covers the peeled final bounce's intersect_scene_uv
+        # branch (trace_fori.body_last, round 5)
+        (WORLD_MESH_UV, False),
     ])
     def test_matches_unrolled(self, kind, rr):
         a, b, s1, s2 = _trace_pair(kind, rr=rr)
